@@ -1,0 +1,86 @@
+"""As-of (point-in-time) join.
+
+The reference exposes as-of semantics only as the ``asof=YYYY-MM-DD``
+API option (``/root/reference/alpaca_pyspark/stocks/bars.py:51,68-71``,
+SURVEY.md §2D D9): the server resolves "state as of a date".  PySpark
+has no native ``asofJoin`` DataFrame operator, so we implement the
+classic scalable rewrite:
+
+    union(state, probe) → window ``last(value, ignorenulls=True)``
+    over (partition by keys order by ts, side) → keep probe rows.
+
+Why this over ``pyspark.pandas.merge_asof``: it is pure built-ins
+(whole-stage codegen, no Python workers), costs exactly ONE shuffle on
+the join keys, and the window scan is a linear single pass per key —
+it survives a 100× scale-up as long as a single key's history fits a
+partition (skewed keys: pre-split by time-bucket then stitch).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_TS = "__asof_ts"
+_SIDE = "__asof_side"
+_ROW = "__asof_row"
+
+
+def asof_join(
+    probe: DataFrame,
+    state: DataFrame,
+    *,
+    on: Sequence[str],
+    probe_ts: str,
+    state_ts: str,
+    value_cols: Sequence[str],
+    allow_exact_matches: bool = True,
+) -> DataFrame:
+    """For each probe row, attach the latest state values with
+    ``state.ts <= probe.ts`` (or ``<`` when ``allow_exact_matches`` is
+    False), matching on equality of ``on``.  Probe rows with no prior
+    state get NULLs (left-join semantics).
+
+    Returns the probe columns followed by ``value_cols`` from state.
+    """
+    on = list(on)
+    value_cols = list(value_cols)
+
+    # State sorts before probe at equal timestamps iff exact matches
+    # are allowed — the side marker is the tiebreaker in the sort.
+    state_side, probe_side = (0, 1) if allow_exact_matches else (1, 0)
+
+    probe_struct = F.struct(*[F.col(c) for c in probe.columns])
+    row_type = probe.select(probe_struct.alias("s")).schema["s"].dataType
+    state_sel = state.select(
+        *[F.col(c) for c in on],
+        F.col(state_ts).alias(_TS),
+        F.lit(state_side).alias(_SIDE),
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        F.lit(None).cast(row_type).alias(_ROW),
+    )
+    probe_sel = probe.select(
+        *[F.col(c) for c in on],
+        F.col(probe_ts).alias(_TS),
+        F.lit(probe_side).alias(_SIDE),
+        *[F.lit(None).cast(state.schema[c].dataType).alias(f"__v_{c}") for c in value_cols],
+        probe_struct.alias(_ROW),
+    )
+
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(_TS).asc(), F.col(_SIDE).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    unioned = state_sel.unionByName(probe_sel)
+    filled = unioned.select(
+        _SIDE,
+        _ROW,
+        *[F.last(F.col(f"__v_{c}"), ignorenulls=True).over(w).alias(f"__v_{c}") for c in value_cols],
+    )
+    return filled.filter(F.col(_SIDE) == probe_side).select(
+        *[F.col(f"{_ROW}.{c}").alias(c) for c in probe.columns],
+        *[F.col(f"__v_{c}").alias(c) for c in value_cols],
+    )

@@ -1,0 +1,75 @@
+"""OHLCV bar construction — the reference's core analytic semantic.
+
+The reference's ``timeframe`` option (required bar param,
+``/root/reference/alpaca_pyspark/bars.py:95-97``) asks the *server* to
+aggregate ticks into bars with the 9-column schema of
+``/root/reference/alpaca_pyspark/bars.py:115-127``:
+``(symbol, time, open, high, low, close, volume, trade_count, vwap)``.
+
+Spark-first re-expression: a tumbling-window hash aggregation over the
+tick stream.  open/close are the *time-ordered* first/last values — we
+use ``min_by``/``max_by`` keyed on a ``(ts, rowid)`` struct, which stays
+a single-pass hash aggregate (one shuffle on the group keys, with
+map-side partial aggregation) and is deterministic under ties, unlike
+``first()``/``last()``.
+
+Scale notes: the whole operator is one shuffle keyed by
+``(key, window)``; skewed symbols are handled by AQE skew-split since
+partial aggregation has already collapsed each map partition to one row
+per (key, window).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_bars(
+    ticks: DataFrame,
+    *,
+    key: str,
+    ts: str,
+    price: str,
+    size: Column | str | None = None,
+    tiebreak: Column | str | None = None,
+    interval: str = "1 day",
+) -> DataFrame:
+    """Aggregate a tick stream into OHLCV bars.
+
+    Parameters mirror the reference bar semantics (SURVEY.md §2D D5):
+    ``interval`` is the bar width (timeframe), ``key`` the symbol-like
+    grouping column, ``price`` the tick price, ``size`` the tick size
+    (``None`` → every tick has size 1, so volume = tick count and vwap
+    = plain mean).  ``tiebreak`` deterministically orders ticks with
+    identical timestamps (e.g. a unique id column).
+    """
+    order = F.struct(F.col(ts), F.col(tiebreak) if isinstance(tiebreak, str) else (tiebreak if tiebreak is not None else F.col(ts)))
+    size_col = F.col(size) if isinstance(size, str) else (size if size is not None else F.lit(1).cast("long"))
+    p = F.col(price)
+
+    bar = F.window(F.col(ts), interval)
+    out = (
+        ticks.groupBy(F.col(key), bar.alias("bar"))
+        .agg(
+            F.min_by(p, order).alias("open"),
+            F.max(p).alias("high"),
+            F.min(p).alias("low"),
+            F.max_by(p, order).alias("close"),
+            F.sum(size_col).alias("volume"),
+            F.count(F.lit(1)).alias("trade_count"),
+            (F.sum(p * size_col) / F.sum(size_col)).alias("vwap"),
+        )
+        .select(
+            F.col(key),
+            F.col("bar.start").alias("bar_start"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+            "trade_count",
+            "vwap",
+        )
+    )
+    return out

@@ -1,0 +1,501 @@
+"""Core relational query set (SURVEY.md §2G q01–q11, q14).
+
+Every query is a pure ``(spark, sf_dir) -> DataFrame`` function over
+the driver's synthetic tables, with a DuckDB oracle in ``ORACLE``.
+Columns are aliased identically on both sides (driver hashes values
+after sorting columns by name).  Determinism rules used throughout:
+
+- ``(user_id, ts)`` is unique in ``events`` at every SF (verified),
+  so ``min_by(value, ts)`` / ``arg_min(value, ts)`` are deterministic.
+- every window order includes a unique tiebreaker;
+- float aggregates that accumulate in engine-dependent order are
+  ``round``-ed to a fixed scale on BOTH sides;
+- integer aggregates are cast to BIGINT on both sides (DuckDB SUM on
+  integers returns HUGEINT).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.adjustment import adjust_backward_dividend, adjust_backward_split
+from ..operators.asof import asof_join
+from ..operators.sessionize import session_summary
+from ..operators.topk import top_k_per_group
+from ..session import tune
+from ..tables import load
+
+
+# ---------------------------------------------------------------- q01
+def q01_scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan + pushed filter + projection (reference D1/D2 pushdown:
+    symbol IN-list + time-range params, common.py:393-395).  The filter
+    and the 5-column projection reach the parquet scan via Catalyst
+    (PushedFilters in the plan — see tests/test_plans.py)."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    return e.filter(
+        F.col("event_type").isin("click", "purchase")
+        & F.col("ts").between("2024-01-05 00:00:00", "2024-01-20 00:00:00")
+    ).select("event_id", "ts", "user_id", "event_type", "value")
+
+
+_Q01_SQL = """
+SELECT event_id, ts, user_id, event_type, value
+FROM events
+WHERE event_type IN ('click', 'purchase')
+  AND ts BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-20 00:00:00'
+"""
+
+
+# ---------------------------------------------------------------- q02
+def q02_bars_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tick→OHLCV bar construction (reference D5 ``timeframe``; bar
+    schema bars.py:115-127).  events: user_id↔symbol, ts↔time,
+    value↔price; each tick has implicit size 1 so volume==trade_count
+    and vwap is the mean price."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    # vwap is computed over exact integer cents (`value` is
+    # cent-quantized): the BIGINT sum is order-independent, so the one
+    # final double division is bit-identical to the oracle's — no
+    # float-accumulation drift.  Everything else picks exact input
+    # values (min/max/arg extremes), so no rounding is needed there.
+    p = F.col("value")
+    cents = F.round(p * 100).cast("bigint")
+    return (
+        e.groupBy("user_id", F.window("ts", "1 day").start.alias("bar_start"))
+        .agg(
+            F.min_by(p, F.col("ts")).alias("open"),
+            F.max(p).alias("high"),
+            F.min(p).alias("low"),
+            F.max_by(p, F.col("ts")).alias("close"),
+            F.count(F.lit(1)).alias("volume"),
+            F.count(F.lit(1)).alias("trade_count"),
+            (F.sum(cents) / (F.lit(100.0) * F.count(F.lit(1)))).alias("vwap"),
+        )
+    )
+
+
+_Q02_SQL = """
+SELECT user_id,
+       time_bucket(INTERVAL '1 day', ts) AS bar_start,
+       arg_min(value, ts)  AS open,
+       max(value)          AS high,
+       min(value)          AS low,
+       arg_max(value, ts)  AS close,
+       CAST(count(*) AS BIGINT) AS volume,
+       CAST(count(*) AS BIGINT) AS trade_count,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+         / (100.0 * count(*)) AS vwap
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------- q03
+def q03_interval_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical delegated query (USAGE.md:264-277): equality +
+    time-containment join, COUNT/AVG aggregation.  For each signup
+    event, follow-on activity of the same user within 1 day."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    s = e.filter(F.col("event_type") == "signup").select(
+        F.col("user_id"), F.col("event_id").alias("signup_id"), F.col("ts").alias("s_ts")
+    )
+    f = e.select("user_id", F.col("event_id").alias("f_id"), F.col("ts").alias("f_ts"), "value")
+    joined = s.join(
+        f,
+        (s.user_id == f.user_id)
+        & (F.col("f_ts") > F.col("s_ts"))
+        & (F.col("f_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 DAY")),
+        "left",
+    )
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return joined.groupBy(s.user_id, "signup_id").agg(
+        F.count("f_id").alias("n_follow"),
+        # exact-cents mean (see q02): order-independent, oracle-exact
+        (F.sum(cents) / (F.lit(100.0) * F.count("f_id"))).alias("avg_value"),
+    )
+
+
+_Q03_SQL = """
+SELECT s.user_id,
+       s.event_id AS signup_id,
+       CAST(count(f.event_id) AS BIGINT) AS n_follow,
+       CAST(sum(CAST(round(f.value * 100) AS BIGINT)) AS DOUBLE)
+         / (100.0 * count(f.event_id)) AS avg_value
+FROM (SELECT * FROM events WHERE event_type = 'signup') s
+LEFT JOIN events f
+  ON f.user_id = s.user_id
+ AND f.ts > s.ts
+ AND f.ts <= s.ts + INTERVAL 1 DAY
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------- q04
+def q04_sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort/limit pushdown analog (reference D3/D4) as distributed
+    per-group top-k: 5 priciest lineitems per returnflag."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    return top_k_per_group(
+        li.select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"),
+        group_by=["l_returnflag"],
+        order_by=[
+            F.col("l_extendedprice").desc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        ],
+        k=5,
+    )
+
+
+_Q04_SQL = """
+SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, rn
+FROM (
+  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+         CAST(row_number() OVER (
+           PARTITION BY l_returnflag
+           ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+         ) AS BIGINT) AS rn
+  FROM lineitem
+)
+WHERE rn <= 5
+"""
+
+
+# ---------------------------------------------------------------- q05
+def q05_groupby_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical aggregation over region→nation→customer with
+    ROLLUP subtotals; dimension joins are broadcast (region/nation are
+    fixed-cardinality — never shuffle the fact side for them)."""
+    tune(spark)
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    # exact-cents sum (see q02): BIGINT accumulation is
+    # order-independent; one final division matches the oracle exactly
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    return joined.rollup("r_name", "n_name").agg(
+        (F.sum(cents) / 100.0).alias("sum_acctbal"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+_Q05_SQL = """
+SELECT r_name, n_name,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS sum_acctbal,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+# ---------------------------------------------------------------- q06
+def q06_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join (reference D9 ``asof`` option): for each
+    click, the user's latest purchase value at-or-before the click."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("last_purchase_value")
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        probe_ts="ts",
+        state_ts="ts",
+        value_cols=["last_purchase_value"],
+    )
+
+
+_Q06_SQL = """
+SELECT c.user_id, c.event_id AS click_id, c.ts,
+       p.value AS last_purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+# ---------------------------------------------------------------- q07
+def q07_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dividend back-adjustment (reference D6 ``adjustment=dividend``):
+    purchases are 'prices', errors play a dividend feed; each price is
+    reduced by the sum of strictly-later dividend amounts.  Linear
+    window implementation (no self-join), exact in integer cents."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    prices = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts", "value"
+    )
+    dividends = e.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", (F.col("value") / 100.0).alias("amount")
+    )
+    return adjust_backward_dividend(
+        prices,
+        dividends,
+        on=["user_id"],
+        price_ts="ts",
+        div_ts="ts",
+        price_col="value",
+        amount_col="amount",
+        out_col="adj_value",
+    )
+
+
+_Q07_SQL = """
+WITH p AS (
+  SELECT user_id, event_id AS purchase_id, ts, value
+  FROM events WHERE event_type = 'purchase'
+), d AS (
+  SELECT user_id, ts,
+         CAST(round((value / 100.0) * 100) AS BIGINT) AS amount_cents
+  FROM events WHERE event_type = 'error'
+), f AS (
+  SELECT p.purchase_id, CAST(sum(d.amount_cents) AS BIGINT) AS dc
+  FROM p JOIN d ON d.user_id = p.user_id AND d.ts > p.ts
+  GROUP BY 1
+)
+SELECT p.user_id, p.purchase_id, p.ts, p.value,
+       (CAST(round(p.value * 100) AS BIGINT) - coalesce(f.dc, 0)) / 100.0
+         AS adj_value
+FROM p LEFT JOIN f USING (purchase_id)
+"""
+
+
+def q07_adjustment_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split (multiplicative) back-adjustment — reference D6
+    ``adjustment=split``.  Cumulative product via exp(Σ log ratio) is
+    floating-point, so there is no cross-engine-exact oracle; the
+    driver records a rows-only check and the operator's numeric
+    correctness is unit-tested in tests/test_operators.py."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    prices = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts", "value"
+    )
+    splits = e.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        "ts",
+        (1.0 + (F.floor("value").cast("bigint") % 5) / 100.0).alias("ratio"),
+    )
+    return adjust_backward_split(
+        prices,
+        splits,
+        on=["user_id"],
+        price_ts="ts",
+        split_ts="ts",
+        price_col="value",
+        ratio_col="ratio",
+        out_col="adj_value",
+        scale=4,
+    )
+
+
+# ---------------------------------------------------------------- q08
+def q08_setops_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent re-ingest analog (reference C5 skip semantics):
+    union of two overlapping loads → exact dedup → EXCEPT ALL of an
+    exclusion set."""
+    tune(spark)
+    # Three independent scans: sharing one DataFrame's lineage across
+    # union + exceptAll trips Spark 4.1's attribute dedup
+    # (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND); separate reads also mirror
+    # how two real ingest loads would arrive.
+    a = load(spark, sf_dir, "events").filter(F.col("ts") < "2024-01-20 00:00:00")
+    b = load(spark, sf_dir, "events").filter(F.col("ts") >= "2024-01-10 00:00:00")
+    errors = load(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    # Full-row distinct (duplicate rows from overlapping loads are
+    # exact copies; event_id is unique within each load).
+    deduped = a.unionByName(b).distinct()
+    return deduped.exceptAll(errors)
+
+
+_Q08_SQL = """
+SELECT DISTINCT * FROM (
+  SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-20 00:00:00'
+  UNION ALL
+  SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+)
+EXCEPT ALL
+SELECT * FROM events WHERE event_type = 'error'
+"""
+
+
+# ---------------------------------------------------------------- q09
+def q09_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The parse/cast layer as scalar expressions (reference C1-C4):
+    date_trunc, concat_ws (C3 array→string), coalesce defaults (C4),
+    JSON extraction, string/math functions."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.date_trunc("hour", F.col("ts")).alias("ts_hour"),
+        F.upper("event_type").alias("event_type_u"),
+        F.concat_ws("-", F.col("event_type"), F.col("user_id").cast("string")).alias("tag"),
+        F.coalesce(F.nullif(F.col("event_type"), F.lit("error")), F.lit("ERR")).alias("et_clean"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        F.round(F.sqrt(F.abs(F.col("value"))), 4).alias("sqrt_val"),
+        F.substring("event_type", 1, 3).alias("et3"),
+        F.length("props").cast("bigint").alias("props_len"),
+    )
+
+
+_Q09_SQL = """
+SELECT event_id,
+       date_trunc('hour', ts) AS ts_hour,
+       upper(event_type) AS event_type_u,
+       concat_ws('-', event_type, CAST(user_id AS VARCHAR)) AS tag,
+       coalesce(nullif(event_type, 'error'), 'ERR') AS et_clean,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       round(sqrt(abs(value)), 4) AS sqrt_val,
+       substring(event_type, 1, 3) AS et3,
+       CAST(length(props) AS BIGINT) AS props_len
+FROM events
+"""
+
+
+# ---------------------------------------------------------------- q10
+def q10_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-existence checks (reference symbols validation,
+    common.py:252-267): customers with / without orders via
+    left_semi / left_anti joins."""
+    tune(spark)
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").select("o_custkey")
+    cond = c.c_custkey == o.o_custkey
+    semi = c.join(o, cond, "left_semi").select(
+        "c_custkey", F.lit("has_order").alias("status")
+    )
+    anti = c.join(o, cond, "left_anti").select(
+        "c_custkey", F.lit("no_order").alias("status")
+    )
+    return semi.unionByName(anti)
+
+
+_Q10_SQL = """
+SELECT c_custkey, 'has_order' AS status FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+UNION ALL
+SELECT c_custkey, 'no_order' AS status FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+# ---------------------------------------------------------------- q11
+def q11_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-cardinality aggregation (oracle-checkable twin
+    of the approx query below)."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count_distinct("l_partkey").alias("n_parts"),
+        F.count_distinct("l_suppkey").alias("n_supps"),
+        F.count_distinct("l_orderkey").alias("n_orders"),
+    )
+
+
+_Q11_SQL = """
+SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+FROM lineitem
+"""
+
+
+def q11_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ sketch cardinalities (reference: symbol-cardinality
+    sanity, SURVEY.md §2G q11).  No SQL oracle — approximate values are
+    engine-specific; the driver records a rows-only check.  At 100 TB
+    this is THE way to count distincts: fixed-size sketch, single pass,
+    mergeable across partitions."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("n_parts_approx"),
+        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("n_supps_approx"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("n_orders_approx"),
+    )
+
+
+# ---------------------------------------------------------------- q14
+def q14_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap (batch
+    gaps-and-islands; streaming twin in streaming/sessions.py)."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    return session_summary(e.select("user_id", "ts"), key="user_id", ts="ts", gap="30 minutes")
+
+
+_Q14_SQL = """
+WITH x AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+), y AS (
+  SELECT user_id, ts,
+         CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM x
+), z AS (
+  SELECT user_id, ts,
+         CAST(sum(new_s) OVER (
+           PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+         ) AS BIGINT) AS session_id
+  FROM y
+)
+SELECT user_id, session_id,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM z
+GROUP BY 1, 2
+"""
+
+
+QUERIES = {
+    "q01_scan_filter_project": q01_scan_filter_project,
+    "q02_bars_tumbling": q02_bars_tumbling,
+    "q03_interval_join_agg": q03_interval_join_agg,
+    "q04_sort_limit_topk": q04_sort_limit_topk,
+    "q05_groupby_rollup": q05_groupby_rollup,
+    "q06_asof_join": q06_asof_join,
+    "q07_adjustment": q07_adjustment,
+    "q07_adjustment_split": q07_adjustment_split,
+    "q08_setops_dedup": q08_setops_dedup,
+    "q09_scalar_funcs": q09_scalar_funcs,
+    "q10_semi_anti": q10_semi_anti,
+    "q11_exact_distinct": q11_exact_distinct,
+    "q11_approx_distinct": q11_approx_distinct,
+    "q14_stream_session": q14_stream_session,
+}
+
+ORACLE = {
+    "q01_scan_filter_project": _Q01_SQL,
+    "q02_bars_tumbling": _Q02_SQL,
+    "q03_interval_join_agg": _Q03_SQL,
+    "q04_sort_limit_topk": _Q04_SQL,
+    "q05_groupby_rollup": _Q05_SQL,
+    "q06_asof_join": _Q06_SQL,
+    "q07_adjustment": _Q07_SQL,
+    "q08_setops_dedup": _Q08_SQL,
+    "q09_scalar_funcs": _Q09_SQL,
+    "q10_semi_anti": _Q10_SQL,
+    "q11_exact_distinct": _Q11_SQL,
+    "q14_stream_session": _Q14_SQL,
+}

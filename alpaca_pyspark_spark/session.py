@@ -1,0 +1,77 @@
+"""SparkSession construction and scale-oriented configuration.
+
+Two situations:
+1. Our own tests / bench build the session via :func:`get_spark`.
+2. The driver hands us an existing session (``__spark_entry__``): we
+   only apply the *runtime-settable* confs via :func:`tune`.
+
+Scale stance (100 TB / 1000 executors): everything here is either a
+cluster-size-independent correctness conf (timezone, Arrow) or an
+adaptive-execution conf (AQE handles partition coalescing, skew joins
+and broadcast conversion at runtime, so the same plan code works on
+local[32] and on a real cluster).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Confs that can be set on a live session (no restart needed).
+RUNTIME_CONFS: dict[str, str] = {
+    # Deterministic time semantics; testdata timestamps are NTZ so this
+    # only affects functions that consult the session zone.
+    "spark.sql.session.timeZone": "UTC",
+    # AQE is the scale story: runtime partition coalescing, skew-join
+    # splitting, and sort-merge→broadcast conversion from actual stats.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Read parquet NTZ timestamps as TIMESTAMP_NTZ (matches DuckDB).
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "true",
+    # Arrow for any pandas-UDF paths (similarity/multimodal operators).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def default_shuffle_partitions() -> int:
+    """Shuffle parallelism: match local cores; AQE coalesces down.
+
+    On a real cluster this would be ~2-3× total executor cores (set by
+    the submitter); with AQE enabled the exact number only caps the
+    initial partition count.
+    """
+    return int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an existing session (idempotent)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # conf not settable on this build — non-fatal
+            pass
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(default_shuffle_partitions())
+        )
+    except Exception:
+        pass
+    return spark
+
+
+def get_spark(app_name: str = "alpaca_pyspark_spark") -> SparkSession:
+    """Build (or fetch) a local session with the engine's configuration."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.pyspark.udf.faulthandler.enabled", "true")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return tune(builder.getOrCreate())

@@ -1,0 +1,68 @@
+"""Shared fixtures: one SparkSession per test session, DuckDB oracle
+harness mirroring the driver's compare (row count + schema + order-
+insensitive value comparison)."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from alpaca_pyspark_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("alpaca-pyspark-spark-tests")
+    yield s
+
+
+@pytest.fixture(scope="session")
+def oracle():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def _norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # collapse ulp-level drift that survives explicit round()s
+        return round(v, 9)
+    return v
+
+
+def assert_df_matches_oracle(df, con, sql, *, check_values=True):
+    """Order-insensitive comparison of a Spark DataFrame against a
+    DuckDB result, the way the driver does it (sort columns by name,
+    then compare multisets of rows)."""
+    expected = con.sql(sql)
+    exp_cols = [d[0] for d in expected.description]
+    got_cols = df.columns
+    assert sorted(got_cols) == sorted(exp_cols), (
+        f"column mismatch: spark={sorted(got_cols)} oracle={sorted(exp_cols)}"
+    )
+    cols = sorted(got_cols)
+    got_rows = [tuple(_norm_cell(r[c]) for c in cols) for r in df.collect()]
+    exp_raw = expected.fetchall()
+    idx = [exp_cols.index(c) for c in cols]
+    exp_rows = [tuple(_norm_cell(r[i]) for i in idx) for r in exp_raw]
+    assert len(got_rows) == len(exp_rows), (
+        f"row count mismatch: spark={len(got_rows)} oracle={len(exp_rows)}"
+    )
+    if check_values:
+        assert sorted(got_rows, key=repr) == sorted(exp_rows, key=repr)
