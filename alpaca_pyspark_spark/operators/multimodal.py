@@ -1,0 +1,148 @@
+"""Multimodal column plumbing (image/audio/video as opaque binary).
+
+At 100 TB, media sits in parquet as ``binary`` payload columns plus a
+typed metadata struct; decode/resize/frame-sample run as Arrow-batched
+``mapInPandas`` stages so bytes never round-trip row-at-a-time.  The
+actual codec work needs libs not present in this container, so the
+codec call itself is STUBBED: ``decode_media`` tries the real library
+imports and otherwise produces a deterministic fake decode — the
+Spark-side contract (schemas, batch shapes, partitioning, UDF
+signatures) is real and tested either way.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+#: Output schema of the decode stage (stable driver-visible contract).
+DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("checksum", LongType()),
+        StructField("thumbnail", BinaryType()),
+    ]
+)
+
+MEDIA_TYPES = ("image", "audio", "video")
+
+
+def synthesize_media(docs: DataFrame) -> DataFrame:
+    """Derive an opaque media table from ``documents``: payload =
+    utf-8 bytes of the text (a deterministic fake blob), media_type
+    cycles by doc_id, metadata derived arithmetically.  Stands in for
+    a real scan of a media-bearing parquet table."""
+    return docs.select(
+        "doc_id",
+        F.element_at(
+            F.array(*[F.lit(m) for m in MEDIA_TYPES]),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.col("text").cast("binary").alias("content"),
+        F.struct(
+            (F.col("n_chars") % 64 + 1).alias("width"),
+            (F.col("n_chars") % 48 + 1).alias("height"),
+            F.col("n_chars").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def _try_real_decoder():
+    """Real codec libraries are not in this container; the import-try
+    keeps the hook honest (drop-in once PIL/av exist)."""
+    try:  # pragma: no cover - libs absent by design
+        import PIL.Image  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def decode_media(media: DataFrame, *, batch_hint: int = 1024) -> DataFrame:
+    """Arrow-batched decode stage over (doc_id, media_type, content).
+
+    STUB: with no codec libs in the container, "decoding" is a
+    deterministic fake — byte length, metadata-free width/height
+    derived from the payload, a rolling checksum, and an 8-byte
+    "thumbnail" slice.  The mapInPandas plumbing (schema, batched
+    iterator, vectorized per-batch work) is the real deliverable.
+    """
+    has_real = _try_real_decoder()
+
+    def decode_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            if has_real:  # pragma: no cover - libs absent by design
+                raise NotImplementedError(
+                    "real codec path not wired: container has no PIL/av"
+                )
+            content = pdf["content"]
+            n_bytes = content.map(len)
+            checksum = content.map(
+                lambda b: sum(b[:: max(1, len(b) // 32)]) % (1 << 31)
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": n_bytes.astype("int64"),
+                    "width": (n_bytes % 64 + 1).astype("int64"),
+                    "height": (n_bytes % 48 + 1).astype("int64"),
+                    "checksum": checksum.astype("int64"),
+                    "thumbnail": content.map(lambda b: bytes(b[:8])),
+                }
+            )
+
+    return media.select("doc_id", "media_type", "content").mapInPandas(
+        decode_batches, DECODED_SCHEMA
+    )
+
+
+def frame_sample(media: DataFrame, *, every_n_bytes: int = 64) -> DataFrame:
+    """'Video' frame sampling stand-in: slice the payload every N bytes
+    into frame records via a generator mapInPandas (one input row can
+    emit many frame rows — the real fan-out shape of frame extraction).
+    """
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("frame_no", LongType()),
+            StructField("frame", BinaryType()),
+        ]
+    )
+
+    def sample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, frame_nos, frames = [], [], []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                for j, off in enumerate(range(0, len(content), every_n_bytes)):
+                    ids.append(doc_id)
+                    frame_nos.append(j)
+                    frames.append(bytes(content[off : off + every_n_bytes]))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_no": frame_nos, "frame": frames}
+            )
+
+    return media.filter(F.col("media_type") == "video").select(
+        "doc_id", "content"
+    ).mapInPandas(sample, schema)

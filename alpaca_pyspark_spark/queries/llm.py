@@ -1,10 +1,297 @@
-"""LLM-training-data pipeline queries (dedup, similarity, text
-analysis, multimodal).  Filled in operator-by-operator; see
-``operators/dedup.py``, ``operators/similarity.py``,
-``operators/text.py``, ``operators/multimodal.py``.
+"""LLM-training-data pipeline queries (SURVEY.md §2G q12/q13 + the
+north-star operator set): dedup family, similarity search, text
+analysis, multimodal plumbing.
+
+Oracle-design notes:
+- cosine: DuckDB ``list_cosine_similarity`` on DOUBLE[] is bit-exact
+  vs Spark's ``zip_with``+``aggregate`` fold (verified empirically) —
+  q13 compares raw doubles, no tolerance.
+- ratios/scores: both engines evaluate the same IEEE expression tree
+  over exactly-equal integer inputs → bit-identical doubles.
+- MinHash/SimHash pipelines hash with xxhash64 (no DuckDB
+  equivalent) → rows-only checks; their numeric correctness is
+  unit-tested in tests/test_dedup.py.
 """
 
 from __future__ import annotations
 
-QUERIES: dict = {}
-ORACLE: dict = {}
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    exact_duplicate_groups,
+    minhash_near_duplicates,
+    ngram_jaccard_on_pairs,
+    simhash_near_duplicates,
+)
+from ..operators.multimodal import decode_media, synthesize_media
+from ..operators.similarity import brute_force_topk, lsh_topk
+from ..operators.text import with_fingerprint, with_lang_id, with_text_stats
+from ..functions import char_ngrams
+from ..session import tune
+from ..tables import load
+
+
+# ---------------------------------------------------------------- q12
+def q12_text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs over documents (rows-only:
+    xxhash64 signatures have no DuckDB twin; recall/precision are
+    unit-tested against brute-force Jaccard)."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    return minhash_near_duplicates(
+        docs, id_col="doc_id", text_col="text", shingle_k=3, threshold=0.2
+    )
+
+
+def q12_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs (Hamming ≤ 3) over documents
+    (rows-only)."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    return simhash_near_duplicates(docs, id_col="doc_id", text_col="text", max_hamming=3)
+
+
+def q12_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate groups by normalized md5 fingerprint — the
+    oracle-checkable member of the dedup family."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    return exact_duplicate_groups(docs, id_col="doc_id", text_col="text")
+
+
+_Q12_EXACT_SQL = """
+SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS min_doc_id
+FROM documents
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------- q13
+def q13_embedding_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors for query vectors (vec_id < 8)
+    over the full embedding corpus — brute-force baseline with the
+    query side broadcast."""
+    tune(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(
+        emb, queries, id_col="vec_id", vec_col="embedding", query_id="query_id", k=10
+    )
+
+
+_Q13_SQL = """
+WITH E AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+P AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         list_cosine_similarity(q.v, c.v) AS cos_sim
+  FROM E q JOIN E c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < 8
+),
+R AS (
+  SELECT query_id, vec_id, cos_sim,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY cos_sim DESC, vec_id
+         ) AS BIGINT) AS rank
+  FROM P
+)
+SELECT query_id, vec_id, rank, cos_sim FROM R WHERE rank <= 10
+"""
+
+
+def q13_embedding_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate neighbors via 16-plane sign-LSH with Hamming-1
+    multiprobe (rows-only; recall vs brute force is unit-tested).
+    The scale path: bucket pruning replaces the full corpus scan."""
+    tune(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # 8 planes (256 buckets): on uniform random 64-dim data the
+    # Hamming-1 probe set covers ~3.5% of the corpus — enough recall to
+    # fill k while still pruning ~96% of the scan.
+    return lsh_topk(
+        emb, queries, id_col="vec_id", vec_col="embedding", query_id="query_id",
+        dim=64, k=10, num_planes=8,
+    )
+
+
+# ---------------------------------------------------------------- q15
+def q15_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality scoring over documents."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    return with_text_stats(docs.select("doc_id", "text"), "text").drop("text")
+
+
+_Q15_SQL = """
+WITH T AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '\\S+') AS toks,
+         CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct
+  FROM documents
+), S AS (
+  SELECT doc_id, n_punct,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(toks, x -> x IN
+           ('the','and','of','to','in','is','a','that','it','for'))) AS BIGINT)
+           AS n_stop,
+         CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS tok_chars
+  FROM T
+)
+SELECT doc_id, n_tokens, n_punct,
+       CASE WHEN n_tokens = 0 THEN 0.0
+            ELSE n_stop / CAST(n_tokens AS DOUBLE) END AS stopword_ratio,
+       CASE WHEN n_tokens = 0 THEN 0.0
+            ELSE tok_chars / CAST(n_tokens AS DOUBLE) END AS mean_token_len,
+       least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
+         + least((CASE WHEN n_tokens = 0 THEN 0.0
+                       ELSE n_stop / CAST(n_tokens AS DOUBLE) END) * 5.0, 1.0) * 0.3
+         + (CASE WHEN (CASE WHEN n_tokens = 0 THEN 0.0
+                            ELSE tok_chars / CAST(n_tokens AS DOUBLE) END) >= 3.0
+                  AND (CASE WHEN n_tokens = 0 THEN 0.0
+                            ELSE tok_chars / CAST(n_tokens AS DOUBLE) END) <= 9.0
+                 THEN 0.3 ELSE 0.0 END) AS quality_score
+FROM S
+"""
+
+
+# ---------------------------------------------------------------- q16
+def q16_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language identification."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    return with_lang_id(docs.select("doc_id", "text"), "text").drop("text")
+
+
+_Q16_SQL = """
+WITH T AS (
+  SELECT doc_id, list_distinct(regexp_extract_all(text, '\\S+')) AS toks
+  FROM documents
+), S AS (
+  SELECT doc_id,
+    CAST(len(list_intersect(toks, ['the','and','of','to','in','is','a','that','it','for'])) AS BIGINT) AS score_en,
+    CAST(len(list_intersect(toks, ['el','la','de','que','y','en','un','por','con','una'])) AS BIGINT) AS score_es,
+    CAST(len(list_intersect(toks, ['der','die','und','das','ist','von','mit','den','ein','zu'])) AS BIGINT) AS score_de,
+    CAST(len(list_intersect(toks, ['le','la','et','les','des','un','une','du','est','dans'])) AS BIGINT) AS score_fr
+  FROM T
+)
+SELECT doc_id, score_en, score_es, score_de, score_fr,
+       CASE WHEN greatest(score_en, score_es, score_de, score_fr) <= 0 THEN 'und'
+            WHEN score_en = greatest(score_en, score_es, score_de, score_fr) THEN 'en'
+            WHEN score_es = greatest(score_en, score_es, score_de, score_fr) THEN 'es'
+            WHEN score_de = greatest(score_en, score_es, score_de, score_fr) THEN 'de'
+            ELSE 'fr' END AS lang_pred
+FROM S
+"""
+
+
+# ---------------------------------------------------------------- q17
+def q17_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document canonical fingerprint (doc_id → md5 of normalized
+    text) — the join key for cross-corpus dedup."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    return with_fingerprint(docs.select("doc_id", "text"), "text").drop("text")
+
+
+_Q17_SQL = """
+SELECT doc_id,
+       md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------- q18
+def q18_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: documents → opaque binary media table →
+    Arrow-batched mapInPandas 'decode' (stubbed codec, real batch
+    contract).  Oracle recomputes the deterministic fake decode in
+    SQL."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    media = synthesize_media(docs)
+    return decode_media(media).select(
+        "doc_id", "media_type", "n_bytes", "width", "height", "checksum"
+    )
+
+
+_Q18_SQL = """
+SELECT doc_id,
+       CASE CAST(doc_id % 3 AS INTEGER)
+         WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+       CAST(length(text) AS BIGINT) AS n_bytes,
+       CAST(length(text) % 64 + 1 AS BIGINT) AS width,
+       CAST(length(text) % 48 + 1 AS BIGINT) AS height,
+       CAST(list_sum(list_transform(
+              range(1, length(text) + 1, greatest(1, length(text) // 32)),
+              i -> ascii(substring(text, i, 1))
+            )) % 2147483648 AS BIGINT) AS checksum
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------- q19
+def q19_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact char-3-gram Jaccard over consecutive doc-id pairs — the
+    standalone verification metric of the dedup family."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    pairs = docs.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    return ngram_jaccard_on_pairs(
+        pairs,
+        docs,
+        id_a="id_a",
+        id_b="id_b",
+        id_col="doc_id",
+        ngrams_col=char_ngrams(F.col("text"), 3),
+    )
+
+
+_Q19_SQL = """
+WITH G AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, length(text) - 1),
+           i -> substring(text, i, 3)
+         )) AS ng
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CASE WHEN len(list_distinct(list_concat(a.ng, b.ng))) = 0 THEN 0.0
+            ELSE CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE)
+                 / CAST(len(list_distinct(list_concat(a.ng, b.ng))) AS DOUBLE)
+       END AS jaccard_sim
+FROM G a JOIN G b ON b.doc_id = a.doc_id + 1
+"""
+
+
+QUERIES = {
+    "q12_text_dedup": q12_text_dedup,
+    "q12_simhash_dedup": q12_simhash_dedup,
+    "q12_exact_dedup": q12_exact_dedup,
+    "q13_embedding_sim": q13_embedding_sim,
+    "q13_embedding_sim_ann": q13_embedding_sim_ann,
+    "q15_text_stats": q15_text_stats,
+    "q16_lang_id": q16_lang_id,
+    "q17_fingerprint": q17_fingerprint,
+    "q18_multimodal_meta": q18_multimodal_meta,
+    "q19_ngram_jaccard": q19_ngram_jaccard,
+}
+
+ORACLE = {
+    "q12_exact_dedup": _Q12_EXACT_SQL,
+    "q13_embedding_sim": _Q13_SQL,
+    "q15_text_stats": _Q15_SQL,
+    "q16_lang_id": _Q16_SQL,
+    "q17_fingerprint": _Q17_SQL,
+    "q18_multimodal_meta": _Q18_SQL,
+    "q19_ngram_jaccard": _Q19_SQL,
+}

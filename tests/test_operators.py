@@ -1,0 +1,243 @@
+"""Operator-level correctness tests — especially for the rows-only
+(non-SQL-expressible) paths: the numeric behavior the driver's oracle
+can't check is pinned down here instead."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from alpaca_pyspark_spark.functions import char_ngrams, cosine_similarity, jaccard, tokens
+from alpaca_pyspark_spark.operators.adjustment import adjust_backward_split
+from alpaca_pyspark_spark.operators.asof import asof_join
+from alpaca_pyspark_spark.operators.bars import tumbling_bars
+from alpaca_pyspark_spark.operators.dedup import (
+    drop_exact_duplicates,
+    minhash_near_duplicates,
+    simhash_near_duplicates,
+)
+from alpaca_pyspark_spark.operators.multimodal import (
+    decode_media,
+    frame_sample,
+    synthesize_media,
+)
+from alpaca_pyspark_spark.operators.similarity import brute_force_topk, lsh_topk
+
+from .conftest import SF_DIR
+
+
+# ------------------------------------------------------------- as-of
+def test_asof_join_matches_naive(spark):
+    probe = spark.createDataFrame(
+        [("A", 10, "p1"), ("A", 20, "p2"), ("A", 5, "p0"), ("B", 15, "p3")],
+        "key string, t long, tag string",
+    )
+    state = spark.createDataFrame(
+        [("A", 10, 1.0), ("A", 18, 2.0), ("B", 99, 9.0)],
+        "key string, t long, v double",
+    )
+    out = {
+        r["tag"]: r["v"]
+        for r in asof_join(
+            probe, state, on=["key"], probe_ts="t", state_ts="t", value_cols=["v"]
+        ).collect()
+    }
+    # p0: t=5, no state at or before -> NULL; p1: t=10 exact match -> 1.0
+    # p2: t=20 -> latest state 18 -> 2.0; p3: B t=15, state at 99 is later -> NULL
+    assert out == {"p0": None, "p1": 1.0, "p2": 2.0, "p3": None}
+
+
+def test_asof_join_strict_inequality(spark):
+    probe = spark.createDataFrame([("A", 10, "p1")], "key string, t long, tag string")
+    state = spark.createDataFrame([("A", 10, 1.0)], "key string, t long, v double")
+    out = asof_join(
+        probe, state, on=["key"], probe_ts="t", state_ts="t",
+        value_cols=["v"], allow_exact_matches=False,
+    ).collect()
+    assert out[0]["v"] is None
+
+
+# -------------------------------------------------- split adjustment
+def test_split_adjustment_matches_python(spark):
+    prices = spark.createDataFrame(
+        [("A", 1, 100.0), ("A", 5, 100.0), ("A", 9, 100.0)],
+        "key string, t long, price double",
+    )
+    splits = spark.createDataFrame(
+        [("A", 2, 2.0), ("A", 6, 1.5), ("A", 9, 3.0)],  # t=9 equals price 3 -> excluded
+        "key string, t long, ratio double",
+    )
+    out = {
+        r["t"]: r["adj_value"]
+        for r in adjust_backward_split(
+            prices, splits, on=["key"], price_ts="t", split_ts="t",
+            price_col="price", ratio_col="ratio", scale=6,
+        ).collect()
+    }
+    assert out[1] == pytest.approx(100.0 * 2.0 * 1.5 * 3.0)
+    assert out[5] == pytest.approx(100.0 * 1.5 * 3.0)
+    assert out[9] == pytest.approx(100.0)  # same-instant split excluded
+
+
+# ---------------------------------------------------------- bars op
+def test_tumbling_bars_semantics(spark):
+    ticks = spark.createDataFrame(
+        [
+            ("A", "2024-01-01 00:01:00", 10.0, 5, 1),
+            ("A", "2024-01-01 10:00:00", 30.0, 1, 2),
+            ("A", "2024-01-01 23:00:00", 20.0, 4, 3),
+            ("A", "2024-01-02 01:00:00", 7.0, 2, 4),
+        ],
+        "sym string, ts string, price double, size long, id long",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    bars = {
+        str(r["bar_start"]): r
+        for r in tumbling_bars(
+            ticks, key="sym", ts="ts", price="price", size="size",
+            tiebreak="id", interval="1 day",
+        ).collect()
+    }
+    d1 = bars["2024-01-01 00:00:00"]
+    assert (d1["open"], d1["high"], d1["low"], d1["close"]) == (10.0, 30.0, 10.0, 20.0)
+    assert d1["volume"] == 10 and d1["trade_count"] == 3
+    assert d1["vwap"] == pytest.approx((10 * 5 + 30 * 1 + 20 * 4) / 10)
+    assert bars["2024-01-02 00:00:00"]["open"] == 7.0
+
+
+# ------------------------------------------------------------- dedup
+def _doc_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+NEAR_DUP_DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+    (3, "completely different words about spark catalyst optimizer and shuffles"),
+    (4, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (5, "an unrelated short note"),
+]
+
+
+def test_minhash_finds_near_dups_and_skips_distinct(spark):
+    df = _doc_df(spark, NEAR_DUP_DOCS)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard_sim"]
+        for r in minhash_near_duplicates(
+            df, id_col="doc_id", text_col="text", shingle_k=3, threshold=0.5
+        ).collect()
+    }
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0  # exact dup pair
+    assert (1, 2) in pairs and 0.5 <= pairs[(1, 2)] < 1.0  # near dup
+    assert all(3 not in p and 5 not in p for p in pairs)  # distinct docs
+
+
+def test_minhash_jaccard_matches_exact_jaccard(spark):
+    df = _doc_df(spark, NEAR_DUP_DOCS)
+    got = minhash_near_duplicates(
+        df, id_col="doc_id", text_col="text", shingle_k=3, threshold=0.1
+    )
+    sh = df.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(tokens(F.col("text"))) - 2),
+                lambda i: F.concat_ws(" ", F.slice(tokens(F.col("text")), i, 3)),
+            )
+        ).alias("sh"),
+    )
+    for r in got.collect():
+        a = sh.filter(F.col("doc_id") == r["id_a"]).collect()[0]["sh"]
+        b = sh.filter(F.col("doc_id") == r["id_b"]).collect()[0]["sh"]
+        exact = len(set(a) & set(b)) / len(set(a) | set(b))
+        assert r["jaccard_sim"] == pytest.approx(exact)
+
+
+def test_simhash_near_dups(spark):
+    df = _doc_df(spark, NEAR_DUP_DOCS)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_duplicates(
+            df, id_col="doc_id", text_col="text", max_hamming=3
+        ).collect()
+    }
+    assert pairs.get((1, 4)) == 0  # identical docs -> identical simhash
+    assert (1, 3) not in pairs and (3, 5) not in pairs
+
+
+def test_drop_exact_duplicates(spark):
+    df = _doc_df(spark, NEAR_DUP_DOCS)
+    kept = sorted(
+        r["doc_id"] for r in drop_exact_duplicates(df, id_col="doc_id").collect()
+    )
+    assert kept == [1, 2, 3, 5]  # 4 is an exact dup of 1; min id wins
+
+
+# -------------------------------------------------------- similarity
+def test_cosine_similarity_column(spark):
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 3.0], [3.0, 2.0, 1.0])], "a array<double>, b array<double>"
+    )
+    got = df.select(cosine_similarity(F.col("a"), F.col("b")).alias("c")).collect()[0]["c"]
+    expect = 10.0 / (math.sqrt(14.0) * math.sqrt(14.0))
+    assert got == pytest.approx(expect, rel=1e-12)
+
+
+def test_lsh_topk_recall_vs_brute_force(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, k=5)
+    approx = lsh_topk(emb, queries, dim=64, k=5, num_planes=8, max_probe_hamming=2)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    # uniform random vectors are the worst case for sign-LSH (top
+    # neighbors are ~60° away); radius-2 multiprobe at 8 planes still
+    # must recover a solid fraction while scanning ~14% of the corpus
+    recall = len(e & a) / len(e)
+    assert recall >= 0.3, f"LSH recall collapsed: {recall}"
+    # approx scores must equal exact cosine for overlapping pairs
+    ex = {(r["query_id"], r["vec_id"]): r["cos_sim"] for r in exact.collect()}
+    ap = {(r["query_id"], r["vec_id"]): r["cos_sim"] for r in approx.collect()}
+    for kk in e & a:
+        assert ex[kk] == ap[kk]
+
+
+# -------------------------------------------------------- multimodal
+def test_decode_media_contract(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+    media = synthesize_media(docs)
+    out = decode_media(media)
+    rows = out.collect()
+    assert len(rows) == 50
+    for r in rows[:5]:
+        assert r["n_bytes"] > 0
+        assert 1 <= r["width"] <= 64 and 1 <= r["height"] <= 48
+        assert isinstance(r["thumbnail"], (bytes, bytearray))
+        assert len(r["thumbnail"]) <= 8
+
+
+def test_frame_sample_fanout(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(100)
+    media = synthesize_media(docs)
+    frames = frame_sample(media, every_n_bytes=64)
+    per_doc = {
+        r["doc_id"]: r["n"]
+        for r in frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    src = {r["doc_id"]: r["n_chars"] for r in docs.filter(F.col("doc_id") % 3 == 2).collect()}
+    assert per_doc, "no video rows sampled"
+    for doc_id, n in per_doc.items():
+        assert n == -(-src[doc_id] // 64)  # ceil(n_bytes / 64)
+
+
+# ------------------------------------------------------------- misc
+def test_char_ngrams_and_jaccard(spark):
+    df = spark.createDataFrame([("abcd", "bcde")], "x string, y string")
+    r = df.select(
+        char_ngrams(F.col("x"), 3).alias("gx"),
+        char_ngrams(F.col("y"), 3).alias("gy"),
+    ).select(jaccard(F.col("gx"), F.col("gy")).alias("j")).collect()[0]
+    assert r["j"] == pytest.approx(1 / 3)  # {abc,bcd} vs {bcd,cde}

@@ -1,0 +1,74 @@
+"""Plan-shape assertions: the properties that make these plans survive
+a 100× scale-up.  Results being right is necessary; these tests check
+the execution is the one we designed (pushdown, pruning, broadcast,
+bounded shuffles)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from alpaca_pyspark_spark.plans import (
+    count_broadcasts,
+    count_shuffles,
+    formatted_plan,
+    has_whole_stage_codegen,
+    pushed_filters,
+    read_schemas,
+)
+from alpaca_pyspark_spark.queries import QUERIES
+
+from .conftest import SF_DIR
+
+
+def test_q01_filter_pushdown_and_pruning(spark):
+    df = QUERIES["q01_scan_filter_project"](spark, SF_DIR)
+    pushed = " ".join(pushed_filters(df))
+    assert "event_type" in pushed, f"event_type filter not pushed: {pushed}"
+    # props is never used -> must not be read from parquet
+    schemas = " ".join(read_schemas(df))
+    assert "props" not in schemas, f"column pruning failed: {schemas}"
+
+
+def test_q02_single_shuffle_bar_agg(spark):
+    df = QUERIES["q02_bars_tumbling"](spark, SF_DIR)
+    # one hash agg -> exactly one exchange on the group keys
+    assert count_shuffles(df) == 1, formatted_plan(df)
+    assert has_whole_stage_codegen(df)
+
+
+def test_q05_dimension_joins_broadcast(spark):
+    df = QUERIES["q05_groupby_rollup"](spark, SF_DIR)
+    assert count_broadcasts(df) >= 2, "nation/region should broadcast"
+
+
+def test_q06_asof_single_shuffle(spark):
+    df = QUERIES["q06_asof_join"](spark, SF_DIR)
+    # union + window + filter -> one exchange on user_id, no join shuffle
+    assert count_shuffles(df) == 1, formatted_plan(df)
+
+
+def test_q07_adjustment_single_shuffle(spark):
+    df = QUERIES["q07_adjustment"](spark, SF_DIR)
+    assert count_shuffles(df) == 1, formatted_plan(df)
+
+
+def test_q14_sessionize_single_shuffle(spark):
+    df = QUERIES["q14_stream_session"](spark, SF_DIR)
+    # two windows + final agg all share the user_id partitioning
+    assert count_shuffles(df) == 1, formatted_plan(df)
+
+
+def test_q13_corpus_not_shuffled(spark):
+    df = QUERIES["q13_embedding_sim"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    # query side broadcast; only the final per-query top-k shuffles
+    assert count_broadcasts(df) >= 1, plan
+    assert count_shuffles(df) <= 1, plan
+
+
+def test_scan_filter_stays_codegen(spark):
+    e = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    df = e.filter(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    assert has_whole_stage_codegen(df)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_quantity" in pushed
