@@ -1,0 +1,103 @@
+"""Streaming trades source: a time-cursor poller on the REST endpoint.
+
+The Spark 4 Python DataSource API's ``simpleStreamReader`` hook turns
+the same paginated fetch + Arrow wire layer used by the batch sources
+into a micro-batch stream: each batch covers the half-open event-time
+slice ``[cursor, min(cursor + poll_interval, end))``; offsets are the
+cursor timestamps, so ``readBetweenOffsets`` replays any slice exactly
+(deterministic re-fetch → at-least-once from the API, exactly-once
+into the sink with checkpointing).
+
+Options: the stock-trades options plus ``poll_interval`` seconds of
+event time per micro-batch (default 60).  A bounded stream (``end`` in
+the past) simply stops producing rows once the cursor reaches it.
+"""
+
+from __future__ import annotations
+
+from datetime import timedelta
+from typing import Any
+
+from pyspark.sql.datasource import (
+    DataSource,
+    SimpleDataSourceStreamReader,
+)
+
+from ..sources.alpaca import TRADES_TABLE, stock_trades_specs
+from ..sources.http import make_fetcher, paginate
+from ..sources.partitioning import DEFAULT_LIMIT
+from ..sources.spec import (
+    EndpointConfig,
+    ParamSpec,
+    parse_iso_datetime,
+    validate_options,
+)
+
+
+class TradesStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, config: EndpointConfig, params: dict[str, str]):
+        self.config = config
+        self.params = params
+        self.start_ts = parse_iso_datetime(params["start"], "start")
+        self.end_ts = parse_iso_datetime(params["end"], "end")
+        self.poll = timedelta(seconds=float(params.get("poll_interval", 60)))
+
+    # -- offsets are ISO event-time cursors ---------------------------
+    def initialOffset(self) -> dict:
+        return {"cursor": self.start_ts.isoformat()}
+
+    def _fetch_rows(self, lo, hi) -> list[tuple]:
+        fetcher = make_fetcher(
+            self.config.endpoint, "stocks/trades", self.config.headers
+        )
+        rows: list[tuple] = []
+        params = {
+            k: v
+            for k, v in self.params.items()
+            if k not in ("start", "end", "poll_interval")
+        }
+        params.update(
+            start=lo.isoformat(),
+            end=hi.isoformat(),
+            limit=self.params.get("limit", str(DEFAULT_LIMIT)),
+        )
+        for page in paginate(
+            fetcher, params, rate_limit_delay=self.config.rate_limit_delay
+        ):
+            rows.extend(TRADES_TABLE.iter_rows(page))
+        return rows
+
+    def read(self, start: dict):
+        lo = parse_iso_datetime(start["cursor"], "cursor")
+        if lo >= self.end_ts:
+            return iter([]), start  # bounded stream exhausted
+        hi = min(lo + self.poll, self.end_ts)
+        return iter(self._fetch_rows(lo, hi)), {"cursor": hi.isoformat()}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> list[tuple]:
+        lo = parse_iso_datetime(start["cursor"], "cursor")
+        hi = parse_iso_datetime(end["cursor"], "cursor")
+        if lo >= hi:
+            return iter([])
+        return iter(self._fetch_rows(lo, hi))
+
+
+class StockTradesStreamDataSource(DataSource):
+    """``spark.readStream.format("Alpaca_Stocks_Trades_Stream")``."""
+
+    def __init__(self, options: dict[str, Any]):
+        super().__init__(options)
+        specs = stock_trades_specs() + [
+            ParamSpec("poll_interval", pattern=r"^\d+(\.\d+)?$")
+        ]
+        self._config, self._params = validate_options(dict(options), specs)
+
+    @classmethod
+    def name(cls) -> str:
+        return "Alpaca_Stocks_Trades_Stream"
+
+    def schema(self) -> str:
+        return TRADES_TABLE.ddl
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return TradesStreamReader(self._config, self._params)

@@ -1,0 +1,88 @@
+"""Streaming layer tests: watermarked session windows vs the batch
+gaps-and-islands twin, and the stream-shaped trades source polling the
+mock REST endpoint end-to-end through readStream."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from alpaca_pyspark_spark.operators.sessionize import session_summary
+from alpaca_pyspark_spark.streaming.sessions import streaming_session_summary
+from alpaca_pyspark_spark.tables import load
+
+from .conftest import SF_DIR
+from .test_sources import CREDS, mock_api  # noqa: F401  (fixture)
+
+
+def test_streaming_sessions_match_batch(spark, tmp_path):
+    """File-stream the events table; session_window results must agree
+    with the batch gaps-and-islands operator (session end differs by
+    +gap by definition)."""
+    events = load(spark, SF_DIR, "events").select("user_id", "ts")
+    src = str(tmp_path / "stream_src")
+    events.write.parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    sessions = streaming_session_summary(
+        stream, key="user_id", ts="ts", gap="30 minutes", watermark_delay="1 hour"
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("stream_sessions")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM stream_sessions").collect()
+    }
+
+    batch = session_summary(events, key="user_id", ts="ts", gap="30 minutes")
+    want = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_trades_stream_source(spark, mock_api):  # noqa: F811
+    """readStream over the REST poller: two micro-batch slices of 12h
+    each cover the bounded range; the memory sink must end up with the
+    mock trades exactly once per slice fetch."""
+    from alpaca_pyspark_spark.streaming.source import StockTradesStreamDataSource
+
+    spark.dataSource.register(StockTradesStreamDataSource)
+    df = (
+        spark.readStream.format("Alpaca_Stocks_Trades_Stream")
+        .options(
+            **CREDS,
+            endpoint=mock_api,
+            symbols="AAPL",
+            start="2021-01-01T00:00:00+00:00",
+            end="2021-01-02T00:00:00+00:00",
+            poll_interval=str(12 * 3600),
+        )
+        .load()
+    )
+    assert df.isStreaming
+    q = (
+        df.writeStream.format("memory")
+        .queryName("stream_trades")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM stream_trades ORDER BY id").collect()
+    # mock serves the same 2-trade page for any slice: 2 slices x 2 rows
+    assert len(rows) == 4
+    assert {r["symbol"] for r in rows} == {"AAPL"}
+    assert rows[0]["price"] == 131.0
+    assert {r["conditions"] for r in rows} == {"", "@,I"}
