@@ -12,13 +12,13 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import core, llm
+from . import core, extended, llm
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
 
-for mod in (core, llm):
+for mod in (core, extended, llm):
     QUERIES.update(mod.QUERIES)
     ORACLE.update(mod.ORACLE)

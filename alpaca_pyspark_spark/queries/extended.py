@@ -1,0 +1,249 @@
+"""Extended relational coverage: window functions, grouping sets,
+cube, star joins, percentiles, native session windows — the rest of
+the delegated surface of SURVEY.md §2F, each oracle-paired.
+
+Exactness strategy as in core.py: money math in exact integer cents
+(per-row products are deterministic; only cross-row accumulation order
+varies between engines, so accumulate integers).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..session import tune
+from ..tables import load
+
+
+def _cents(col) -> F.Column:
+    return F.round(col * 100).cast("bigint")
+
+
+# ---------------------------------------------------------------- q20
+def q20_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/row_number/running-sum over per-order line sequences
+    (the window-function surface the reference's bar semantics imply,
+    SURVEY.md §2F)."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic data;
+    # the order-by must be a total order for deterministic lag/lead —
+    # (linenumber, partkey, suppkey, extendedprice) is unique per order
+    order_cols = ["l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice"]
+    w = Window.partitionBy("l_orderkey").orderBy(*order_cols)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        "l_quantity",
+        F.lag("l_quantity").over(w).alias("prev_qty"),
+        F.lead("l_quantity").over(w).alias("next_qty"),
+        F.row_number().over(w).cast("bigint").alias("line_seq"),
+        (F.sum(_cents(F.col("l_extendedprice"))).over(run) / 100.0).alias("running_price"),
+    )
+
+
+_Q20_SQL = """
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
+       lag(l_quantity)  OVER w AS prev_qty,
+       lead(l_quantity) OVER w AS next_qty,
+       CAST(row_number() OVER w AS BIGINT) AS line_seq,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) OVER (
+         w ROWS UNBOUNDED PRECEDING
+       ) AS DOUBLE) / 100.0 AS running_price
+FROM lineitem
+WINDOW w AS (PARTITION BY l_orderkey
+             ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice)
+"""
+
+
+# ---------------------------------------------------------------- q21
+def q21_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS aggregation (flag×status, flag, total) — via the
+    SQL surface, which is first-class in this engine."""
+    tune(spark)
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0 AS sum_price,
+               count(*) AS n_rows
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+_Q21_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+         / 100.0 AS sum_price,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+# ---------------------------------------------------------------- q22
+def q22_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 4 grouping combinations
+    in one pass (Catalyst expands + single shuffle)."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        (F.sum(_cents(F.col("l_quantity"))) / 100.0).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+_Q22_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS sum_qty,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+# ---------------------------------------------------------------- q23
+def q23_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact lineitem × dims part/supplier/orders with
+    selective dim filters.  Dims are broadcast — the fact table never
+    shuffles for the joins (the shape that survives 100 TB: filters
+    reach the dim scans, fact side streams through codegen'd hash
+    probes, only the final agg shuffles)."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_size") < 15)
+    supp = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 0)
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "F")
+    revenue_cents = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("p_brand", "o_orderpriority")
+        .agg(
+            (F.sum(revenue_cents) / 100.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_Q23_SQL = """
+SELECT p_brand, o_orderpriority,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+            AS DOUBLE) / 100.0 AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_size < 15 AND s_acctbal > 0 AND o_orderstatus <> 'F'
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------- q24
+def q24_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (the exact twin of the
+    approx-sketch path below)."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("p95"),
+    )
+
+
+_Q24_SQL = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5)  AS p50,
+       quantile_cont(l_extendedprice, 0.95) AS p95
+FROM lineitem
+GROUP BY 1
+"""
+
+
+def q24_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL-style sketched percentiles (``percentile_approx``) — the
+    single-pass bounded-memory path you run at 100 TB; rows-only
+    check (sketch results are engine-specific)."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
+        F.percentile_approx("l_extendedprice", F.lit(0.95), F.lit(10000)).alias("p95_approx"),
+    )
+
+
+# ---------------------------------------------------------------- q25
+def q25_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window in batch mode (the streaming operator's
+    batch twin; oracle reproduces its end = last_event + gap
+    definition via gaps-and-islands)."""
+    tune(spark)
+    e = load(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("sw.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+_Q25_SQL = """
+WITH x AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+), y AS (
+  SELECT user_id, ts,
+         CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM x
+), z AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (
+           PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+         ) AS session_id
+  FROM y
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM z
+GROUP BY user_id, session_id
+"""
+
+
+QUERIES = {
+    "q20_window_funcs": q20_window_funcs,
+    "q21_grouping_sets": q21_grouping_sets,
+    "q22_cube": q22_cube,
+    "q23_star_join": q23_star_join,
+    "q24_percentiles": q24_percentiles,
+    "q24_percentiles_approx": q24_percentiles_approx,
+    "q25_session_window": q25_session_window,
+}
+
+ORACLE = {
+    "q20_window_funcs": _Q20_SQL,
+    "q21_grouping_sets": _Q21_SQL,
+    "q22_cube": _Q22_SQL,
+    "q23_star_join": _Q23_SQL,
+    "q24_percentiles": _Q24_SQL,
+    "q25_session_window": _Q25_SQL,
+}
