@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
+    embedding_near_duplicates,
     exact_duplicate_groups,
     minhash_near_duplicates,
     ngram_jaccard_on_pairs,
@@ -66,6 +67,28 @@ SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
        min(doc_id) AS min_doc_id
 FROM documents
 GROUP BY 1
+"""
+
+
+def q12_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact all-pairs — the
+    oracle baseline; the LSH-bucketed scale path of the same operator
+    is unit-tested for subset-consistency).  Threshold 0.35 ≈ the top
+    0.1% of pairs on this uniform synthetic corpus (real dedup runs at
+    ~0.95 on near-identical embeddings)."""
+    tune(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.35, num_planes=None
+    )
+
+
+_Q12_EMB_SQL = """
+WITH E AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       list_cosine_similarity(a.v, b.v) AS cos_sim
+FROM E a JOIN E b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.35
 """
 
 
@@ -277,6 +300,7 @@ QUERIES = {
     "q12_text_dedup": q12_text_dedup,
     "q12_simhash_dedup": q12_simhash_dedup,
     "q12_exact_dedup": q12_exact_dedup,
+    "q12_embedding_dedup": q12_embedding_dedup,
     "q13_embedding_sim": q13_embedding_sim,
     "q13_embedding_sim_ann": q13_embedding_sim_ann,
     "q15_text_stats": q15_text_stats,
@@ -288,6 +312,7 @@ QUERIES = {
 
 ORACLE = {
     "q12_exact_dedup": _Q12_EXACT_SQL,
+    "q12_embedding_dedup": _Q12_EMB_SQL,
     "q13_embedding_sim": _Q13_SQL,
     "q15_text_stats": _Q15_SQL,
     "q16_lang_id": _Q16_SQL,

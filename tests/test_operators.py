@@ -205,6 +205,28 @@ def test_lsh_topk_recall_vs_brute_force(spark):
         assert ex[kk] == ap[kk]
 
 
+def test_embedding_dedup_lsh_subset_of_exact(spark):
+    from alpaca_pyspark_spark.operators.dedup import embedding_near_duplicates
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in embedding_near_duplicates(
+            emb, threshold=0.35, num_planes=None
+        ).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in embedding_near_duplicates(
+            emb, threshold=0.35, num_planes=4, dim=64
+        ).collect()
+    }
+    assert set(lsh) <= set(exact)  # bucketing only prunes, never invents
+    for k, v in lsh.items():
+        assert v == exact[k]  # same exact cosine on surviving pairs
+    assert exact, "exact pass found no pairs - threshold miscalibrated"
+
+
 # -------------------------------------------------------- multimodal
 def test_decode_media_contract(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
