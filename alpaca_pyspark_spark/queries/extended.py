@@ -229,6 +229,72 @@ GROUP BY user_id, session_id
 """
 
 
+# ---------------------------------------------------------------- q26
+def q26_sql_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry point 2 of the reference (SQL over temp views,
+    USAGE.md:259-277) run literally through ``spark.sql``: daily bars
+    joined to the tick stream by key equality + time containment, with
+    COUNT/AVG — the canonical delegated query, via the SQL surface."""
+    tune(spark)
+    load(spark, sf_dir, "events").createOrReplaceTempView("events_sql")
+    return spark.sql(
+        """
+        WITH bars AS (
+          SELECT user_id, date_trunc('day', ts) AS bar_day, count(*) AS n
+          FROM events_sql GROUP BY 1, 2
+        )
+        SELECT b.user_id, b.bar_day,
+               count(e.event_id) AS n_events,
+               CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS DOUBLE)
+                 / (100.0 * count(e.event_id)) AS avg_value
+        FROM bars b
+        JOIN events_sql e
+          ON e.user_id = b.user_id
+         AND e.ts >= b.bar_day
+         AND e.ts < b.bar_day + INTERVAL 1 DAY
+        GROUP BY 1, 2
+        """
+    )
+
+
+_Q26_SQL = """
+WITH bars AS (
+  -- DuckDB date_trunc('day') yields DATE; cast to TIMESTAMP to match
+  -- Spark's TIMESTAMP-typed date_trunc
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bar_day,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT b.user_id, b.bar_day,
+       CAST(count(e.event_id) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS DOUBLE)
+         / (100.0 * count(e.event_id)) AS avg_value
+FROM bars b
+JOIN events e
+  ON e.user_id = b.user_id
+ AND e.ts >= b.bar_day
+ AND e.ts < b.bar_day + INTERVAL 1 DAY
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------- q27
+def q27_pandas_udf_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS trend of event values over time via Arrow-batched
+    ``applyInPandas`` — the sanctioned Python escape hatch (rows-only:
+    numpy OLS has no SQL twin; numeric behavior unit-tested against
+    numpy directly)."""
+    from ..functions.pandas_ext import per_key_linear_trend
+
+    tune(spark)
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("timestamp").cast("double").alias("t"),
+        "value",
+    )
+    return per_key_linear_trend(e, key="user_id", x="t", y="value")
+
+
 QUERIES = {
     "q20_window_funcs": q20_window_funcs,
     "q21_grouping_sets": q21_grouping_sets,
@@ -237,6 +303,8 @@ QUERIES = {
     "q24_percentiles": q24_percentiles,
     "q24_percentiles_approx": q24_percentiles_approx,
     "q25_session_window": q25_session_window,
+    "q26_sql_interval_join": q26_sql_interval_join,
+    "q27_pandas_udf_trend": q27_pandas_udf_trend,
 }
 
 ORACLE = {
@@ -246,4 +314,5 @@ ORACLE = {
     "q23_star_join": _Q23_SQL,
     "q24_percentiles": _Q24_SQL,
     "q25_session_window": _Q25_SQL,
+    "q26_sql_interval_join": _Q26_SQL,
 }

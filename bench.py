@@ -28,6 +28,14 @@ def main() -> None:
     spark = get_spark("alpaca-pyspark-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Warm up the JVM/scan paths once (session init, parquet footer
+    # reads, codegen of trivial plans) so per-query timings measure the
+    # queries, not first-touch costs.
+    from alpaca_pyspark_spark.tables import TABLE_NAMES, load
+
+    for name in TABLE_NAMES:
+        load(spark, sf_dir, name).limit(1).count()
+
     timings: dict[str, float] = {}
     total = 0.0
     for qid, fn in sorted(QUERIES.items()):
