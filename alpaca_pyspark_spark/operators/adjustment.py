@@ -108,6 +108,48 @@ def adjust_backward_split(
     return out.withColumn(out_col, adj).drop("__logsum")
 
 
+def adjust_backward_all(
+    prices: DataFrame,
+    splits: DataFrame,
+    dividends: DataFrame,
+    *,
+    on: Sequence[str],
+    price_ts: str,
+    action_ts: str,
+    price_col: str,
+    ratio_col: str,
+    amount_col: str,
+    out_col: str = "adj_value",
+    scale: int | None = 4,
+) -> DataFrame:
+    """``adjustment=all``: subtract strictly-later dividends, then
+    scale by the product of strictly-later split ratios (composition of
+    the two single-action operators — two window passes sharing the
+    same key partitioning)."""
+    div_adj = adjust_backward_dividend(
+        prices,
+        dividends,
+        on=on,
+        price_ts=price_ts,
+        div_ts=action_ts,
+        price_col=price_col,
+        amount_col=amount_col,
+        out_col="__div_adj",
+    )
+    out = adjust_backward_split(
+        div_adj,
+        splits,
+        on=on,
+        price_ts=price_ts,
+        split_ts=action_ts,
+        price_col="__div_adj",
+        ratio_col=ratio_col,
+        out_col=out_col,
+        scale=scale,
+    )
+    return out.drop("__div_adj")
+
+
 def adjust_backward_dividend(
     prices: DataFrame,
     dividends: DataFrame,

@@ -19,7 +19,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.adjustment import adjust_backward_dividend, adjust_backward_split
+from ..operators.adjustment import (
+    adjust_backward_all,
+    adjust_backward_dividend,
+    adjust_backward_split,
+)
 from ..operators.asof import asof_join
 from ..operators.sessionize import session_summary
 from ..operators.topk import top_k_per_group
@@ -306,6 +310,36 @@ def q07_adjustment_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q07_adjustment_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Combined ``adjustment=all``: dividends subtracted, then split
+    ratios applied — both strictly-later, composed over one key
+    partitioning (rows-only: the split product is floating-point)."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    prices = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts", "value"
+    )
+    splits = e.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        "ts",
+        (1.0 + (F.floor("value").cast("bigint") % 5) / 100.0).alias("ratio"),
+    )
+    dividends = e.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", (F.col("value") / 100.0).alias("amount")
+    )
+    return adjust_backward_all(
+        prices,
+        splits,
+        dividends,
+        on=["user_id"],
+        price_ts="ts",
+        action_ts="ts",
+        price_col="value",
+        ratio_col="ratio",
+        amount_col="amount",
+    )
+
+
 # ---------------------------------------------------------------- q08
 def q08_setops_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Idempotent re-ingest analog (reference C5 skip semantics):
@@ -477,6 +511,7 @@ QUERIES = {
     "q06_asof_join": q06_asof_join,
     "q07_adjustment": q07_adjustment,
     "q07_adjustment_split": q07_adjustment_split,
+    "q07_adjustment_all": q07_adjustment_all,
     "q08_setops_dedup": q08_setops_dedup,
     "q09_scalar_funcs": q09_scalar_funcs,
     "q10_semi_anti": q10_semi_anti,

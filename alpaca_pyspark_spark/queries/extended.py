@@ -295,6 +295,44 @@ def q27_pandas_udf_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_key_linear_trend(e, key="user_id", x="t", y="value")
 
 
+# ---------------------------------------------------------------- q28
+def q28_setops_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining set operators: INTERSECT (distinct) of two
+    overlapping projections + EXCEPT distinct (complements q08's
+    UNION/EXCEPT ALL coverage)."""
+    tune(spark)
+    a = load(spark, sf_dir, "events").filter(F.col("value") > 50).select("user_id", "event_type")
+    b = load(spark, sf_dir, "events").filter(F.col("value") <= 150).select("user_id", "event_type")
+    return a.intersect(b)
+
+
+_Q28_SQL = """
+SELECT user_id, event_type FROM events WHERE value > 50
+INTERSECT
+SELECT user_id, event_type FROM events WHERE value <= 150
+"""
+
+
+# ---------------------------------------------------------------- q29
+def q29_json_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props: from_json into MapType + explode — the
+    MapType/ArrayType surface (the reference has no nested types,
+    SURVEY.md §1.2; the driver's events.props provides them)."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    parsed = e.select(
+        "event_id", F.explode(F.from_json("props", "map<string,bigint>")).alias("key", "val")
+    )
+    return parsed
+
+
+_Q29_SQL = """
+SELECT event_id, 'k' AS key,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS val
+FROM events
+"""
+
+
 QUERIES = {
     "q20_window_funcs": q20_window_funcs,
     "q21_grouping_sets": q21_grouping_sets,
@@ -305,6 +343,8 @@ QUERIES = {
     "q25_session_window": q25_session_window,
     "q26_sql_interval_join": q26_sql_interval_join,
     "q27_pandas_udf_trend": q27_pandas_udf_trend,
+    "q28_setops_intersect": q28_setops_intersect,
+    "q29_json_map": q29_json_map,
 }
 
 ORACLE = {
@@ -315,4 +355,6 @@ ORACLE = {
     "q24_percentiles": _Q24_SQL,
     "q25_session_window": _Q25_SQL,
     "q26_sql_interval_join": _Q26_SQL,
+    "q28_setops_intersect": _Q28_SQL,
+    "q29_json_map": _Q29_SQL,
 }

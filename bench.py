@@ -39,6 +39,10 @@ def main() -> None:
     timings: dict[str, float] = {}
     total = 0.0
     for qid, fn in sorted(QUERIES.items()):
+        # isolate queries: operators persist intermediates scoped to
+        # their own pipeline; don't let one query's cache residue (or
+        # its eviction) bill the next
+        spark.catalog.clearCache()
         # one warm-up-free timed run per query; force full execution
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)

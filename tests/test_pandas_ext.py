@@ -26,6 +26,27 @@ def test_log_return_matches_jvm_log(spark):
         assert r["py"] == pytest.approx(r["jvm"], rel=1e-15)
 
 
+def test_udtf_shingles_match_jvm_twin(spark):
+    from alpaca_pyspark_spark.functions import tokens, word_shingles
+    from alpaca_pyspark_spark.functions.udtf_ext import ShingleExpand
+
+    spark.udtf.register("shingle_expand", ShingleExpand)
+    docs = load(spark, SF_DIR, "documents").limit(20)
+    docs.createOrReplaceTempView("docs_udtf")
+    got = {
+        (r["doc_id"], r["pos"]): r["shingle"]
+        for r in spark.sql(
+            "SELECT d.doc_id, s.shingle, s.pos "
+            "FROM docs_udtf d, LATERAL shingle_expand(d.text, 3) s"
+        ).collect()
+    }
+    jvm = docs.select(
+        "doc_id", F.posexplode(word_shingles(tokens(F.col("text")), 3))
+    ).collect()
+    want = {(r["doc_id"], r["pos"]): r["col"] for r in jvm}
+    assert got == want and got
+
+
 def test_per_key_linear_trend_matches_numpy(spark):
     e = load(spark, SF_DIR, "events").select(
         "user_id",
