@@ -1,0 +1,150 @@
+"""Property-based tests (hypothesis).
+
+Two tiers:
+- Spark-free core (url/options/timeframe/partitioning): cheap, many
+  examples.
+- Operator semantics vs naive Python reference implementations on
+  random inputs: few examples (Spark round-trip cost), but they probe
+  the tie/empty/edge cases hand-written fixtures miss.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta, timezone
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from alpaca_pyspark_spark.sources.http import build_url
+from alpaca_pyspark_spark.sources.partitioning import (
+    adaptive_slice_count,
+    plan_partitions,
+)
+
+# --------------------------------------------------- spark-free core
+
+simple_text = st.text(
+    alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd")), min_size=1, max_size=12
+)
+
+
+@given(st.dictionaries(simple_text, st.one_of(st.none(), st.integers(), simple_text), max_size=6))
+def test_build_url_never_emits_none_params(params):
+    url = build_url("https://x.test/v2", "p", params)
+    assert "None" not in url.split("?")[-1] or any(
+        v is not None and "None" in str(v) for v in params.values()
+    )
+    assert url.startswith("https://x.test/v2/p")
+
+
+@given(
+    st.integers(min_value=1, max_value=10_000_000),  # range minutes
+    st.integers(min_value=1, max_value=10_000),      # timeframe minutes
+    st.integers(min_value=100, max_value=50_000),    # limit
+)
+def test_adaptive_slice_count_invariants(range_min, tf_min, limit):
+    n = adaptive_slice_count(
+        timedelta(minutes=range_min), timedelta(minutes=tf_min), limit=limit
+    )
+    assert n >= 1
+    # each slice's expected rows stay within one page-group
+    expected_rows_per_slice = (range_min / tf_min) / n
+    assert expected_rows_per_slice <= limit * 5 + 1e-9
+
+
+@given(
+    st.lists(simple_text, min_size=1, max_size=5, unique=True),
+    st.integers(min_value=0, max_value=10_000),  # range minutes
+)
+def test_plan_partitions_cover_range_exactly(symbols, range_min):
+    start = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    end = start + timedelta(minutes=range_min)
+    parts = plan_partitions(symbols, start, end)
+    per_symbol = {}
+    for p in parts:
+        per_symbol.setdefault(p.symbol, []).append(p)
+    assert set(per_symbol) == set(symbols)
+    for plist in per_symbol.values():
+        plist.sort(key=lambda p: p.start)
+        assert plist[0].start == start and plist[-1].end == end
+        for a, b in zip(plist, plist[1:]):
+            assert a.end == b.start  # contiguous, no gaps/overlap
+
+
+# ------------------------------------------- operators vs naive python
+
+asof_events = st.lists(
+    st.tuples(
+        st.sampled_from(["A", "B"]),
+        st.integers(min_value=0, max_value=50),
+        st.floats(min_value=-100, max_value=100, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@pytest.mark.slow
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(asof_events, asof_events)
+def test_asof_join_matches_naive_python(spark, probe_rows, state_rows):
+    from alpaca_pyspark_spark.operators.asof import asof_join
+
+    # unique (key, t) per side: duplicate probe instants are fine, but
+    # duplicated state instants make "the" latest state ambiguous
+    state_rows = list({(k, t): (k, t, v) for k, t, v in state_rows}.values())
+    probe_rows = [(k, t, i) for i, (k, t, _) in enumerate(probe_rows)]
+
+    probe = spark.createDataFrame(probe_rows, "key string, t long, pid long")
+    state = spark.createDataFrame(state_rows, "key string, t long, v double")
+    got = {
+        r["pid"]: r["v"]
+        for r in asof_join(
+            probe, state, on=["key"], probe_ts="t", state_ts="t", value_cols=["v"]
+        ).collect()
+    }
+
+    for k, t, pid in probe_rows:
+        candidates = [(st_, v) for kk, st_, v in state_rows if kk == k and st_ <= t]
+        want = max(candidates, key=lambda x: x[0])[1] if candidates else None
+        assert got[pid] == want, (k, t, pid)
+
+
+@pytest.mark.slow
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=3), st.integers(min_value=0, max_value=10**6)),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    )
+)
+def test_sessionize_matches_naive_python(spark, rows):
+    from pyspark.sql import functions as F
+
+    from alpaca_pyspark_spark.operators.sessionize import session_summary
+
+    df = spark.createDataFrame(rows, "uid long, sec long").select(
+        "uid", F.timestamp_seconds(F.col("sec")).cast("timestamp_ntz").alias("ts")
+    )
+    out = {
+        (r["uid"], r["session_id"]): r["n_events"]
+        for r in session_summary(df, key="uid", ts="ts", gap="30 minutes").collect()
+    }
+
+    want: dict[tuple[int, int], int] = {}
+    by_uid: dict[int, list[int]] = {}
+    for uid, sec in rows:
+        by_uid.setdefault(uid, []).append(sec)
+    for uid, secs in by_uid.items():
+        secs.sort()
+        sid = 0
+        prev = None
+        for s in secs:
+            if prev is None or s - prev > 1800:
+                sid += 1
+            want[(uid, sid)] = want.get((uid, sid), 0) + 1
+            prev = s
+    assert out == want
