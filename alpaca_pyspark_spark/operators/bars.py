@@ -73,3 +73,64 @@ def tumbling_bars(
         )
     )
     return out
+
+
+def tumbling_bars_cents(
+    ticks: DataFrame,
+    *,
+    key: str,
+    ts: str,
+    price: str,
+    interval: str,
+) -> DataFrame:
+    """Bars carrying re-aggregable state: alongside OHLC/volume, keep
+    the exact integer-cent price sum (``cents_sum``) so coarser bars
+    can be rolled up from finer ones without revisiting ticks, and
+    vwap stays exact at every level (``vwap = cents_sum/(100·volume)``).
+
+    This is the hypertable/continuous-aggregate pattern: at 100 TB you
+    materialize the finest bars once, then maintain every coarser
+    resolution by re-aggregating bars — orders of magnitude less data
+    than the tick stream.
+    """
+    p = F.col(price)
+    cents = F.round(p * 100).cast("bigint")
+    return (
+        ticks.groupBy(F.col(key), F.window(F.col(ts), interval).start.alias("bar_start"))
+        .agg(
+            F.min_by(p, F.col(ts)).alias("open"),
+            F.max(p).alias("high"),
+            F.min(p).alias("low"),
+            F.max_by(p, F.col(ts)).alias("close"),
+            F.count(F.lit(1)).alias("volume"),
+            F.sum(cents).alias("cents_sum"),
+        )
+    )
+
+
+def rollup_bars(bars: DataFrame, *, key: str, interval: str) -> DataFrame:
+    """Re-aggregate fine bars (from :func:`tumbling_bars_cents`) into a
+    coarser ``interval``.  Exactly equals computing the coarse bars
+    directly from ticks: open/close chain through ``min_by``/``max_by``
+    on the fine bar_start, extrema and counts are associative, and the
+    integer cents_sum keeps vwap exact."""
+    return (
+        bars.groupBy(
+            F.col(key), F.window(F.col("bar_start"), interval).start.alias("bar_start")
+        )
+        .agg(
+            F.min_by("open", F.col("bar_start")).alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", F.col("bar_start")).alias("close"),
+            F.sum("volume").alias("volume"),
+            F.sum("cents_sum").alias("cents_sum"),
+        )
+    )
+
+
+def finalize_bars(bars: DataFrame) -> DataFrame:
+    """Expose the user-facing schema: vwap from the exact state."""
+    return bars.select(
+        "*", (F.col("cents_sum") / (F.lit(100.0) * F.col("volume"))).alias("vwap")
+    ).drop("cents_sum")

@@ -295,6 +295,37 @@ def q27_pandas_udf_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_key_linear_trend(e, key="user_id", x="t", y="value")
 
 
+# ---------------------------------------------------------------- q30
+def q30_bar_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: 1-hour bars materialized
+    from ticks, then 1-day bars rolled up FROM THE HOURLY BARS (never
+    re-reading ticks).  Exactly equals computing daily bars directly —
+    open/close chain via min_by/max_by on bar_start, extrema/counts are
+    associative, and vwap stays exact through the integer cents_sum."""
+    from ..operators.bars import finalize_bars, rollup_bars, tumbling_bars_cents
+
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    hourly = tumbling_bars_cents(e, key="user_id", ts="ts", price="value", interval="1 hour")
+    daily = rollup_bars(hourly, key="user_id", interval="1 day")
+    return finalize_bars(daily)
+
+
+_Q30_SQL = """
+SELECT user_id,
+       time_bucket(INTERVAL '1 day', ts) AS bar_start,
+       arg_min(value, ts)  AS open,
+       max(value)          AS high,
+       min(value)          AS low,
+       arg_max(value, ts)  AS close,
+       CAST(count(*) AS BIGINT) AS volume,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+         / (100.0 * count(*)) AS vwap
+FROM events
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------- q28
 def q28_setops_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The remaining set operators: INTERSECT (distinct) of two
@@ -345,6 +376,7 @@ QUERIES = {
     "q27_pandas_udf_trend": q27_pandas_udf_trend,
     "q28_setops_intersect": q28_setops_intersect,
     "q29_json_map": q29_json_map,
+    "q30_bar_rollup": q30_bar_rollup,
 }
 
 ORACLE = {
@@ -357,4 +389,5 @@ ORACLE = {
     "q26_sql_interval_join": _Q26_SQL,
     "q28_setops_intersect": _Q28_SQL,
     "q29_json_map": _Q29_SQL,
+    "q30_bar_rollup": _Q30_SQL,
 }

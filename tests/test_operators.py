@@ -106,6 +106,29 @@ def test_tumbling_bars_semantics(spark):
     assert bars["2024-01-02 00:00:00"]["open"] == 7.0
 
 
+def test_bar_rollup_equals_direct(spark):
+    """Rolling 5-min bars up to 1 hour must equal computing hourly bars
+    straight from ticks — the invariant that makes the continuous-
+    aggregate cascade trustworthy."""
+    from alpaca_pyspark_spark.operators.bars import (
+        finalize_bars,
+        rollup_bars,
+        tumbling_bars_cents,
+    )
+    from alpaca_pyspark_spark.tables import load
+
+    e = load(spark, SF_DIR, "events")
+    fine = tumbling_bars_cents(e, key="user_id", ts="ts", price="value", interval="5 minutes")
+    rolled = finalize_bars(rollup_bars(fine, key="user_id", interval="1 hour"))
+    direct = finalize_bars(
+        tumbling_bars_cents(e, key="user_id", ts="ts", price="value", interval="1 hour")
+    )
+    key = lambda r: (r["user_id"], r["bar_start"])  # noqa: E731
+    got = {key(r): r.asDict() for r in rolled.collect()}
+    want = {key(r): r.asDict() for r in direct.collect()}
+    assert got == want
+
+
 # ------------------------------------------------------------- dedup
 def _doc_df(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, text string")
