@@ -10,8 +10,9 @@ Spark 4 Python DataSource API with a declarative core:
   volume-adaptive interval formula for bars.
 - :mod:`.wire`        — wire-record parsing + Arrow batch assembly
   with malformed-record skip.
-- :mod:`.alpaca`      — the four concrete sources: stock bars, stock
-  trades, option bars, corporate actions.
+- :mod:`.alpaca`      — the six concrete sources: stock bars, stock
+  trades, option bars, corporate actions, crypto bars, crypto trades
+  (crypto fills the reference's explicit placeholder).
 """
 
 from __future__ import annotations
@@ -24,6 +25,8 @@ def register_all(spark: SparkSession) -> None:
     ``spark.dataSource.register`` flow, README.md:61)."""
     from .alpaca import (
         CorporateActionsDataSource,
+        CryptoBarsDataSource,
+        CryptoTradesDataSource,
         OptionBarsDataSource,
         StockBarsDataSource,
         StockTradesDataSource,
@@ -34,5 +37,7 @@ def register_all(spark: SparkSession) -> None:
         StockTradesDataSource,
         OptionBarsDataSource,
         CorporateActionsDataSource,
+        CryptoBarsDataSource,
+        CryptoTradesDataSource,
     ):
         spark.dataSource.register(cls)

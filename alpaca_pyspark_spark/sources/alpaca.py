@@ -9,6 +9,10 @@ package instead of an inheritance chain:
 - ``Alpaca_Stocks_Trades``     (reference stocks/trades.py:25-140)
 - ``Alpaca_Options_Bars``      (reference options/bars.py:17-48)
 - ``Alpaca_Corporate_Actions`` (reference corp_actions/corporate_actions.py:38-175)
+- ``Alpaca_Crypto_Bars`` / ``Alpaca_Crypto_Trades`` — the reference
+  leaves crypto as an explicit placeholder (crypto/__init__.py:1); we
+  fill it from the public v1beta3 API shape: pair symbols (``BTC/USD``),
+  a ``loc`` path segment, fractional volumes/sizes, auth optional.
 
 Catalyst cannot push filters into a Python DataSource, so — exactly
 like the reference — the *options* are the pushdown surface (symbols /
@@ -33,6 +37,8 @@ from .partitioning import (
 )
 from .spec import (
     ASOF_PATTERN,
+    CRYPTO_ENDPOINT,
+    DEFAULT_ENDPOINT,
     TIMEFRAME_PATTERN,
     EndpointConfig,
     ParamSpec,
@@ -72,6 +78,33 @@ TRADES_TABLE = RecordTable(
         FieldSpec("conditions", "c", pa.string(), join_conditions, default=""),
         FieldSpec("id", "i", pa.int64(), int),
         FieldSpec("tape", "z", pa.string(), str),
+    ],
+)
+
+# Crypto wire records reuse the bar field letters but volume (and
+# trade size) are FRACTIONAL — BTC trades in satoshis, not shares.
+CRYPTO_BARS_TABLE = RecordTable(
+    "bars",
+    [
+        FieldSpec("time", "t", TS_UTC_US, parse_utc_timestamp),
+        FieldSpec("open", "o", pa.float64(), float),
+        FieldSpec("high", "h", pa.float64(), float),
+        FieldSpec("low", "l", pa.float64(), float),
+        FieldSpec("close", "c", pa.float64(), float),
+        FieldSpec("volume", "v", pa.float64(), float),
+        FieldSpec("trade_count", "n", pa.int64(), int),
+        FieldSpec("vwap", "vw", pa.float64(), float),
+    ],
+)
+
+CRYPTO_TRADES_TABLE = RecordTable(
+    "trades",
+    [
+        FieldSpec("time", "t", TS_UTC_US, parse_utc_timestamp),
+        FieldSpec("price", "p", pa.float64(), float),
+        FieldSpec("size", "s", pa.float64(), float),
+        FieldSpec("taker_side", "tks", pa.string(), str, default=""),
+        FieldSpec("id", "i", pa.int64(), int),
     ],
 )
 
@@ -123,6 +156,22 @@ def corp_actions_specs() -> list[ParamSpec]:
     return base_history_specs() + [
         ParamSpec("types", enum=CA_TYPES_ENUM, enum_multi=True),
         ParamSpec("date_type", enum=DATE_TYPE_ENUM),
+    ]
+
+
+LOC_ENUM = ("us", "global")
+
+
+def crypto_bars_specs() -> list[ParamSpec]:
+    return base_history_specs() + [
+        ParamSpec("timeframe", required=True, pattern=TIMEFRAME_PATTERN),
+        ParamSpec("loc", enum=LOC_ENUM),
+    ]
+
+
+def crypto_trades_specs() -> list[ParamSpec]:
+    return base_history_specs() + [
+        ParamSpec("loc", enum=LOC_ENUM),
     ]
 
 
@@ -193,10 +242,25 @@ class _BaseAlpacaDataSource(DataSource):
     TABLE: RecordTable
     PATH: str
     ADAPTIVE = False
+    REQUIRE_AUTH = True
+    DEFAULT_ENDPOINT = DEFAULT_ENDPOINT
+    #: path template params pulled OUT of the query string, with
+    #: defaults — e.g. crypto's ``crypto/{loc}/bars``
+    PATH_PARAMS: dict[str, str] = {}
 
     def __init__(self, options: dict[str, Any]):
         super().__init__(options)
-        self._config, self._params = validate_options(dict(options), type(self).SPECS())
+        cls = type(self)
+        self._config, self._params = validate_options(
+            dict(options),
+            cls.SPECS(),
+            require_auth=cls.REQUIRE_AUTH,
+            default_endpoint=cls.DEFAULT_ENDPOINT,
+        )
+        path = cls.PATH
+        for name, default in cls.PATH_PARAMS.items():
+            path = path.replace("{" + name + "}", self._params.pop(name, default))
+        self._path = path
 
     def schema(self) -> str:
         # DDL string, not StructType: schema() runs in a sessionless
@@ -208,7 +272,7 @@ class _BaseAlpacaDataSource(DataSource):
             self._config,
             self._params,
             type(self).TABLE,
-            type(self).PATH,
+            self._path,
             adaptive_timeframe=type(self).ADAPTIVE,
         )
 
@@ -253,3 +317,35 @@ class CorporateActionsDataSource(_BaseAlpacaDataSource):
     @classmethod
     def name(cls) -> str:
         return "Alpaca_Corporate_Actions"
+
+
+class CryptoBarsDataSource(_BaseAlpacaDataSource):
+    """Fills the reference's crypto placeholder (crypto/__init__.py:1)
+    from the public v1beta3 surface: no adjustment/feed/asof (crypto
+    has no corporate actions, one consolidated feed), ``loc`` selects
+    the path-level venue, and market data needs no credentials."""
+
+    SPECS = staticmethod(crypto_bars_specs)
+    TABLE = CRYPTO_BARS_TABLE
+    PATH = "crypto/{loc}/bars"
+    PATH_PARAMS = {"loc": "us"}
+    ADAPTIVE = True
+    REQUIRE_AUTH = False
+    DEFAULT_ENDPOINT = CRYPTO_ENDPOINT
+
+    @classmethod
+    def name(cls) -> str:
+        return "Alpaca_Crypto_Bars"
+
+
+class CryptoTradesDataSource(_BaseAlpacaDataSource):
+    SPECS = staticmethod(crypto_trades_specs)
+    TABLE = CRYPTO_TRADES_TABLE
+    PATH = "crypto/{loc}/trades"
+    PATH_PARAMS = {"loc": "us"}
+    REQUIRE_AUTH = False
+    DEFAULT_ENDPOINT = CRYPTO_ENDPOINT
+
+    @classmethod
+    def name(cls) -> str:
+        return "Alpaca_Crypto_Trades"

@@ -32,6 +32,7 @@ from datetime import datetime
 from typing import Any, Callable
 
 DEFAULT_ENDPOINT = "https://data.alpaca.markets/v2"
+CRYPTO_ENDPOINT = "https://data.alpaca.markets/v1beta3"
 KEY_ID_OPTION = "APCA-API-KEY-ID"
 SECRET_OPTION = "APCA-API-SECRET-KEY"
 
@@ -79,11 +80,12 @@ class EndpointConfig:
 
     @property
     def headers(self) -> dict[str, str]:
-        return {
-            "accept": "application/json",
-            KEY_ID_OPTION: self.key_id,
-            SECRET_OPTION: self.secret_key,
-        }
+        headers = {"accept": "application/json"}
+        if self.key_id:
+            headers[KEY_ID_OPTION] = self.key_id
+        if self.secret_key:
+            headers[SECRET_OPTION] = self.secret_key
+        return headers
 
 
 def parse_symbols(raw: Any) -> list[str]:
@@ -113,22 +115,30 @@ def parse_iso_datetime(value: str, option: str) -> datetime:
 def validate_options(
     options: dict[str, Any],
     specs: list[ParamSpec],
+    *,
+    require_auth: bool = True,
+    default_endpoint: str = DEFAULT_ENDPOINT,
 ) -> tuple[EndpointConfig, dict[str, str]]:
     """Validate a source's options eagerly; returns (endpoint config,
     query params).  Raises ``ValueError`` for missing/invalid values,
     warns (does not fail) on unknown options.
 
+    ``require_auth=False`` covers endpoints that serve market data
+    without credentials (crypto): keys become optional and, when
+    absent, no auth headers are sent.
+
     Option keys are matched case-insensitively: Spark's DataFrameReader
     lower-cases option names before they reach a Python DataSource.
     """
     options = {str(k).lower(): v for k, v in options.items()}
-    for key in (KEY_ID_OPTION, SECRET_OPTION):
-        if not options.get(key.lower()):
-            raise ValueError(f"Missing required option {key!r}")
+    if require_auth:
+        for key in (KEY_ID_OPTION, SECRET_OPTION):
+            if not options.get(key.lower()):
+                raise ValueError(f"Missing required option {key!r}")
     config = EndpointConfig(
-        key_id=str(options[KEY_ID_OPTION.lower()]),
-        secret_key=str(options[SECRET_OPTION.lower()]),
-        endpoint=str(options.get("endpoint", DEFAULT_ENDPOINT)),
+        key_id=str(options.get(KEY_ID_OPTION.lower()) or ""),
+        secret_key=str(options.get(SECRET_OPTION.lower()) or ""),
+        endpoint=str(options.get("endpoint", default_endpoint)),
         rate_limit_delay=float(options.get("rate_limit_delay", 0.0)),
     )
 

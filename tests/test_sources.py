@@ -17,7 +17,10 @@ import pytest
 from alpaca_pyspark_spark.sources.alpaca import (
     BARS_TABLE,
     CORP_ACTIONS_TABLE,
+    CRYPTO_BARS_TABLE,
+    CRYPTO_TRADES_TABLE,
     TRADES_TABLE,
+    crypto_bars_specs,
     stock_bars_specs,
 )
 from alpaca_pyspark_spark.sources.http import build_url, paginate
@@ -70,6 +73,24 @@ CA_PAGE = {
              "record_date": None, "payable_date": None,
              "type": "split", "amount": 0.0, "ratio": 4.0,
              "new_symbol": "AAPL", "old_symbol": "AAPL"},
+        ]
+    },
+    "next_page_token": None,
+}
+CRYPTO_BARS_PAGE = {
+    "bars": {
+        "BTC/USD": [
+            {"t": "2021-01-01T00:00:00Z", "o": 29000.0, "h": 29500.0, "l": 28900.0,
+             "c": 29400.0, "v": 12.3456789, "n": 8200, "vw": 29210.5},
+        ]
+    },
+    "next_page_token": None,
+}
+CRYPTO_TRADES_PAGE = {
+    "trades": {
+        "BTC/USD": [
+            {"t": "2021-01-01T00:00:01Z", "p": 29000.5, "s": 0.0042, "tks": "B", "i": 1},
+            {"t": "2021-01-01T00:00:02Z", "p": 29001.0, "s": 1.25, "tks": "S", "i": 2},
         ]
     },
     "next_page_token": None,
@@ -245,6 +266,10 @@ class _MockAlpacaHandler(BaseHTTPRequestHandler):
             body = TRADES_PAGE
         elif parsed.path.endswith("/stocks/corporate_actions"):
             body = CA_PAGE
+        elif parsed.path.endswith("/crypto/us/bars"):
+            body = CRYPTO_BARS_PAGE
+        elif parsed.path.endswith("/crypto/us/trades"):
+            body = CRYPTO_TRADES_PAGE
         else:
             self.send_response(404)
             self.end_headers()
@@ -325,6 +350,58 @@ def test_corporate_actions_end_to_end(spark, mock_api):
     assert rows[0]["type"] == "dividend" and rows[0]["amount"] == 0.205
     assert rows[1]["type"] == "split" and rows[1]["ratio"] == 4.0
     assert rows[1]["record_date"] is None
+
+
+def test_crypto_units():
+    # fractional volume survives (crypto bars are float-volume)
+    d = CRYPTO_BARS_TABLE.page_to_batch(CRYPTO_BARS_PAGE).to_pydict()
+    assert d["volume"] == [12.3456789]
+    d = CRYPTO_TRADES_TABLE.page_to_batch(CRYPTO_TRADES_PAGE).to_pydict()
+    assert d["size"] == [0.0042, 1.25]
+    assert d["taker_side"] == ["B", "S"]
+    # auth optional: no creds, no auth headers; loc validated
+    config, params = validate_options(
+        {"symbols": "BTC/USD", "start": "2021-01-01T00:00:00",
+         "end": "2021-01-02T00:00:00", "timeframe": "1Hour", "loc": "us"},
+        crypto_bars_specs(),
+        require_auth=False,
+    )
+    assert "APCA-API-KEY-ID" not in config.headers
+    assert params["symbols"] == "BTC/USD"
+    with pytest.raises(ValueError, match="loc"):
+        validate_options(
+            {"symbols": "BTC/USD", "start": "2021-01-01T00:00:00",
+             "end": "2021-01-02T00:00:00", "timeframe": "1Hour", "loc": "mars"},
+            crypto_bars_specs(),
+            require_auth=False,
+        )
+
+
+def test_crypto_bars_end_to_end(spark, mock_api):
+    from alpaca_pyspark_spark.sources import register_all
+
+    register_all(spark)
+    opts = _opts(mock_api, timeframe="1Hour", symbols="BTC/USD")
+    del opts["APCA-API-KEY-ID"], opts["APCA-API-SECRET-KEY"]  # auth optional
+    df = spark.read.format("Alpaca_Crypto_Bars").options(**opts).load()
+    assert dict(df.dtypes)["volume"] == "double"
+    rows = df.collect()
+    assert {r["symbol"] for r in rows} == {"BTC/USD"}
+    assert rows[0]["volume"] == 12.3456789
+
+
+def test_crypto_trades_end_to_end(spark, mock_api):
+    from alpaca_pyspark_spark.sources import register_all
+
+    register_all(spark)
+    df = (
+        spark.read.format("Alpaca_Crypto_Trades")
+        .options(**_opts(mock_api, symbols="ETH/USD"))
+        .load()
+    )
+    rows = df.orderBy("id").collect()
+    assert [r["taker_side"] for r in rows] == ["B", "S"]
+    assert [r["size"] for r in rows] == [0.0042, 1.25]
 
 
 def test_invalid_options_fail_on_driver(spark, mock_api):
