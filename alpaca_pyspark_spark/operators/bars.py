@@ -95,8 +95,12 @@ def tumbling_bars_cents(
     """
     p = F.col(price)
     cents = F.round(p * 100).cast("bigint")
+    # Group by the WHOLE window struct (not window().start): in
+    # streaming mode the watermark is tracked through the window
+    # column, and projecting .start before the agg severs that link
+    # ([STREAMING_OUTPUT_MODE.UNSUPPORTED_OPERATION] in append mode).
     return (
-        ticks.groupBy(F.col(key), F.window(F.col(ts), interval).start.alias("bar_start"))
+        ticks.groupBy(F.col(key), F.window(F.col(ts), interval).alias("_w"))
         .agg(
             F.min_by(p, F.col(ts)).alias("open"),
             F.max(p).alias("high"),
@@ -104,6 +108,11 @@ def tumbling_bars_cents(
             F.max_by(p, F.col(ts)).alias("close"),
             F.count(F.lit(1)).alias("volume"),
             F.sum(cents).alias("cents_sum"),
+        )
+        .select(
+            key,
+            F.col("_w.start").alias("bar_start"),
+            "open", "high", "low", "close", "volume", "cents_sum",
         )
     )
 
