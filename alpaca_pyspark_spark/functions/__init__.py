@@ -36,14 +36,24 @@ def tokens(text: Column) -> Column:
 
 def word_shingles(toks: Column, k: int) -> Column:
     """k-word shingles of a token array (order-preserving, may repeat);
-    empty when the document has fewer than k tokens."""
+    empty when the document has fewer than k tokens.
+
+    Shape matters: a ``zip_with`` ladder over k shifted slices, NOT
+    ``transform(sequence(...), i -> slice(toks, i, k))``.  In the
+    latter the lambda body references ``toks`` — and after projection
+    collapsing that is the whole upstream expression (e.g. a regex
+    split), re-evaluated at EVERY shingle position.  Here the lambdas
+    only touch their own variables, so the token array is computed k
+    times per row instead of once per position (~50× less work on
+    typical documents)."""
     n = F.size(toks)
-    return F.when(n < k, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n - k + 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    m = n - (k - 1)
+    acc = F.slice(toks, 1, m)
+    for j in range(1, k):
+        acc = F.zip_with(
+            acc, F.slice(toks, 1 + j, m), lambda a, b: F.concat(a, F.lit(" "), b)
         )
-    )
+    return F.when(n < k, F.array().cast("array<string>")).otherwise(acc)
 
 
 def char_ngrams(text: Column, n: int) -> Column:
