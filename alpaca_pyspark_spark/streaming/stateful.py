@@ -1,0 +1,130 @@
+"""Custom stateful streaming: ``applyInPandasWithState``.
+
+``session_window`` expresses GAP-terminated sessions; nothing built in
+expresses EVENT-terminated ones — "the session ends when a logout /
+market-close / flush marker arrives".  That needs per-key mutable
+state across micro-batches, which is exactly what
+``applyInPandasWithState`` provides: Spark shuffles each key to one
+task per batch, hands us the key's accumulated state, and persists the
+update in the checkpointed state store.
+
+Scale: state is one small row per OPEN session (key), not per event;
+the event-time timeout evicts abandoned sessions once the watermark
+passes ``last_ts + timeout``, so state stays bounded on unbounded
+streams exactly like the built-in session_window's watermark
+semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+_OUTPUT = StructType(
+    [
+        StructField("key", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("ended_by", LongType()),  # 1 = marker, 0 = timeout
+    ]
+)
+_STATE = StructType(
+    [
+        StructField("session_start", LongType()),  # µs since epoch
+        StructField("last_ts", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+_US = 1_000_000
+
+
+def event_terminated_sessions(
+    events: DataFrame,
+    *,
+    key: str,
+    ts: str,
+    end_marker: Column,
+    watermark_delay: str = "1 hour",
+    timeout_ms: int = 60 * 60 * 1000,
+) -> DataFrame:
+    """Sessions closed by an explicit end-marker event.
+
+    ``end_marker`` is a boolean Column evaluated per event; a marked
+    event closes its key's open session (inclusive).  Open sessions
+    whose key stays silent past ``timeout_ms`` beyond the watermark
+    are flushed with ``ended_by = 0``.
+
+    Emits one row per closed session (append semantics).
+    """
+    marked = events.select(
+        F.col(key).alias("key"),
+        F.col(ts).cast("timestamp").alias("ts"),
+        end_marker.cast("boolean").alias("is_end"),
+    ).withWatermark("ts", watermark_delay)
+
+    def fn(
+        k: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "key": [k[0]],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(last_us, unit="us")],
+                    "n_events": [n],
+                    "ended_by": [0],
+                }
+            )
+            return
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us, last_us, n = None, None, 0
+        out: list[tuple[int, int, int]] = []  # (start, end, n) closed sessions
+        chunks = list(pdfs)
+        if chunks:
+            # a key's batch arrives as multiple Arrow chunks; event
+            # order is only meaningful after concatenating them all
+            pdf = pd.concat(chunks).sort_values("ts")
+            for t, is_end in zip(pdf["ts"], pdf["is_end"]):
+                t_us = t.value // 1000  # pandas ns -> µs
+                if start_us is None:
+                    start_us, n = t_us, 0
+                last_us, n = t_us, n + 1
+                if is_end:
+                    out.append((start_us, last_us, n))
+                    start_us, last_us, n = None, None, 0
+        if start_us is None:
+            if state.exists:
+                state.remove()
+        else:
+            state.update((start_us, last_us, n))
+            state.setTimeoutTimestamp(last_us // 1000 + timeout_ms)
+        if out:
+            yield pd.DataFrame(
+                {
+                    "key": [k[0]] * len(out),
+                    "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in out],
+                    "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in out],
+                    "n_events": [c for _, _, c in out],
+                    "ended_by": [1] * len(out),
+                }
+            )
+
+    return marked.groupBy("key").applyInPandasWithState(
+        fn, _OUTPUT, _STATE, "append", GroupStateTimeout.EventTimeTimeout
+    )

@@ -1,0 +1,132 @@
+"""Event-terminated sessionization (applyInPandasWithState): sessions
+close on an explicit marker event — semantics session_window cannot
+express — with per-key state carried across micro-batches and
+event-time timeout flushing abandoned sessions."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from alpaca_pyspark_spark.streaming.stateful import event_terminated_sessions
+
+
+def _run(spark, tmp_path, files, name):
+    """Feed parquet files one per micro-batch; return emitted rows."""
+    src = tmp_path / name
+    src.mkdir()
+    schema = "user_id long, ts timestamp, action string"
+    for i, rows in enumerate(files):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / f"f{i}")
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*")
+    )
+    sessions = event_terminated_sessions(
+        stream,
+        key="user_id",
+        ts="ts",
+        end_marker=F.col("action") == "logout",
+        watermark_delay="10 minutes",
+        timeout_ms=30 * 60 * 1000,
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}").collect()
+
+
+def _t(h, m=0):
+    return datetime(2024, 1, 1, h, m)
+
+
+def test_marker_closes_session_across_batches(spark, tmp_path):
+    rows = _run(
+        spark,
+        tmp_path,
+        [
+            # batch 1: user 1 starts a session (no marker yet); user 2
+            # opens AND closes one — state must carry only user 1
+            [
+                (1, _t(9, 0), "view"),
+                (1, _t(9, 5), "view"),
+                (2, _t(9, 0), "view"),
+                (2, _t(9, 1), "logout"),
+            ],
+            # batch 2: user 1 logs out — the session must span BOTH
+            # micro-batches (state carried), 4 events total
+            [
+                (1, _t(9, 10), "view"),
+                (1, _t(9, 12), "logout"),
+            ],
+        ],
+        "marker_sessions",
+    )
+    by_key = {(r["key"], r["session_start"]): r for r in rows}
+    u1 = by_key[(1, _t(9, 0))]
+    assert u1["session_end"] == _t(9, 12)
+    assert u1["n_events"] == 4
+    assert u1["ended_by"] == 1
+    u2 = by_key[(2, _t(9, 0))]
+    assert u2["n_events"] == 2 and u2["ended_by"] == 1
+
+
+def test_two_sessions_one_batch(spark, tmp_path):
+    """Two marker-terminated sessions for one key inside one batch."""
+    rows = _run(
+        spark,
+        tmp_path,
+        [
+            [
+                (7, _t(10, 0), "view"),
+                (7, _t(10, 1), "logout"),
+                (7, _t(10, 30), "view"),
+                (7, _t(10, 31), "view"),
+                (7, _t(10, 32), "logout"),
+            ]
+        ],
+        "double_sessions",
+    )
+    got = sorted((r["session_start"], r["session_end"], r["n_events"]) for r in rows)
+    assert got == [
+        (_t(10, 0), _t(10, 1), 2),
+        (_t(10, 30), _t(10, 32), 3),
+    ]
+
+
+def test_timeout_flushes_abandoned_session(spark, tmp_path):
+    """A key that goes silent is flushed by the event-time timeout once
+    the watermark (advanced by other keys' events) passes last_ts +
+    timeout — the state-bounding contract."""
+    rows = _run(
+        spark,
+        tmp_path,
+        [
+            # user 5 opens a session and never logs out
+            [(5, _t(9, 0), "view"), (5, _t(9, 2), "view")],
+            # much-later traffic on another key advances the watermark
+            # past 9:02 + 30min
+            [(6, _t(12, 0), "view")],
+            # one more batch so the timeout (evaluated at batch start)
+            # actually fires
+            [(6, _t(12, 30), "view")],
+        ],
+        "timeout_sessions",
+    )
+    flushed = [r for r in rows if r["key"] == 5]
+    assert len(flushed) == 1
+    assert flushed[0]["session_start"] == _t(9, 0)
+    assert flushed[0]["session_end"] == _t(9, 2)
+    assert flushed[0]["n_events"] == 2
+    assert flushed[0]["ended_by"] == 0
