@@ -144,6 +144,24 @@ def q13_embedding_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q13_embedding_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate neighbors via an IVF coarse quantizer (rows-only;
+    recall vs brute force is unit-tested).  The data-adaptive scale
+    path: spherical-k-means cells trained on a fixed-size sample,
+    queries probe their 4 nearest of 16 cells."""
+    from ..operators.similarity import ivf_topk
+
+    tune(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(
+        emb, queries, id_col="vec_id", vec_col="embedding", query_id="query_id",
+        k=10, num_cells=16, nprobe=4,
+    )
+
+
 # ---------------------------------------------------------------- q15
 def q15_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + quality scoring over documents."""
@@ -303,6 +321,7 @@ QUERIES = {
     "q12_embedding_dedup": q12_embedding_dedup,
     "q13_embedding_sim": q13_embedding_sim,
     "q13_embedding_sim_ann": q13_embedding_sim_ann,
+    "q13_embedding_sim_ivf": q13_embedding_sim_ivf,
     "q15_text_stats": q15_text_stats,
     "q16_lang_id": q16_lang_id,
     "q17_fingerprint": q17_fingerprint,

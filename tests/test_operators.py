@@ -228,6 +228,33 @@ def test_lsh_topk_recall_vs_brute_force(spark):
         assert ex[kk] == ap[kk]
 
 
+def test_ivf_topk_recall_and_determinism(spark):
+    from alpaca_pyspark_spark.operators.similarity import ivf_topk, train_ivf_centroids
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, k=5)
+    approx = ivf_topk(emb, queries, k=5, num_cells=16, nprobe=4)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    # probing 4/16 data-adaptive cells must recover a solid fraction of
+    # the true neighbors even on uniform (hardest-case) vectors
+    recall = len(e & a) / len(e)
+    assert recall >= 0.3, f"IVF recall collapsed: {recall}"
+    # overlapping pairs carry the EXACT cosine (IVF prunes, never
+    # perturbs scores)
+    ex = {(r["query_id"], r["vec_id"]): r["cos_sim"] for r in exact.collect()}
+    ap = {(r["query_id"], r["vec_id"]): r["cos_sim"] for r in approx.collect()}
+    for kk in e & a:
+        assert ex[kk] == ap[kk]
+    # training is deterministic: same corpus -> bit-identical centroids
+    c1 = train_ivf_centroids(emb, num_cells=8, sample_size=512)
+    c2 = train_ivf_centroids(emb, num_cells=8, sample_size=512)
+    assert (c1 == c2).all()
+
+
 def test_embedding_dedup_lsh_subset_of_exact(spark):
     from alpaca_pyspark_spark.operators.dedup import embedding_near_duplicates
 
