@@ -90,3 +90,29 @@ def normalized_fingerprint(text_col: str = "text") -> Column:
 
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", normalized_fingerprint(text_col))
+
+
+#: BPE-ish pre-tokenization pattern (GPT-2 style, minus the trailing
+#: lookahead so RE2 engines — the DuckDB oracle — accept it verbatim):
+#: contractions, optionally-space-prefixed letter runs, digit runs, and
+#: punctuation runs.  Whitespace itself is not a token.
+BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_tokens(text: Column) -> Column:
+    """BPE-ish pre-tokens of a string (``array<string>``), entirely
+    JVM-side (``regexp_extract_all`` — no Python in the hot path).
+    Approximates a BPE tokenizer's pre-split: the unit a downstream
+    merge table would operate on; the count is the standard
+    cost/budget proxy for LLM training data."""
+    return F.regexp_extract_all(text, F.lit(BPE_PATTERN), 0)
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish pre-token count per document."""
+    t = F.col(text_col)
+    return df.select(
+        "*",
+        F.size(tokens(t)).cast("bigint").alias("n_ws_tokens"),
+        F.size(bpe_tokens(t)).cast("bigint").alias("n_bpe_tokens"),
+    )

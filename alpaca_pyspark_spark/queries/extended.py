@@ -326,6 +326,28 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------- q31
+def q31_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish pre-token counts per document — the
+    cost/budget unit of an LLM-training corpus, entirely JVM-side
+    (regexp_extract_all in codegen, no Python)."""
+    from ..operators.text import with_token_counts
+
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    return with_token_counts(docs).select("doc_id", "n_ws_tokens", "n_bpe_tokens")
+
+
+_Q31_SQL = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(trim(text), '\S+')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(
+         text, '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'
+       )) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------- q28
 def q28_setops_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The remaining set operators: INTERSECT (distinct) of two
@@ -377,6 +399,7 @@ QUERIES = {
     "q28_setops_intersect": q28_setops_intersect,
     "q29_json_map": q29_json_map,
     "q30_bar_rollup": q30_bar_rollup,
+    "q31_token_count": q31_token_count,
 }
 
 ORACLE = {
@@ -390,4 +413,5 @@ ORACLE = {
     "q28_setops_intersect": _Q28_SQL,
     "q29_json_map": _Q29_SQL,
     "q30_bar_rollup": _Q30_SQL,
+    "q31_token_count": _Q31_SQL,
 }

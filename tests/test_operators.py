@@ -129,6 +129,19 @@ def test_bar_rollup_equals_direct(spark):
     assert got == want
 
 
+def test_bpe_tokens_semantics(spark):
+    from alpaca_pyspark_spark.operators.text import bpe_tokens
+
+    got = (
+        spark.createDataFrame([("I'll pay $42.50 now",)], "t string")
+        .select(bpe_tokens(F.col("t")).alias("bt"))
+        .collect()[0]["bt"]
+    )
+    # contraction split, space-prefixed words, digit runs and
+    # punctuation runs as separate pre-tokens
+    assert got == ["I", "'ll", " pay", " $", "42", ".", "50", " now"]
+
+
 # ------------------------------------------------------------- dedup
 def _doc_df(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, text string")
