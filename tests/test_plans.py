@@ -72,3 +72,43 @@ def test_scan_filter_stays_codegen(spark):
     assert has_whole_stage_codegen(df)
     pushed = " ".join(pushed_filters(df))
     assert "l_quantity" in pushed
+
+
+def test_q23_star_join_all_dims_broadcast(spark):
+    df = QUERIES["q23_star_join"](spark, SF_DIR)
+    # every dimension broadcasts; the fact table never shuffles for the
+    # joins — only the final agg exchanges
+    assert count_broadcasts(df) >= 3, formatted_plan(df)
+    assert count_shuffles(df) == 1, formatted_plan(df)
+
+
+def test_q30_rollup_reaggregates_bars_not_ticks(spark):
+    df = QUERIES["q30_bar_rollup"](spark, SF_DIR)
+    # one exchange per bar level (hourly from ticks, daily from hourly)
+    # and nothing else: the rollup never revisits the tick stream
+    assert count_shuffles(df) == 2, formatted_plan(df)
+
+
+def test_q04_topk_two_bounded_phases(spark):
+    df = QUERIES["q04_sort_limit_topk"](spark, SF_DIR)
+    # local prune + global rank = exactly two exchanges; the second
+    # only carries partitions*groups*k survivors
+    assert count_shuffles(df) == 2, formatted_plan(df)
+
+
+def test_q31_token_count_no_shuffle(spark):
+    df = QUERIES["q31_token_count"](spark, SF_DIR)
+    # per-row regexp counting is scan -> project, shuffle-free
+    assert count_shuffles(df) == 0, formatted_plan(df)
+    assert has_whole_stage_codegen(df)
+
+
+def test_minhash_signature_partial_aggregation(spark):
+    from alpaca_pyspark_spark.operators.dedup import minhash_signatures
+    from alpaca_pyspark_spark.tables import load
+
+    sigs = minhash_signatures(load(spark, SF_DIR, "documents"), id_col="doc_id")
+    plan = formatted_plan(sigs)
+    # partial + final HashAggregate pairs: the shuffle carries one
+    # 64-long row per (doc x partition), never the exploded shingles
+    assert plan.count("HashAggregate") >= 4, plan
