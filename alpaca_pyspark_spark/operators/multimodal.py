@@ -111,7 +111,14 @@ def decode_media(media: DataFrame, *, batch_hint: int = 1024) -> DataFrame:
                 }
             )
 
-    return media.select("doc_id", "media_type", "content").mapInPandas(
+    # decode is CPU-bound per row: spread an under-split scan (one
+    # small file locally, giant row groups at scale) across the
+    # cluster before fanning out Python workers — mapInPandas gets one
+    # worker per input partition, so a 1-partition input would
+    # serialize the whole decode through a single process.
+    from . import spread
+
+    return spread(media.select("doc_id", "media_type", "content")).mapInPandas(
         decode_batches, DECODED_SCHEMA
     )
 
