@@ -44,7 +44,15 @@ def per_key_linear_trend(
     materialized in one worker.  Partitioning: one shuffle on the key;
     each group must fit in executor memory (same constraint any
     grouped-map has — at 100 TB, key cardinality ≫ executor count and
-    groups are bounded)."""
+    groups are bounded).
+
+    The explicit keyed repartition matters: AQE coalesces post-shuffle
+    partitions by BYTE size, and grouped-map stages are CPU-bound in
+    Python, not byte-bound — letting AQE shrink a small-by-bytes
+    shuffle to 2 partitions serializes thousands of model fits into 2
+    workers.  A user-specified repartition is exempt from coalescing,
+    pinning one Python worker per core (6× on the bench)."""
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np

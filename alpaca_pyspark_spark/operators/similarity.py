@@ -239,9 +239,15 @@ def ivf_topk(
         num_cells=num_cells,
         sample_size=sample_size,
     )
-    c = corpus.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).cast("array<double>").alias("__cv"),
+    from . import spread
+
+    # cell assignment is an Arrow-batched matmul per partition — one
+    # Python worker per input split, so spread a narrow scan first
+    c = spread(
+        corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("__cv"),
+        )
     ).withColumn("__cell", _cell_assigner(centroids, 1)(F.col("__cv")).getItem(0))
     q = queries.select(
         F.col(query_id).alias("query_id"),
