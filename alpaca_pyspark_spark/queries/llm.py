@@ -202,6 +202,67 @@ FROM S
 """
 
 
+def q32_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation pipeline a training corpus goes through,
+    as one composed plan: quality-score → threshold filter → exact
+    dedup (min-id representative) → per-doc token budget counts.
+    Every stage is an existing operator; Catalyst fuses the whole
+    chain into scan → project/filter → one agg + semi-join → project.
+    """
+    from ..operators.dedup import drop_exact_duplicates
+    from ..operators.text import with_token_counts
+
+    tune(spark)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = with_text_stats(docs, "text")
+    kept = scored.filter(F.col("quality_score") >= 0.5)
+    deduped = drop_exact_duplicates(kept, id_col="doc_id", text_col="text")
+    return with_token_counts(deduped, "text").select(
+        "doc_id", "quality_score", "n_ws_tokens", "n_bpe_tokens"
+    )
+
+
+_Q32_SQL = r"""
+WITH T AS (
+  SELECT doc_id, text,
+         regexp_extract_all(text, '\S+') AS toks
+  FROM documents
+), S AS (
+  SELECT doc_id, text,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(toks, x -> x IN
+           ('the','and','of','to','in','is','a','that','it','for'))) AS BIGINT)
+           AS n_stop,
+         CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS tok_chars
+  FROM T
+), Q AS (
+  SELECT doc_id, text,
+       least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
+         + least((CASE WHEN n_tokens = 0 THEN 0.0
+                       ELSE n_stop / CAST(n_tokens AS DOUBLE) END) * 5.0, 1.0) * 0.3
+         + (CASE WHEN (CASE WHEN n_tokens = 0 THEN 0.0
+                            ELSE tok_chars / CAST(n_tokens AS DOUBLE) END) >= 3.0
+                  AND (CASE WHEN n_tokens = 0 THEN 0.0
+                            ELSE tok_chars / CAST(n_tokens AS DOUBLE) END) <= 9.0
+                 THEN 0.3 ELSE 0.0 END) AS quality_score
+  FROM S
+), K AS (
+  SELECT * FROM Q WHERE quality_score >= 0.5
+), R AS (
+  SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+         min(doc_id) AS keep_id
+  FROM K GROUP BY 1
+)
+SELECT k.doc_id, k.quality_score,
+       CAST(len(regexp_extract_all(trim(k.text), '\S+')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(
+         k.text, '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'
+       )) AS BIGINT) AS n_bpe_tokens
+FROM K k
+JOIN R r ON k.doc_id = r.keep_id
+"""
+
+
 # ---------------------------------------------------------------- q16
 def q16_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-overlap language identification."""
@@ -327,6 +388,7 @@ QUERIES = {
     "q17_fingerprint": q17_fingerprint,
     "q18_multimodal_meta": q18_multimodal_meta,
     "q19_ngram_jaccard": q19_ngram_jaccard,
+    "q32_corpus_curation": q32_corpus_curation,
 }
 
 ORACLE = {
@@ -338,4 +400,5 @@ ORACLE = {
     "q17_fingerprint": _Q17_SQL,
     "q18_multimodal_meta": _Q18_SQL,
     "q19_ngram_jaccard": _Q19_SQL,
+    "q32_corpus_curation": _Q32_SQL,
 }
