@@ -42,3 +42,38 @@ def test_bucketed_table_write(spark, tmp_path):
     back = spark.table("lineitem_bucketed")
     assert back.count() == 1000
     spark.sql("DROP TABLE lineitem_bucketed")
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """The payoff of bucketing: both sides bucketed on the join key ->
+    the sort-merge join reads co-located buckets with ZERO exchanges.
+    This is the layout for repeated fact-fact joins at 100 TB, where a
+    per-query shuffle of either side is the dominant cost."""
+    from alpaca_pyspark_spark.plans import count_shuffles, formatted_plan
+
+    li = load(spark, SF_DIR, "lineitem").limit(2000)
+    od = load(spark, SF_DIR, "orders").limit(2000)
+    for name, df, key in [
+        ("li_b", li, "l_orderkey"),
+        ("od_b", od, "o_orderkey"),
+    ]:
+        (
+            df.write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", str(tmp_path / name))
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        j = spark.table("li_b").join(
+            spark.table("od_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        assert count_shuffles(j) == 0, formatted_plan(j)
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE li_b")
+        spark.sql("DROP TABLE od_b")
