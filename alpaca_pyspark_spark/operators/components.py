@@ -1,0 +1,90 @@
+"""Connected components over a pair list (hash-min label propagation).
+
+Near-dup pipelines don't stop at PAIRS: to keep one representative per
+duplicate cluster you need the transitive grouping — A~B, B~C puts A,C
+in one cluster even if they were never compared.  This is connected
+components, computed here with the standard DataFrame formulation of
+hash-min propagation: every vertex starts labeled with its own id, and
+each round takes the min of its neighbors' labels; fixpoint in
+O(component diameter) rounds.
+
+Scale: each round is one shuffle join on vertex id (both sides
+hash-partitioned the same way), and labels shrink monotonically.
+Near-dup graphs are overwhelmingly tiny cliques/chains, so the loop
+converges in a handful of rounds.  ``localCheckpoint`` truncates the
+lineage each round — without it the plan doubles per iteration.
+Convergence is detected with a scalar aggregate (sum of labels,
+strictly decreasing until fixpoint), never a row collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+    vertex_id: str = "id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, component) for every vertex; ``component`` = min vertex id
+    reachable through ``edges``.  Vertices with no edges are singleton
+    components of themselves."""
+    # symmetrize in ONE pass over the (possibly expensive) edge plan:
+    # a union of two selects would execute the pair-generation twice
+    sym = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                    F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .distinct()
+        .persist()
+    )
+    labels = vertices.select(
+        F.col(vertex_id).alias("id"), F.col(vertex_id).alias("component")
+    ).localCheckpoint()
+    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["v"] == labels["id"])
+            .groupBy(F.col("u").alias("id"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        stepped = labels.join(neighbor_min, "id", "left").select(
+            "id",
+            F.least(
+                F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+            ).alias("component"),
+        )
+        # pointer jumping: component values ARE vertex ids, so resolve
+        # one level of label indirection (label := label(label)) each
+        # round — collapses chains in O(log diameter) rounds instead of
+        # O(diameter), which is what makes long chains tractable
+        lookup = stepped.select(
+            F.col("id").alias("__cid"), F.col("component").alias("__cc")
+        )
+        new_labels = (
+            stepped.join(lookup, stepped["component"] == lookup["__cid"], "left")
+            .select(
+                "id",
+                F.coalesce(F.col("__cc"), F.col("component")).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        new_sum = new_labels.agg(F.sum("component")).collect()[0][0]
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    sym.unpersist()
+    return labels

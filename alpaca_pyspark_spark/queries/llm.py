@@ -92,6 +92,46 @@ WHERE list_cosine_similarity(a.v, b.v) >= 0.35
 """
 
 
+def q33_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS, not just pairs: connected components
+    over the cosine-threshold pair graph (A~B, B~C ⇒ {A,B,C} one
+    cluster) via hash-min label propagation — the transitive grouping
+    step that picks one representative per duplicate family.  Oracle:
+    DuckDB recursive-CTE transitive closure."""
+    from ..operators.components import connected_components
+
+    tune(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = embedding_near_duplicates(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.5, num_planes=None
+    )
+    return connected_components(
+        pairs, emb, src="id_a", dst="id_b", vertex_id="vec_id"
+    ).select(F.col("id").alias("vec_id"), "component")
+
+
+_Q33_SQL = """
+WITH RECURSIVE
+E AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM E a JOIN E b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= 0.5
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT reach.id, edges.v FROM reach JOIN edges ON reach.r = edges.u
+)
+SELECT id AS vec_id, min(r) AS component FROM reach GROUP BY id
+"""
+
+
 # ---------------------------------------------------------------- q13
 def q13_embedding_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-10 cosine neighbors for query vectors (vec_id < 8)
@@ -389,6 +429,7 @@ QUERIES = {
     "q18_multimodal_meta": q18_multimodal_meta,
     "q19_ngram_jaccard": q19_ngram_jaccard,
     "q32_corpus_curation": q32_corpus_curation,
+    "q33_near_dup_components": q33_near_dup_components,
 }
 
 ORACLE = {
@@ -401,4 +442,5 @@ ORACLE = {
     "q18_multimodal_meta": _Q18_SQL,
     "q19_ngram_jaccard": _Q19_SQL,
     "q32_corpus_curation": _Q32_SQL,
+    "q33_near_dup_components": _Q33_SQL,
 }

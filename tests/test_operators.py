@@ -129,6 +129,28 @@ def test_bar_rollup_equals_direct(spark):
     assert got == want
 
 
+def test_connected_components_chain_and_clique(spark):
+    """Multi-hop closure: a 5-chain collapses to one component even
+    though its ends were never directly paired; cliques and singletons
+    keep their own min-id labels."""
+    from alpaca_pyspark_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        # chain 1-2-3-4-5, clique {10,11,12}, pair {20,21}
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (10, 12), (11, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    vertices = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 5, 10, 11, 12, 20, 21, 99]], "id long"
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(edges, vertices, vertex_id="id").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 99: 99}
+
+
 def test_bpe_tokens_semantics(spark):
     from alpaca_pyspark_spark.operators.text import bpe_tokens
 
