@@ -1,0 +1,165 @@
+"""Scale-hardening surface: skew-salted aggregation, pivot/unpivot.
+
+These close the last delegated-relational gaps (SURVEY.md §2F) with the
+shapes that survive 100 TB: heavy-hitter aggregation that spreads hot
+keys over many reducers, and wide<->long reshaping that stays in one
+shuffle.  Exactness strategy as in core.py: money math in exact
+integer cents, one final division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.salted import salted_aggregate
+from ..session import tune
+from ..tables import load
+
+
+def _cents(col) -> F.Column:
+    return F.round(col * 100).cast("bigint")
+
+
+# ---------------------------------------------------------------- q34
+def q34_salted_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter aggregation done skew-proof: lineitem has only 3
+    distinct ``l_returnflag`` values, so a naive ``groupBy`` funnels
+    ~1/3 of the table into each of 3 reducers no matter how many
+    executors exist.  The salted two-phase plan spreads each hot key
+    over 32 reducers, then re-aggregates 96 partial rows.  Results are
+    bit-identical to the naive plan (integer-cents partials are
+    order-insensitive)."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    revenue_cents = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return salted_aggregate(
+        li,
+        keys=["l_returnflag"],
+        salt_on=["l_orderkey", "l_linenumber"],
+        partial_aggs={
+            "qty_c": F.sum(_cents(F.col("l_quantity"))),
+            "rev_c": F.sum(revenue_cents),
+            "cnt": F.count(F.lit(1)),
+        },
+        final_aggs={
+            "sum_qty": F.sum("qty_c") / 100.0,
+            "revenue": F.sum("rev_c") / 100.0,
+            "n_rows": F.sum("cnt"),
+            "avg_qty": F.sum("qty_c") / (100.0 * F.sum("cnt")),
+        },
+        salt_parts=32,
+    )
+
+
+_Q34_SQL = """
+SELECT l_returnflag,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+            AS DOUBLE) / 100.0 AS revenue,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+         / (100.0 * count(*)) AS avg_qty
+FROM lineitem
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------- q35
+def q35_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long->wide reshape: shipped quantity per ship-year pivoted over
+    the return flag.  Explicit pivot values keep it one pass / one
+    shuffle (without them Spark runs an extra distinct job to discover
+    the columns — an avoidable full scan at 100 TB)."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    wide = (
+        li.groupBy(F.year("l_shipdate").cast("bigint").alias("ship_year"))
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum(_cents(F.col("l_quantity"))))
+    )
+    return wide.select(
+        "ship_year",
+        (F.col("A") / 100.0).alias("qty_a"),
+        (F.col("N") / 100.0).alias("qty_n"),
+        (F.col("R") / 100.0).alias("qty_r"),
+    )
+
+
+_Q35_SQL = """
+SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+       CAST(sum(CASE WHEN l_returnflag = 'A'
+                     THEN CAST(round(l_quantity * 100) AS BIGINT) END)
+            AS DOUBLE) / 100.0 AS qty_a,
+       CAST(sum(CASE WHEN l_returnflag = 'N'
+                     THEN CAST(round(l_quantity * 100) AS BIGINT) END)
+            AS DOUBLE) / 100.0 AS qty_n,
+       CAST(sum(CASE WHEN l_returnflag = 'R'
+                     THEN CAST(round(l_quantity * 100) AS BIGINT) END)
+            AS DOUBLE) / 100.0 AS qty_r
+FROM lineitem
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------- q36
+def q36_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long reshape (``unpivot``/melt): the four lineitem
+    measures as (measure, value) rows, aggregated per return flag.
+    One projection + one shuffle; the melt itself is a zero-shuffle
+    codegen expand."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    cents = li.select(
+        "l_returnflag",
+        _cents(F.col("l_quantity")).alias("quantity"),
+        _cents(F.col("l_extendedprice")).alias("extendedprice"),
+        _cents(F.col("l_discount")).alias("discount"),
+        _cents(F.col("l_tax")).alias("tax"),
+    )
+    long = cents.unpivot(
+        ["l_returnflag"],
+        ["quantity", "extendedprice", "discount", "tax"],
+        "measure",
+        "cents",
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        (F.sum("cents") / 100.0).alias("total"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+_Q36_SQL = """
+WITH long AS (
+  SELECT l_returnflag, 'quantity' AS measure,
+         CAST(round(l_quantity * 100) AS BIGINT) AS cents FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'extendedprice',
+         CAST(round(l_extendedprice * 100) AS BIGINT) FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'discount',
+         CAST(round(l_discount * 100) AS BIGINT) FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'tax',
+         CAST(round(l_tax * 100) AS BIGINT) FROM lineitem
+)
+SELECT l_returnflag, measure,
+       CAST(sum(cents) AS DOUBLE) / 100.0 AS total,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM long
+GROUP BY 1, 2
+"""
+
+
+QUERIES = {
+    "q34_salted_heavy_hitters": q34_salted_heavy_hitters,
+    "q35_pivot": q35_pivot,
+    "q36_unpivot": q36_unpivot,
+}
+
+ORACLE = {
+    "q34_salted_heavy_hitters": _Q34_SQL,
+    "q35_pivot": _Q35_SQL,
+    "q36_unpivot": _Q36_SQL,
+}

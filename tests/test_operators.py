@@ -348,3 +348,60 @@ def test_char_ngrams_and_jaccard(spark):
         char_ngrams(F.col("y"), 3).alias("gy"),
     ).select(jaccard(F.col("gx"), F.col("gy")).alias("j")).collect()[0]
     assert r["j"] == pytest.approx(1 / 3)  # {abc,bcd} vs {bcd,cde}
+
+
+# ------------------------------------------------------------- salted
+def test_salted_aggregate_equals_plain(spark):
+    """The skew-proof two-phase plan is a pure rewrite: bit-identical
+    to the naive groupBy (integer partials are order-insensitive)."""
+    from alpaca_pyspark_spark.operators.salted import salted_aggregate
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    cents = F.round(F.col("l_quantity") * 100).cast("bigint")
+    got = {
+        r["l_returnflag"]: (r["sum_qty"], r["n_rows"])
+        for r in salted_aggregate(
+            li,
+            keys=["l_returnflag"],
+            salt_on=["l_orderkey", "l_linenumber"],
+            partial_aggs={"qc": F.sum(cents), "cnt": F.count(F.lit(1))},
+            final_aggs={
+                "sum_qty": F.sum("qc") / 100.0,
+                "n_rows": F.sum("cnt"),
+            },
+            salt_parts=16,
+        ).collect()
+    }
+    want = {
+        r["l_returnflag"]: (r["sum_qty"], r["n_rows"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            (F.sum(cents) / 100.0).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_salted_join_equals_plain(spark):
+    from alpaca_pyspark_spark.operators.salted import salted_join
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
+    )
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    got = salted_join(
+        li,
+        orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+        on=["l_orderkey"],
+        salt_on=["l_partkey", "l_linenumber"],
+        salt_parts=4,
+    )
+    want = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).drop("o_orderkey")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()

@@ -112,3 +112,28 @@ def test_minhash_signature_partial_aggregation(spark):
     # partial + final HashAggregate pairs: the shuffle carries one
     # 64-long row per (doc x partition), never the exploded shingles
     assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_q34_salted_agg_spreads_hot_keys(spark):
+    df = QUERIES["q34_salted_heavy_hitters"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    # phase 1 exchanges on (key, salt) — hot keys spread over 32
+    # reducers; phase 2 exchanges 96 partial rows on the key alone
+    assert count_shuffles(df) == 2, plan
+    assert "__salt" in plan, plan
+
+
+def test_q35_pivot_two_bounded_exchanges(spark):
+    df = QUERIES["q35_pivot"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    # explicit pivot values -> no distinct-discovery job; pivot plans
+    # as pre-agg on (year, flag) then pivotfirst on year, so the
+    # second exchange carries only |years x flags| partial rows
+    assert count_shuffles(df) == 2, plan
+    assert "pivotfirst" in plan, plan
+
+
+def test_q36_unpivot_single_shuffle(spark):
+    df = QUERIES["q36_unpivot"](spark, SF_DIR)
+    # melt is a codegen Expand; only the final agg exchanges
+    assert count_shuffles(df) == 1, formatted_plan(df)
