@@ -415,6 +415,120 @@ FROM G a JOIN G b ON b.doc_id = a.doc_id + 1
 """
 
 
+# ---------------------------------------------------------------- q37
+def q37_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible corpus sampling: keep ~30% of documents by a
+    double-round Lehmer permutation of doc_id — partition-independent,
+    rerun-stable, no engine RNG; the oracle runs the identical integer
+    arithmetic, so the sampled set matches exactly (the reproducibility
+    IS the tested property)."""
+    from ..operators.sampling import deterministic_sample
+
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    return deterministic_sample(docs, id_col="doc_id", rate=0.3).select(
+        "doc_id", "source", "lang"
+    )
+
+
+_Q37_SQL = """
+SELECT doc_id, source, lang
+FROM documents
+WHERE ((((doc_id % 2147483647) * 48271) % 2147483647) * 16807) % 2147483647
+      < 644245094
+"""
+
+
+# ---------------------------------------------------------------- q38
+def q38_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: per (lang, shard) concatenate documents
+    in id order and cut every 2048 BPE tokens; each doc's ``bin`` is
+    where its first token lands.  Shards are deterministic
+    (``doc_id % 8``) so packing parallelism scales with shard count —
+    the per-worker layout a 100 TB tokenize-and-pack job uses."""
+    from ..operators.sampling import pack_sequences
+    from ..operators.text import with_token_counts
+
+    tune(spark)
+    docs = with_token_counts(load(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", F.pmod("doc_id", F.lit(8)).alias("shard"), "n_bpe_tokens"
+    )
+    packed = pack_sequences(
+        docs,
+        shard_cols=["lang", "shard"],
+        order_col="doc_id",
+        tokens_col="n_bpe_tokens",
+        budget=2048,
+    )
+    return packed.groupBy("lang", "shard", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bpe_tokens").alias("bin_tokens"),
+    )
+
+
+_Q38_SQL = r"""
+WITH t AS (
+  SELECT lang, doc_id % 8 AS shard, doc_id,
+         CAST(len(regexp_extract_all(
+           text, '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'
+         )) AS BIGINT) AS n_bpe
+  FROM documents
+), p AS (
+  SELECT lang, shard, doc_id, n_bpe,
+         COALESCE(sum(n_bpe) OVER (
+           PARTITION BY lang, shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS prefix
+  FROM t
+)
+SELECT lang, shard, CAST(floor(prefix / 2048) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_bpe) AS BIGINT) AS bin_tokens
+FROM p
+GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------- q39
+def q39_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: drop every document whose normalized
+    fingerprint collides with the held-out eval set (here: docs with
+    ``doc_id % 97 = 0``), then count surviving docs/tokens per source.
+    The anti-join probes a broadcast fingerprint set — the fact-side
+    corpus never shuffles."""
+    from ..operators.text import with_token_counts
+
+    tune(spark)
+    docs = with_token_counts(with_fingerprint(load(spark, sf_dir, "documents")))
+    eval_fps = (
+        docs.filter(F.pmod("doc_id", F.lit(97)) == 0).select("fingerprint").distinct()
+    )
+    clean = docs.join(F.broadcast(eval_fps), "fingerprint", "left_anti")
+    return clean.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
+    )
+
+
+_Q39_SQL = r"""
+WITH fp AS (
+  SELECT doc_id, source,
+         md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint,
+         CAST(len(regexp_extract_all(
+           text, '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'
+         )) AS BIGINT) AS n_bpe
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens
+FROM fp
+WHERE fingerprint NOT IN (
+  SELECT fingerprint FROM fp WHERE doc_id % 97 = 0
+)
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "q12_text_dedup": q12_text_dedup,
     "q12_simhash_dedup": q12_simhash_dedup,
@@ -430,6 +544,9 @@ QUERIES = {
     "q19_ngram_jaccard": q19_ngram_jaccard,
     "q32_corpus_curation": q32_corpus_curation,
     "q33_near_dup_components": q33_near_dup_components,
+    "q37_deterministic_sample": q37_deterministic_sample,
+    "q38_sequence_packing": q38_sequence_packing,
+    "q39_decontaminate": q39_decontaminate,
 }
 
 ORACLE = {
@@ -443,4 +560,7 @@ ORACLE = {
     "q19_ngram_jaccard": _Q19_SQL,
     "q32_corpus_curation": _Q32_SQL,
     "q33_near_dup_components": _Q33_SQL,
+    "q37_deterministic_sample": _Q37_SQL,
+    "q38_sequence_packing": _Q38_SQL,
+    "q39_decontaminate": _Q39_SQL,
 }

@@ -405,3 +405,45 @@ def test_salted_join_equals_plain(spark):
     ).drop("o_orderkey")
     assert got.count() == want.count()
     assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+
+# ----------------------------------------------------------- sampling
+def test_deterministic_sample_partition_independent(spark):
+    """The keep/drop set derives from row ids alone — identical under
+    any repartitioning (what rand()-based sampling cannot promise)."""
+    from alpaca_pyspark_spark.operators.sampling import deterministic_sample
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    base = {
+        r["doc_id"]
+        for r in deterministic_sample(docs, id_col="doc_id", rate=0.3)
+        .select("doc_id").collect()
+    }
+    reparted = {
+        r["doc_id"]
+        for r in deterministic_sample(docs.repartition(7), id_col="doc_id", rate=0.3)
+        .select("doc_id").collect()
+    }
+    assert base == reparted
+    n = docs.count()
+    assert 0.15 * n < len(base) < 0.45 * n  # roughly the asked rate
+
+
+def test_pack_sequences_bin_assignment(spark):
+    """Concatenate-and-cut semantics: a doc's bin is where its FIRST
+    token lands; bins overflow (a doc straddling a boundary stays in
+    the bin it started in), never split."""
+    from alpaca_pyspark_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [("s", 1, 60), ("s", 2, 50), ("s", 3, 10), ("s", 4, 100), ("t", 1, 250)],
+        "shard string, seq long, toks long",
+    )
+    got = {
+        (r["shard"], r["seq"]): r["bin"]
+        for r in pack_sequences(
+            df, shard_cols=["shard"], order_col="seq", tokens_col="toks", budget=100
+        ).collect()
+    }
+    # shard s prefixes: 0, 60, 110, 120 -> bins 0, 0, 1, 1
+    assert got == {("s", 1): 0, ("s", 2): 0, ("s", 3): 1, ("s", 4): 1, ("t", 1): 0}
