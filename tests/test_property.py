@@ -148,3 +148,77 @@ def test_sessionize_matches_naive_python(spark, rows):
             want[(uid, sid)] = want.get((uid, sid), 0) + 1
             prev = s
     assert out == want
+
+
+@pytest.mark.slow
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=19),
+            st.integers(min_value=0, max_value=19),
+        ),
+        max_size=25,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    from alpaca_pyspark_spark.operators.components import connected_components
+
+    vertices = list(range(20))
+    parent = {v: v for v in vertices}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        parent[find(u)] = find(v)
+    # canonical label = min member id of each set
+    want = {}
+    for v in vertices:
+        root = find(v)
+        want.setdefault(root, []).append(v)
+    expect = {v: min(members) for members in want.values() for v in members}
+
+    edf = spark.createDataFrame(
+        edges or [(0, 0)], "id_a long, id_b long"
+    )
+    vdf = spark.createDataFrame([(v,) for v in vertices], "id long")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(edf, vdf, vertex_id="id").collect()
+    }
+    assert got == expect
+
+
+@pytest.mark.slow
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),    # shard
+            st.integers(min_value=0, max_value=500),  # tokens
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(min_value=1, max_value=300),  # budget
+)
+def test_pack_sequences_matches_naive(spark, rows, budget):
+    from alpaca_pyspark_spark.operators.sampling import pack_sequences
+
+    rows = [(shard, i, toks) for i, (shard, toks) in enumerate(rows)]
+    df = spark.createDataFrame(rows, "shard long, seq long, toks long")
+    got = {
+        (r["shard"], r["seq"]): r["bin"]
+        for r in pack_sequences(
+            df, shard_cols=["shard"], order_col="seq", tokens_col="toks", budget=budget
+        ).collect()
+    }
+    by_shard = {}
+    for shard, seq, toks in sorted(rows, key=lambda r: (r[0], r[1])):
+        prefix = by_shard.get(shard, 0)
+        assert got[(shard, seq)] == prefix // budget, (shard, seq, prefix, budget)
+        by_shard[shard] = prefix + toks
