@@ -152,14 +152,59 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------- q40
+def q40_range_join_no_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless range join: clicks landing inside global outage windows
+    (2 h after each severe error event).  Without an equality key Spark
+    would plan BroadcastNestedLoopJoin — O(points x intervals); the
+    bucketed rewrite quantizes time, explodes each window onto its ~2
+    covering buckets, and equi-joins on the bucket id (hash join, plan
+    asserted nested-loop-free)."""
+    from ..operators.rangejoin import bucketed_range_join
+
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    windows = e.filter(
+        (F.col("event_type") == "error") & (F.col("value") > 190)
+    ).select(
+        F.col("event_id").alias("window_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("w_end"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("ts", "user_id")
+    joined = bucketed_range_join(
+        clicks, windows, ts="ts", start="w_start", end="w_end", bucket_seconds=7200
+    )
+    return joined.groupBy("window_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+_Q40_SQL = """
+WITH w AS (
+  SELECT event_id AS window_id, ts AS w_start, ts + INTERVAL 2 HOUR AS w_end
+  FROM events WHERE event_type = 'error' AND value > 190
+),
+c AS (SELECT ts, user_id FROM events WHERE event_type = 'click')
+SELECT window_id,
+       CAST(count(*) AS BIGINT) AS n_clicks,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM w JOIN c ON c.ts >= w.w_start AND c.ts < w.w_end
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "q34_salted_heavy_hitters": q34_salted_heavy_hitters,
     "q35_pivot": q35_pivot,
     "q36_unpivot": q36_unpivot,
+    "q40_range_join_no_key": q40_range_join_no_key,
 }
 
 ORACLE = {
     "q34_salted_heavy_hitters": _Q34_SQL,
     "q35_pivot": _Q35_SQL,
     "q36_unpivot": _Q36_SQL,
+    "q40_range_join_no_key": _Q40_SQL,
 }

@@ -447,3 +447,47 @@ def test_pack_sequences_bin_assignment(spark):
     }
     # shard s prefixes: 0, 60, 110, 120 -> bins 0, 0, 1, 1
     assert got == {("s", 1): 0, ("s", 2): 0, ("s", 3): 1, ("s", 4): 1, ("t", 1): 0}
+
+
+# ---------------------------------------------------------- range join
+def test_bucketed_range_join_equals_naive(spark):
+    """Every containing (point, interval) pair exactly once — including
+    boundary points, multi-bucket spans, and bucket-straddling
+    intervals — regardless of bucket width."""
+    from alpaca_pyspark_spark.operators.rangejoin import bucketed_range_join
+
+    points = spark.createDataFrame(
+        [(i, f"2024-01-01 {h:02d}:{m:02d}:30") for i, (h, m) in enumerate(
+            [(0, 0), (0, 59), (1, 30), (5, 0), (11, 59), (12, 0), (23, 45)]
+        )],
+        "pid long, ts_s string",
+    ).select("pid", F.col("ts_s").cast("timestamp_ntz").alias("ts"))
+    intervals = spark.createDataFrame(
+        [
+            (100, "2024-01-01 00:00:00", "2024-01-01 01:00:00"),
+            (101, "2024-01-01 00:30:00", "2024-01-01 06:00:00"),
+            (102, "2024-01-01 11:59:30", "2024-01-01 12:00:01"),
+            (103, "2024-01-01 22:00:00", "2024-01-01 23:00:00"),
+        ],
+        "iid long, s string, e string",
+    ).select(
+        "iid",
+        F.col("s").cast("timestamp_ntz").alias("w_start"),
+        F.col("e").cast("timestamp_ntz").alias("w_end"),
+    )
+    naive = {
+        (r["pid"], r["iid"])
+        for r in points.join(
+            intervals,
+            (points.ts >= intervals.w_start) & (points.ts < intervals.w_end),
+        ).collect()
+    }
+    for bucket in (60, 3600, 86400):
+        got = {
+            (r["pid"], r["iid"])
+            for r in bucketed_range_join(
+                points, intervals, ts="ts", start="w_start", end="w_end",
+                bucket_seconds=bucket,
+            ).collect()
+        }
+        assert got == naive, f"bucket={bucket}"

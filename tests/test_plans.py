@@ -137,3 +137,11 @@ def test_q36_unpivot_single_shuffle(spark):
     df = QUERIES["q36_unpivot"](spark, SF_DIR)
     # melt is a codegen Expand; only the final agg exchanges
     assert count_shuffles(df) == 1, formatted_plan(df)
+
+
+def test_q40_range_join_is_hash_not_nested_loop(spark):
+    df = QUERIES["q40_range_join_no_key"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    # the bucketed rewrite must eliminate the O(n*m) fallback plans
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
