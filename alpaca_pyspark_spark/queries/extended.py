@@ -386,6 +386,42 @@ FROM events
 """
 
 
+# ---------------------------------------------------------------- q41
+def q41_trailing_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 24-hour per-user aggregates at every event — the RANGE
+    frame (value-based window) the reference's trailing-VWAP/volume
+    semantics imply; ROWS frames (q20) count rows, RANGE frames cover
+    a time span regardless of row density.  Ordered by epoch
+    microseconds so the frame bound is exact and engine-identical."""
+    tune(spark)
+    e = load(spark, sf_dir, "events").withColumn(
+        "us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    day_us = 24 * 3600 * 1_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-(day_us - 1), Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_24h"),
+        (F.sum(_cents(F.col("value"))).over(w) / 100.0).alias("value_24h"),
+    )
+
+
+_Q41_SQL = """
+SELECT event_id, user_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_24h,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE) / 100.0
+         AS value_24h
+FROM (SELECT event_id, user_id, epoch_us(ts) AS us, value FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY us
+             RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
     "q20_window_funcs": q20_window_funcs,
     "q21_grouping_sets": q21_grouping_sets,
@@ -400,6 +436,7 @@ QUERIES = {
     "q29_json_map": q29_json_map,
     "q30_bar_rollup": q30_bar_rollup,
     "q31_token_count": q31_token_count,
+    "q41_trailing_range_window": q41_trailing_range_window,
 }
 
 ORACLE = {
@@ -414,4 +451,5 @@ ORACLE = {
     "q29_json_map": _Q29_SQL,
     "q30_bar_rollup": _Q30_SQL,
     "q31_token_count": _Q31_SQL,
+    "q41_trailing_range_window": _Q41_SQL,
 }
