@@ -145,3 +145,13 @@ def test_q40_range_join_is_hash_not_nested_loop(spark):
     # the bucketed rewrite must eliminate the O(n*m) fallback plans
     assert "BroadcastNestedLoop" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_interval_joins_keep_equality_hash_path(spark):
+    """q03/q26 carry a key equality besides the time containment, so
+    they must plan as hash joins with the range as a residual
+    condition — never the O(n*m) nested-loop fallback."""
+    for qid in ("q03_interval_join_agg", "q26_sql_interval_join"):
+        plan = formatted_plan(QUERIES[qid](spark, SF_DIR))
+        assert "NestedLoop" not in plan, (qid, plan)
+        assert "HashJoin" in plan or "SortMergeJoin" in plan, (qid, plan)
