@@ -529,6 +529,54 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------- q42
+def q42_embedding_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding maintenance ops ahead of any ANN index build: L2 norm,
+    unit-normalization, and int8 quantization (the 4x storage shrink
+    every 100 TB vector corpus applies before indexing).  All array
+    lambdas run JVM-side; quantization uses ``floor(x*127 + 0.5)``
+    (clamped) instead of ``round`` — floor of a double is bit-exact on
+    every engine, Spark/DuckDB ``round`` are not (HALF_UP on decimal
+    repr vs binary)."""
+    tune(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(
+        F.aggregate(
+            F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0), lambda acc, t: acc + t
+        )
+    )
+    q = F.transform(
+        v,
+        lambda x: F.greatest(
+            F.lit(-127.0), F.least(F.lit(127.0), F.floor(x * 127.0 + 0.5))
+        ).cast("bigint"),
+    )
+    return emb.select(
+        "vec_id",
+        norm.alias("l2_norm"),
+        F.transform(v, lambda x: x / norm).alias("unit_vec"),
+        q.alias("int8_vec"),
+    )
+
+
+_Q42_SQL = """
+WITH E AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x * x),
+                             'sum')) AS l2_norm
+  FROM embeddings
+)
+SELECT vec_id, l2_norm,
+       list_transform(v, x -> x / l2_norm) AS unit_vec,
+       list_transform(
+         v, x -> CAST(greatest(-127.0, least(127.0, floor(x * 127.0 + 0.5)))
+                      AS BIGINT)
+       ) AS int8_vec
+FROM E
+"""
+
+
 QUERIES = {
     "q12_text_dedup": q12_text_dedup,
     "q12_simhash_dedup": q12_simhash_dedup,
@@ -547,6 +595,7 @@ QUERIES = {
     "q37_deterministic_sample": q37_deterministic_sample,
     "q38_sequence_packing": q38_sequence_packing,
     "q39_decontaminate": q39_decontaminate,
+    "q42_embedding_ops": q42_embedding_ops,
 }
 
 ORACLE = {
@@ -563,4 +612,5 @@ ORACLE = {
     "q37_deterministic_sample": _Q37_SQL,
     "q38_sequence_packing": _Q38_SQL,
     "q39_decontaminate": _Q39_SQL,
+    "q42_embedding_ops": _Q42_SQL,
 }
