@@ -577,6 +577,37 @@ FROM E
 """
 
 
+# ---------------------------------------------------------------- q43
+def q43_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-training data-quality audit of the corpus in ONE pass: row
+    count, per-column null counts, numeric min/max, exact distinct
+    counts — a single partial-aggregated scan reduced to one row
+    (versus the #columns-passes naive profile, which at 100 TB is the
+    difference between an audit and a week)."""
+    from ..operators.profile import profile_table
+
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    return profile_table(
+        docs, numeric_cols=["n_chars"], distinct_cols=["lang", "source"]
+    )
+
+
+_Q43_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN doc_id  IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_doc_id,
+       CAST(sum(CASE WHEN text    IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_text,
+       CAST(sum(CASE WHEN lang    IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_lang,
+       CAST(sum(CASE WHEN source  IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_source,
+       CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_n_chars,
+       min(n_chars) AS min_n_chars,
+       max(n_chars) AS max_n_chars,
+       CAST(count(DISTINCT lang)   AS BIGINT) AS distinct_lang,
+       CAST(count(DISTINCT source) AS BIGINT) AS distinct_source
+FROM documents
+"""
+
+
 QUERIES = {
     "q12_text_dedup": q12_text_dedup,
     "q12_simhash_dedup": q12_simhash_dedup,
@@ -596,6 +627,7 @@ QUERIES = {
     "q38_sequence_packing": q38_sequence_packing,
     "q39_decontaminate": q39_decontaminate,
     "q42_embedding_ops": q42_embedding_ops,
+    "q43_data_profile": q43_data_profile,
 }
 
 ORACLE = {
@@ -613,4 +645,5 @@ ORACLE = {
     "q38_sequence_packing": _Q38_SQL,
     "q39_decontaminate": _Q39_SQL,
     "q42_embedding_ops": _Q42_SQL,
+    "q43_data_profile": _Q43_SQL,
 }

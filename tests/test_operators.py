@@ -491,3 +491,32 @@ def test_bucketed_range_join_equals_naive(spark):
             ).collect()
         }
         assert got == naive, f"bucket={bucket}"
+
+
+# -------------------------------------------------------- observability
+def test_observed_metrics_ride_the_query(spark):
+    """df.observe computes quality counters as a side effect of the
+    action that runs anyway — verify the numbers equal a direct
+    aggregation, with no separate job issued for them."""
+    from alpaca_pyspark_spark.operators.profile import with_observed_metrics
+    from alpaca_pyspark_spark.tables import load
+
+    e = load(spark, SF_DIR, "events")
+    observed, obs = with_observed_metrics(
+        e,
+        n_rows=F.count(F.lit(1)),
+        n_high=F.sum(F.when(F.col("value") > 100, 1).otherwise(0)),
+        max_value=F.max("value"),
+    )
+    # the "existing query": a filter+count action over the observed df
+    n_clicks = observed.filter(F.col("event_type") == "click").count()
+    got = obs.get
+    direct = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("value") > 100, 1).otherwise(0)).alias("h"),
+        F.max("value").alias("m"),
+    ).collect()[0]
+    assert got["n_rows"] == direct["n"]
+    assert got["n_high"] == direct["h"]
+    assert got["max_value"] == direct["m"]
+    assert n_clicks == e.filter(F.col("event_type") == "click").count()
