@@ -1,0 +1,86 @@
+"""Custom stateful streaming on the transformWithState API (Spark 4).
+
+``applyInPandasWithState`` (see ``stateful.py``) is the classic
+arbitrary-state API; ``transformWithStateInPandas`` is its successor —
+typed state variables (value/list/map), state TTL, and timers managed
+by the state-store runtime instead of a single opaque blob.  This
+module implements **distinct-until-changed** on it: per key, emit a
+row only when the watched value differs from the last emitted one —
+the telemetry/CDC compaction that turns a dense sensor stream into a
+change log (often a 100-1000x row reduction before anything
+downstream shuffles).
+
+State per key is ONE value (the last emitted reading) with an optional
+TTL — bounded regardless of stream length; keys idle past the TTL are
+dropped by the store, the right default for ephemeral entities at
+100 TB/day rates.
+
+Runtime note: executing this operator end-to-end requires Spark's
+transformWithState protobuf bridge (``google.protobuf``); where that
+is unavailable the processor logic is still unit-testable directly
+(see tests/test_tws.py) and ``applyInPandasWithState``
+(``stateful.py``) covers the same class of workloads.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+
+class DistinctUntilChanged(StatefulProcessor):
+    """Emit (key, ts, value) only when ``value`` != the last emitted
+    value for that key.  Rows within a batch are processed in ``ts``
+    order; the state variable holds the last emitted value."""
+
+    def __init__(self, ttl_ms: int | None = None):
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._last = handle.getValueState("last", "v double", self._ttl_ms)
+
+    def handleInputRows(
+        self, key: Any, rows: Iterator[pd.DataFrame], timerValues: Any
+    ) -> Iterator[pd.DataFrame]:
+        batch = pd.concat(list(rows), ignore_index=True).sort_values("ts")
+        last = self._last.get()[0] if self._last.exists() else None
+        keep = []
+        for _, row in batch.iterrows():
+            if last is None or row["value"] != last:
+                keep.append(row)
+                last = float(row["value"])
+        if keep:
+            self._last.update((last,))
+            out = pd.DataFrame(keep)
+            out.insert(0, "user_id", key[0])
+            yield out[["user_id", "ts", "value"]]
+
+    def close(self) -> None:
+        pass
+
+
+def distinct_until_changed(
+    events: DataFrame,
+    *,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """Change-log compaction of a keyed stream (see class docstring)."""
+    df = events.select(
+        F.col(key).alias("user_id"),
+        F.col(ts).cast("timestamp").alias("ts"),
+        F.col(value).cast("double").alias("value"),
+    )
+    return df.groupBy("user_id").transformWithStateInPandas(
+        DistinctUntilChanged(ttl_ms),
+        outputStructType="user_id long, ts timestamp, value double",
+        outputMode="append",
+        timeMode="none",
+    )
