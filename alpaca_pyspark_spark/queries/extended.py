@@ -422,6 +422,60 @@ WINDOW w AS (PARTITION BY user_id ORDER BY us
 """
 
 
+# ---------------------------------------------------------------- q44
+def q44_recursive_calendar_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse->dense time-series gap filling: a recursive CTE (Spark 4
+    SQL surface) generates the full daily calendar spine between the
+    data's bounds, left-joined to per-day counts so tradeless days
+    appear as explicit zeros — the densification step every bar store
+    needs before window math.  The recursion carries the upper bound
+    as a column, so neither engine needs a correlated subquery in the
+    recursive leg."""
+    tune(spark)
+    load(spark, sf_dir, "events").createOrReplaceTempView("events_cal")
+    return spark.sql(
+        """
+        WITH RECURSIVE
+        bounds AS (
+          SELECT min(date_trunc('DAY', ts)) AS lo, max(date_trunc('DAY', ts)) AS hi
+          FROM events_cal
+        ),
+        cal(day, hi) AS (
+          SELECT lo, hi FROM bounds
+          UNION ALL
+          SELECT day + INTERVAL 1 DAY, hi FROM cal WHERE day < hi
+        ),
+        daily AS (
+          SELECT date_trunc('DAY', ts) AS day, count(*) AS n
+          FROM events_cal GROUP BY 1
+        )
+        SELECT c.day, CAST(coalesce(d.n, 0) AS BIGINT) AS n_events
+        FROM cal c LEFT JOIN daily d ON c.day = d.day
+        """
+    )
+
+
+_Q44_SQL = """
+WITH RECURSIVE
+bounds AS (
+  SELECT CAST(min(date_trunc('day', ts)) AS TIMESTAMP) AS lo,
+         CAST(max(date_trunc('day', ts)) AS TIMESTAMP) AS hi
+  FROM events
+),
+cal(day, hi) AS (
+  SELECT lo, hi FROM bounds
+  UNION ALL
+  SELECT day + INTERVAL 1 DAY, hi FROM cal WHERE day < hi
+),
+daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n
+  FROM events GROUP BY 1
+)
+SELECT c.day, CAST(coalesce(d.n, 0) AS BIGINT) AS n_events
+FROM cal c LEFT JOIN daily d ON c.day = d.day
+"""
+
+
 QUERIES = {
     "q20_window_funcs": q20_window_funcs,
     "q21_grouping_sets": q21_grouping_sets,
@@ -437,6 +491,7 @@ QUERIES = {
     "q30_bar_rollup": q30_bar_rollup,
     "q31_token_count": q31_token_count,
     "q41_trailing_range_window": q41_trailing_range_window,
+    "q44_recursive_calendar_gapfill": q44_recursive_calendar_gapfill,
 }
 
 ORACLE = {
@@ -452,4 +507,5 @@ ORACLE = {
     "q30_bar_rollup": _Q30_SQL,
     "q31_token_count": _Q31_SQL,
     "q41_trailing_range_window": _Q41_SQL,
+    "q44_recursive_calendar_gapfill": _Q44_SQL,
 }
