@@ -476,6 +476,44 @@ FROM cal c LEFT JOIN daily d ON c.day = d.day
 """
 
 
+# ---------------------------------------------------------------- q45
+def q45_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through Spark 4's VARIANT type:
+    ``parse_json`` once into the binary variant encoding, then typed
+    path extraction — the open-schema alternative to q29's fixed
+    MapType cast (at 100 TB, variant keeps one parsed binary column
+    instead of re-parsing JSON text per access).  Oracle extracts the
+    same path with DuckDB's JSON operators."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    v = e.select(
+        "event_type", F.parse_json("props").alias("v")
+    ).select(
+        "event_type", F.try_variant_get("v", "$.k", "bigint").alias("k")
+    )
+    return v.groupBy("event_type").agg(
+        F.count("k").alias("n_with_k"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+_Q45_SQL = """
+SELECT event_type,
+       CAST(count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS n_with_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS min_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS max_k
+FROM events
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "q20_window_funcs": q20_window_funcs,
     "q21_grouping_sets": q21_grouping_sets,
@@ -492,6 +530,7 @@ QUERIES = {
     "q31_token_count": q31_token_count,
     "q41_trailing_range_window": q41_trailing_range_window,
     "q44_recursive_calendar_gapfill": q44_recursive_calendar_gapfill,
+    "q45_variant_extract": q45_variant_extract,
 }
 
 ORACLE = {
@@ -508,4 +547,5 @@ ORACLE = {
     "q31_token_count": _Q31_SQL,
     "q41_trailing_range_window": _Q41_SQL,
     "q44_recursive_calendar_gapfill": _Q44_SQL,
+    "q45_variant_extract": _Q45_SQL,
 }
