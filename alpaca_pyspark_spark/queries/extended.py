@@ -514,6 +514,26 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------- q46
+def q46_sketch_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct-count sketches (Datasketches HLL): one
+    sketch per day, then ``hll_union_agg`` merges daily sketches into
+    weekly distincts WITHOUT revisiting events — the continuous-
+    aggregate pattern for distinct counts at 100 TB, where a
+    count(DISTINCT) over raw history is a full rescan but a sketch
+    union is bytes per day.  Rows-only (sketch estimates are
+    engine-specific); the union==direct property is unit-tested."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("DAY", "ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    weekly = daily.groupBy(
+        F.date_trunc("WEEK", "day").alias("week")
+    ).agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("distinct_users"))
+    return weekly.select("week", "distinct_users")
+
+
 QUERIES = {
     "q20_window_funcs": q20_window_funcs,
     "q21_grouping_sets": q21_grouping_sets,
@@ -531,6 +551,7 @@ QUERIES = {
     "q41_trailing_range_window": q41_trailing_range_window,
     "q44_recursive_calendar_gapfill": q44_recursive_calendar_gapfill,
     "q45_variant_extract": q45_variant_extract,
+    "q46_sketch_union_rollup": q46_sketch_union_rollup,
 }
 
 ORACLE = {

@@ -520,3 +520,24 @@ def test_observed_metrics_ride_the_query(spark):
     assert got["n_high"] == direct["h"]
     assert got["max_value"] == direct["m"]
     assert n_clicks == e.filter(F.col("event_type") == "click").count()
+
+
+# ------------------------------------------------------------ sketches
+def test_hll_union_of_parts_equals_direct(spark):
+    """The property that makes sketches a continuous aggregate: union
+    of per-day sketches == one sketch over everything (and, at this
+    cardinality, == the exact distinct count)."""
+    from alpaca_pyspark_spark.tables import load
+
+    e = load(spark, SF_DIR, "events")
+    merged = (
+        e.groupBy(F.date_trunc("DAY", "ts").alias("day"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("nd"))
+        .collect()[0]["nd"]
+    )
+    direct = e.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("nd")
+    ).collect()[0]["nd"]
+    exact = e.select("user_id").distinct().count()
+    assert merged == direct == exact
