@@ -1,6 +1,8 @@
-"""Extended relational coverage: window functions, grouping sets,
-cube, star joins, percentiles, native session windows — the rest of
-the delegated surface of SURVEY.md §2F, each oracle-paired.
+"""Extended relational coverage: window functions (rows + range
+frames), grouping sets, cube, star joins, percentiles, native session
+windows, recursive CTEs, VARIANT, mergeable HLL sketches — the rest
+of the delegated surface of SURVEY.md §2F, each oracle-paired where
+SQL-expressible.
 
 Exactness strategy as in core.py: money math in exact integer cents
 (per-row products are deterministic; only cross-row accumulation order

@@ -1,6 +1,8 @@
 """LLM-training-data pipeline queries (SURVEY.md §2G q12/q13 + the
-north-star operator set): dedup family, similarity search, text
-analysis, multimodal plumbing.
+north-star operator set): dedup family + near-dup clustering,
+similarity search, text analysis, reproducible sampling, sequence
+packing, decontamination, embedding maintenance, data profiling,
+multimodal plumbing.
 
 Oracle-design notes:
 - cosine: DuckDB ``list_cosine_similarity`` on DOUBLE[] is bit-exact
