@@ -222,3 +222,93 @@ def test_pack_sequences_matches_naive(spark, rows, budget):
         prefix = by_shard.get(shard, 0)
         assert got[(shard, seq)] == prefix // budget, (shard, seq, prefix, budget)
         by_shard[shard] = prefix + toks
+
+
+@pytest.mark.slow
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(min_value=0, max_value=7200), min_size=1, max_size=20),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=7200),
+            st.integers(min_value=0, max_value=3600),
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    st.sampled_from([60, 600, 3600]),
+)
+def test_bucketed_range_join_matches_naive_random(spark, point_secs, ivals, bucket):
+    from pyspark.sql import functions as F
+
+    from alpaca_pyspark_spark.operators.rangejoin import bucketed_range_join
+
+    points = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(point_secs)], "pid long, sec long"
+    ).select("pid", F.timestamp_seconds(F.col("sec")).alias("ts"))
+    intervals = spark.createDataFrame(
+        [(j, s, s + d) for j, (s, d) in enumerate(ivals)],
+        "iid long, s long, e long",
+    ).select(
+        "iid",
+        F.timestamp_seconds(F.col("s")).alias("w_start"),
+        F.timestamp_seconds(F.col("e")).alias("w_end"),
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in bucketed_range_join(
+            points, intervals, ts="ts", start="w_start", end="w_end",
+            bucket_seconds=bucket,
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for i, p in enumerate(point_secs)
+        for j, (s, d) in enumerate(ivals)
+        if s <= p < s + d
+    }
+    assert got == want
+
+
+@pytest.mark.slow
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),                      # key
+            st.one_of(st.none(), st.integers(-1000, 1000)),             # salt col
+            st.integers(min_value=-10**6, max_value=10**6),             # value
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.sampled_from([1, 4, 32]),
+)
+def test_salted_aggregate_matches_plain_random(spark, rows, parts):
+    from pyspark.sql import functions as F
+
+    from alpaca_pyspark_spark.operators.salted import salted_aggregate
+
+    df = spark.createDataFrame(rows, "k long, s long, v long")
+    got = {
+        r["k"]: (r["sv"], r["n"], r["mn"])
+        for r in salted_aggregate(
+            df,
+            keys=["k"],
+            salt_on=["s", "v"],  # includes nulls and negatives
+            partial_aggs={
+                "psv": F.sum("v"), "pn": F.count(F.lit(1)), "pmn": F.min("v")
+            },
+            final_aggs={
+                "sv": F.sum("psv"), "n": F.sum("pn"), "mn": F.min("pmn")
+            },
+            salt_parts=parts,
+        ).collect()
+    }
+    want = {
+        r["k"]: (r["sv"], r["n"], r["mn"])
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("sv"), F.count(F.lit(1)).alias("n"), F.min("v").alias("mn"))
+        .collect()
+    }
+    assert got == want
