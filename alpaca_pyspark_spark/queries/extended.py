@@ -536,6 +536,40 @@ def q46_sketch_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weekly.select("week", "distinct_users")
 
 
+# ---------------------------------------------------------------- q47
+def q47_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the SQL surface: each
+    customer's orders at their personal maximum price.  Catalyst
+    decorrelates this into an aggregate + join (no per-row re-execution
+    — the rewrite that makes correlated predicates viable at scale);
+    ``max`` keeps the comparison exact across engines where ``avg``'s
+    accumulation order would not be."""
+    tune(spark)
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_cs")
+    return spark.sql(
+        """
+        SELECT o_custkey, count(*) AS n_max_orders
+        FROM orders_cs o
+        WHERE o_totalprice >= (
+          SELECT max(o2.o_totalprice) FROM orders_cs o2
+          WHERE o2.o_custkey = o.o_custkey
+        )
+        GROUP BY 1
+        """
+    )
+
+
+_Q47_SQL = """
+SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_max_orders
+FROM orders o
+WHERE o_totalprice >= (
+  SELECT max(o2.o_totalprice) FROM orders o2
+  WHERE o2.o_custkey = o.o_custkey
+)
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "q20_window_funcs": q20_window_funcs,
     "q21_grouping_sets": q21_grouping_sets,
@@ -554,6 +588,7 @@ QUERIES = {
     "q44_recursive_calendar_gapfill": q44_recursive_calendar_gapfill,
     "q45_variant_extract": q45_variant_extract,
     "q46_sketch_union_rollup": q46_sketch_union_rollup,
+    "q47_correlated_subquery": q47_correlated_subquery,
 }
 
 ORACLE = {
@@ -571,4 +606,5 @@ ORACLE = {
     "q41_trailing_range_window": _Q41_SQL,
     "q44_recursive_calendar_gapfill": _Q44_SQL,
     "q45_variant_extract": _Q45_SQL,
+    "q47_correlated_subquery": _Q47_SQL,
 }
