@@ -47,6 +47,13 @@ def asof_join(
     """
     on = list(on)
     value_cols = list(value_cols)
+    clash = sorted(set(value_cols) & set(probe.columns))
+    if clash:
+        raise ValueError(
+            "asof_join: state value_cols collide with probe columns "
+            f"{clash}; rename or select them away on one side (the "
+            "output would otherwise hold two ambiguous columns per name)"
+        )
 
     # State sorts before probe at equal timestamps iff exact matches
     # are allowed — the side marker is the tiebreaker in the sort.

@@ -55,7 +55,20 @@ def bucketed_range_join(
     """Join each point (``ts``) to every interval containing it
     (``start <= ts < end``), as an equi-join on quantized time (+ any
     ``keys`` equality columns).  Output: point columns + interval
-    columns, bucket column dropped."""
+    columns, bucket column dropped.
+
+    ``how`` may be ``inner`` or ``left``/``left_outer`` (point-side
+    preserving: unmatched points survive with NULL interval columns).
+    Interval-side-preserving types (``right``/``full``) are rejected:
+    the build side is exploded onto one row per covered bucket, so an
+    unmatched interval would be emitted once per bucket (duplicates).
+    """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            "bucketed_range_join supports how in {'inner','left'}; "
+            f"got {how!r} (exploded intervals would duplicate unmatched "
+            "build rows under right/full outer joins)"
+        )
     p = points.withColumn(_BUCKET, _bucket_of(F.col(ts), bucket_seconds))
     i = intervals.withColumn(
         _BUCKET,
@@ -66,7 +79,24 @@ def bucketed_range_join(
             )
         ),
     )
-    joined = p.join(i, [*keys, _BUCKET], how)
-    return joined.filter(
-        (F.col(ts) >= F.col(start)) & (F.col(ts) < F.col(end))
-    ).drop(_BUCKET)
+    if how == "inner":
+        joined = p.join(i, [*keys, _BUCKET], how)
+        return joined.filter(
+            (F.col(ts) >= F.col(start)) & (F.col(ts) < F.col(end))
+        ).drop(_BUCKET)
+
+    # Outer (point-preserving) path: the containment predicate must sit
+    # INSIDE the join condition — applied as a post-join filter it would
+    # silently drop the NULL-extended unmatched point rows.  Catalyst
+    # still extracts the key/bucket equalities as the equi part, so the
+    # physical plan stays a hash/SMJ with containment as a join filter.
+    pa, ia = p.alias("__rj_p"), i.alias("__rj_i")
+    cond = pa[_BUCKET] == ia[_BUCKET]
+    for k in keys:
+        cond = cond & (pa[k] == ia[k])
+    cond = cond & (pa[ts] >= ia[start]) & (pa[ts] < ia[end])
+    joined = pa.join(ia, cond, how)
+    return joined.select(
+        *[pa[c] for c in points.columns],
+        *[ia[c] for c in intervals.columns if c not in keys],
+    )

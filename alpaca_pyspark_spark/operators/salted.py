@@ -89,7 +89,19 @@ def salted_join(
     each hot key over ``salt_parts`` reducers at the cost of a
     ``salt_parts``x larger build side — use when the build side is too
     big to broadcast but small enough to replicate.
+
+    ``how`` must be probe-side preserving (``inner``/``left``/
+    ``left_semi``/``left_anti``): the build side is replicated
+    ``salt_parts`` times, so a build-side-preserving join type would
+    emit each unmatched build row once per replica (duplicates).
     """
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "semi", "left_anti", "anti"):
+        raise ValueError(
+            "salted_join supports probe-side-preserving join types "
+            "{'inner','left','left_semi','left_anti'}; got "
+            f"{how!r} (the replicated build side would duplicate "
+            "unmatched build rows under right/full outer joins)"
+        )
     p = probe.withColumn(SALT, _salt_col(salt_on, salt_parts))
     b = build.withColumn(
         SALT, F.explode(F.sequence(F.lit(0), F.lit(salt_parts - 1)))

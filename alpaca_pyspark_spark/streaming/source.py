@@ -56,9 +56,14 @@ class TradesStreamReader(SimpleDataSourceStreamReader):
             for k, v in self.params.items()
             if k not in ("start", "end", "poll_interval")
         }
+        # The API treats ``end`` as INCLUSIVE; the stream cursor promises
+        # half-open slices [lo, hi).  Send hi - 1µs so a trade stamped
+        # exactly at a cursor boundary is fetched by exactly one
+        # micro-batch (timestamps are microsecond-granular, §1.2), not
+        # by both adjacent ones.  dedup_stream covers residual replays.
         params.update(
             start=lo.isoformat(),
-            end=hi.isoformat(),
+            end=(hi - timedelta(microseconds=1)).isoformat(),
             limit=self.params.get("limit", str(DEFAULT_LIMIT)),
         )
         for page in paginate(

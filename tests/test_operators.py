@@ -541,3 +541,67 @@ def test_hll_union_of_parts_equals_direct(spark):
     ).collect()[0]["nd"]
     exact = e.select("user_id").distinct().count()
     assert merged == direct == exact
+
+
+# ------------------------------------------- outer/validation semantics
+def test_bucketed_range_join_left_outer_keeps_unmatched_points(spark):
+    """ADVICE r1: how='left' must preserve points outside every
+    interval (NULL interval columns), and matched rows must equal the
+    inner join."""
+    from alpaca_pyspark_spark.operators.rangejoin import bucketed_range_join
+
+    points = spark.createDataFrame(
+        [(1, "2024-01-01 00:30:00"), (2, "2024-01-01 05:00:00")],
+        "pid long, ts_s string",
+    ).select("pid", F.col("ts_s").cast("timestamp_ntz").alias("ts"))
+    intervals = spark.createDataFrame(
+        [(100, "2024-01-01 00:00:00", "2024-01-01 01:00:00")],
+        "iid long, s string, e string",
+    ).select(
+        "iid",
+        F.col("s").cast("timestamp_ntz").alias("w_start"),
+        F.col("e").cast("timestamp_ntz").alias("w_end"),
+    )
+    rows = {
+        r["pid"]: r["iid"]
+        for r in bucketed_range_join(
+            points, intervals, ts="ts", start="w_start", end="w_end",
+            bucket_seconds=3600, how="left",
+        ).collect()
+    }
+    assert rows == {1: 100, 2: None}
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="inner"):
+        bucketed_range_join(
+            points, intervals, ts="ts", start="w_start", end="w_end",
+            how="full",
+        )
+
+
+def test_salted_join_rejects_build_preserving_how(spark):
+    """ADVICE r1: replicated build side duplicates unmatched build rows
+    under right/full — those join types must raise."""
+    import pytest as _pt
+    from alpaca_pyspark_spark.operators.salted import salted_join
+
+    df = spark.range(4).withColumnRenamed("id", "k")
+    with _pt.raises(ValueError, match="probe-side-preserving"):
+        salted_join(df, df, on=["k"], salt_on=["k"], how="right")
+    with _pt.raises(ValueError, match="probe-side-preserving"):
+        salted_join(df, df, on=["k"], salt_on=["k"], how="full")
+
+
+def test_asof_join_rejects_value_col_collision(spark):
+    """ADVICE r1: a state value column whose name already exists on the
+    probe side would produce two ambiguous output columns — raise."""
+    import pytest as _pt
+    from alpaca_pyspark_spark.operators.asof import asof_join
+
+    probe = spark.createDataFrame([(1, 10, 5.0)], "k long, ts long, value double")
+    state = spark.createDataFrame([(1, 5, 7.0)], "k long, ts long, value double")
+    with _pt.raises(ValueError, match="collide"):
+        asof_join(
+            probe, state, on=["k"], probe_ts="ts", state_ts="ts",
+            value_cols=["value"],
+        )

@@ -86,3 +86,38 @@ def test_trades_stream_source(spark, mock_api):  # noqa: F811
     assert {r["symbol"] for r in rows} == {"AAPL"}
     assert rows[0]["price"] == 131.0
     assert {r["conditions"] for r in rows} == {"", "@,I"}
+
+
+def test_stream_slices_are_half_open(monkeypatch):
+    """ADVICE r1: the API's end param is inclusive, so the poller must
+    send hi - 1µs — otherwise a trade stamped exactly on a cursor
+    boundary is fetched by both adjacent micro-batches."""
+    from alpaca_pyspark_spark.streaming import source as src_mod
+
+    captured = {}
+
+    def fake_paginate(fetcher, params, rate_limit_delay=0.0):
+        captured.update(params)
+        return iter(())
+
+    monkeypatch.setattr(src_mod, "paginate", fake_paginate)
+    monkeypatch.setattr(src_mod, "make_fetcher", lambda *a, **k: None)
+
+    reader = src_mod.TradesStreamReader.__new__(src_mod.TradesStreamReader)
+    from alpaca_pyspark_spark.sources.spec import EndpointConfig
+
+    reader.config = EndpointConfig(
+        endpoint="http://x", key_id="k", secret_key="s", rate_limit_delay=0.0
+    )
+    reader.params = {
+        "symbols": "AAPL",
+        "start": "2021-01-01T00:00:00+00:00",
+        "end": "2021-01-02T00:00:00+00:00",
+    }
+    from datetime import datetime, timezone
+
+    lo = datetime(2021, 1, 1, tzinfo=timezone.utc)
+    hi = datetime(2021, 1, 1, 12, tzinfo=timezone.utc)
+    reader._fetch_rows(lo, hi)
+    assert captured["start"] == "2021-01-01T00:00:00+00:00"
+    assert captured["end"] == "2021-01-01T11:59:59.999999+00:00"
