@@ -108,6 +108,51 @@ def adjust_backward_split(
     return out.withColumn(out_col, adj).drop("__logsum")
 
 
+def adjust_backward_split_ordered(
+    prices: DataFrame,
+    splits: DataFrame,
+    *,
+    on: Sequence[str],
+    price_ts: str,
+    split_ts: str,
+    price_col: str,
+    ratio_col: str,
+    out_col: str = "adj_value",
+) -> DataFrame:
+    """Multiplicative back-adjustment with a CROSS-ENGINE-EXACT float
+    contract: per key, collect the (dimension-sized) split feed into a
+    ts-sorted array, broadcast-join it to the price stream, and fold the
+    strictly-later ratios with a sequential ``aggregate`` — an explicit
+    left-to-right multiply whose IEEE result any engine folding the same
+    order reproduces bit-for-bit (DuckDB twin: ``list_reduce`` over the
+    same sorted list).  No exp/log, no rounding.
+
+    Scale shape: the price stream is NEVER shuffled — corporate actions
+    are dimension-sized (a few per symbol), so the packed per-key split
+    lists broadcast to every executor and the whole operator is a single
+    map stage over prices.  Prefer this over the window variant
+    (``adjust_backward_split``) whenever the split feed fits a
+    broadcast; the window variant remains for action feeds too large to
+    broadcast."""
+    on = list(on)
+    packed = splits.groupBy(*on).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(split_ts).alias("ts"), F.col(ratio_col).alias("r")
+                )
+            )
+        ).alias("__splits")
+    )
+    joined = prices.join(F.broadcast(packed), on, "left")
+    factor = F.expr(
+        f"aggregate(filter(__splits, s -> s.ts > {price_ts}), "
+        "cast(1.0 as double), (acc, s) -> acc * s.r)"
+    )
+    adj = F.col(price_col) * F.coalesce(factor, F.lit(1.0))
+    return joined.withColumn(out_col, adj).drop("__splits")
+
+
 def adjust_backward_all(
     prices: DataFrame,
     splits: DataFrame,
@@ -146,6 +191,47 @@ def adjust_backward_all(
         ratio_col=ratio_col,
         out_col=out_col,
         scale=scale,
+    )
+    return out.drop("__div_adj")
+
+
+def adjust_backward_all_ordered(
+    prices: DataFrame,
+    splits: DataFrame,
+    dividends: DataFrame,
+    *,
+    on: Sequence[str],
+    price_ts: str,
+    action_ts: str,
+    price_col: str,
+    ratio_col: str,
+    amount_col: str,
+    out_col: str = "adj_value",
+) -> DataFrame:
+    """Exact ``adjustment=all``: strictly-later dividends subtracted in
+    integer cents, then the ordered-fold split product applied — the
+    composition is two deterministic float ops (one division, one
+    multiply) over exact intermediates, so it carries the same
+    cross-engine-exact contract as its two parts."""
+    div_adj = adjust_backward_dividend(
+        prices,
+        dividends,
+        on=on,
+        price_ts=price_ts,
+        div_ts=action_ts,
+        price_col=price_col,
+        amount_col=amount_col,
+        out_col="__div_adj",
+    )
+    out = adjust_backward_split_ordered(
+        div_adj,
+        splits,
+        on=on,
+        price_ts=price_ts,
+        split_ts=action_ts,
+        price_col="__div_adj",
+        ratio_col=ratio_col,
+        out_col=out_col,
     )
     return out.drop("__div_adj")
 

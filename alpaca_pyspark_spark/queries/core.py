@@ -20,9 +20,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.adjustment import (
-    adjust_backward_all,
+    adjust_backward_all_ordered,
     adjust_backward_dividend,
-    adjust_backward_split,
+    adjust_backward_split_ordered,
 )
 from ..operators.asof import asof_join
 from ..operators.sessionize import session_summary
@@ -283,10 +283,11 @@ FROM p LEFT JOIN f USING (purchase_id)
 
 def q07_adjustment_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split (multiplicative) back-adjustment — reference D6
-    ``adjustment=split``.  Cumulative product via exp(Σ log ratio) is
-    floating-point, so there is no cross-engine-exact oracle; the
-    driver records a rows-only check and the operator's numeric
-    correctness is unit-tested in tests/test_operators.py."""
+    ``adjustment=split``.  Ordered-fold variant: the split feed is
+    dimension-sized, so it packs into per-key sorted arrays and
+    broadcasts — the price stream is never shuffled, and the sequential
+    ``aggregate`` product is bit-exact against DuckDB's ``list_reduce``
+    over the same sorted list (no exp/log, no rounding)."""
     tune(spark)
     e = load(spark, sf_dir, "events")
     prices = e.filter(F.col("event_type") == "purchase").select(
@@ -297,7 +298,7 @@ def q07_adjustment_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         (1.0 + (F.floor("value").cast("bigint") % 5) / 100.0).alias("ratio"),
     )
-    return adjust_backward_split(
+    return adjust_backward_split_ordered(
         prices,
         splits,
         on=["user_id"],
@@ -306,14 +307,14 @@ def q07_adjustment_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         price_col="value",
         ratio_col="ratio",
         out_col="adj_value",
-        scale=4,
     )
 
 
 def q07_adjustment_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Combined ``adjustment=all``: dividends subtracted, then split
-    ratios applied — both strictly-later, composed over one key
-    partitioning (rows-only: the split product is floating-point)."""
+    """Combined ``adjustment=all``: strictly-later dividends subtracted
+    in exact integer cents, then the ordered-fold split product applied
+    — exact end-to-end (one window pass for dividends + one broadcast
+    map stage for splits)."""
     tune(spark)
     e = load(spark, sf_dir, "events")
     prices = e.filter(F.col("event_type") == "purchase").select(
@@ -327,7 +328,7 @@ def q07_adjustment_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     dividends = e.filter(F.col("event_type") == "error").select(
         "user_id", "ts", (F.col("value") / 100.0).alias("amount")
     )
-    return adjust_backward_all(
+    return adjust_backward_all_ordered(
         prices,
         splits,
         dividends,
@@ -338,6 +339,71 @@ def q07_adjustment_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio_col="ratio",
         amount_col="amount",
     )
+
+
+# DuckDB twin of the ordered fold: the same ts-sorted ratio list,
+# filtered to strictly-later splits, folded left-to-right with a seed
+# of 1.0 prepended (list_reduce has no seed arg; prepending reproduces
+# Spark's aggregate(…, 1.0, acc*r) multiply order exactly).
+_Q07_SPLIT_SQL = """
+WITH p AS (
+  SELECT user_id, event_id AS purchase_id, ts, value
+  FROM events WHERE event_type = 'purchase'
+), s AS (
+  SELECT user_id, ts,
+         1.0 + (CAST(floor(value) AS BIGINT) % 5) / 100.0 AS ratio
+  FROM events WHERE event_type = 'signup'
+), sl AS (
+  SELECT user_id,
+         list(struct_pack(ts := ts, r := ratio) ORDER BY ts, ratio) AS splits
+  FROM s GROUP BY 1
+)
+SELECT p.user_id, p.purchase_id, p.ts, p.value,
+       p.value * coalesce(
+         list_reduce(
+           list_prepend(CAST(1.0 AS DOUBLE),
+             list_transform(
+               list_filter(sl.splits, x -> x.ts > p.ts), x -> x.r)),
+           (acc, r) -> acc * r),
+         1.0) AS adj_value
+FROM p LEFT JOIN sl USING (user_id)
+"""
+
+
+_Q07_ALL_SQL = """
+WITH p AS (
+  SELECT user_id, event_id AS purchase_id, ts, value
+  FROM events WHERE event_type = 'purchase'
+), d AS (
+  SELECT user_id, ts,
+         CAST(round((value / 100.0) * 100) AS BIGINT) AS amount_cents
+  FROM events WHERE event_type = 'error'
+), f AS (
+  SELECT p.purchase_id, CAST(sum(d.amount_cents) AS BIGINT) AS dc
+  FROM p JOIN d ON d.user_id = p.user_id AND d.ts > p.ts
+  GROUP BY 1
+), s AS (
+  SELECT user_id, ts,
+         1.0 + (CAST(floor(value) AS BIGINT) % 5) / 100.0 AS ratio
+  FROM events WHERE event_type = 'signup'
+), sl AS (
+  SELECT user_id,
+         list(struct_pack(ts := ts, r := ratio) ORDER BY ts, ratio) AS splits
+  FROM s GROUP BY 1
+)
+SELECT p.user_id, p.purchase_id, p.ts, p.value,
+       ((CAST(round(p.value * 100) AS BIGINT) - coalesce(f.dc, 0)) / 100.0)
+       * coalesce(
+           list_reduce(
+             list_prepend(CAST(1.0 AS DOUBLE),
+               list_transform(
+                 list_filter(sl.splits, x -> x.ts > p.ts), x -> x.r)),
+             (acc, r) -> acc * r),
+           1.0) AS adj_value
+FROM p
+LEFT JOIN f USING (purchase_id)
+LEFT JOIN sl ON sl.user_id = p.user_id
+"""
 
 
 # ---------------------------------------------------------------- q08
@@ -528,6 +594,8 @@ ORACLE = {
     "q05_groupby_rollup": _Q05_SQL,
     "q06_asof_join": _Q06_SQL,
     "q07_adjustment": _Q07_SQL,
+    "q07_adjustment_split": _Q07_SPLIT_SQL,
+    "q07_adjustment_all": _Q07_ALL_SQL,
     "q08_setops_dedup": _Q08_SQL,
     "q09_scalar_funcs": _Q09_SQL,
     "q10_semi_anti": _Q10_SQL,

@@ -283,18 +283,57 @@ GROUP BY 1, 2
 # ---------------------------------------------------------------- q27
 def q27_pandas_udf_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user OLS trend of event values over time via Arrow-batched
-    ``applyInPandas`` — the sanctioned Python escape hatch (rows-only:
-    numpy OLS has no SQL twin; numeric behavior unit-tested against
-    numpy directly)."""
-    from ..functions.pandas_ext import per_key_linear_trend
+    ``applyInPandas`` — the sanctioned Python escape hatch, with
+    oracle-exact numerics: integer inputs (whole seconds / cents),
+    arbitrary-precision integer sums inside the UDF, and the minimal
+    fixed sequence of float ops for slope/intercept, reproduced
+    verbatim by the DuckDB twin over HUGEINT sums."""
+    from ..functions.pandas_ext import per_key_ols_exact
 
     tune(spark)
     e = load(spark, sf_dir, "events").select(
         "user_id",
-        F.col("ts").cast("timestamp").cast("double").alias("t"),
-        "value",
+        F.floor(F.col("ts").cast("timestamp").cast("double"))
+        .cast("bigint")
+        .alias("t"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
     )
-    return per_key_linear_trend(e, key="user_id", x="t", y="value")
+    return per_key_ols_exact(e, key="user_id", x="t", y="cents")
+
+
+_Q27_SQL = """
+WITH b AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS x,
+         CAST(round(value * 100) AS BIGINT) AS y
+  FROM events
+), c AS (
+  SELECT user_id, x - min(x) OVER (PARTITION BY user_id) AS xs, y FROM b
+), s AS (
+  SELECT user_id,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(xs) AS HUGEINT) AS sx,
+         CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(CAST(xs AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(xs AS HUGEINT) * xs) AS HUGEINT) AS sxx
+  FROM c GROUP BY 1
+), t AS (
+  SELECT user_id, n, sx, sy,
+         CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+              ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE)
+         END AS slope
+  FROM s
+)
+SELECT user_id,
+       CAST(n AS BIGINT) AS n_points,
+       slope,
+       CASE WHEN slope IS NULL THEN CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+            ELSE (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE)
+       END AS intercept
+FROM t
+"""
 
 
 # ---------------------------------------------------------------- q30
@@ -599,6 +638,7 @@ ORACLE = {
     "q24_percentiles": _Q24_SQL,
     "q25_session_window": _Q25_SQL,
     "q26_sql_interval_join": _Q26_SQL,
+    "q27_pandas_udf_trend": _Q27_SQL,
     "q28_setops_intersect": _Q28_SQL,
     "q29_json_map": _Q29_SQL,
     "q30_bar_rollup": _Q30_SQL,
