@@ -116,3 +116,76 @@ def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.size(tokens(t)).cast("bigint").alias("n_ws_tokens"),
         F.size(bpe_tokens(t)).cast("bigint").alias("n_bpe_tokens"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 50,
+    stride: int = 40,
+) -> DataFrame:
+    """Split each document into overlapping token-window chunks
+    (``chunk_tokens`` wide, advancing ``stride`` tokens) — the context
+    -window shaping step between curation and sequence packing.
+
+    Pure built-ins: tokenize once, explode the chunk-start sequence,
+    slice the token array per chunk.  Output rows ≈ rows × n_tok/stride
+    with no shuffle at all (the explode is map-side); a downstream
+    repartition, if needed, is the caller's choice.  Returns
+    (id, chunk_id, n_tokens, chunk_text)."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    base = df.select(
+        F.col(id_col), toks.alias("__toks"), F.size(toks).alias("__n")
+    ).filter(F.col("__n") > 0)
+    # Last start rounds UP to the stride grid so the final (possibly
+    # shorter) chunk always covers the document tail — a chunker that
+    # emits only full windows silently drops up to stride-1 trailing
+    # tokens per document.
+    last_start = F.when(
+        F.col("__n") > chunk_tokens,
+        F.expr(
+            f"1 + {stride} * ((__n - {chunk_tokens} + {stride - 1}) div {stride})"
+        ),
+    ).otherwise(F.lit(1))
+    starts = F.sequence(F.lit(1), last_start, F.lit(stride))
+    chunked = base.select(
+        F.col(id_col),
+        F.posexplode(starts).alias("chunk_id", "__start"),
+        F.col("__toks"),
+    )
+    piece = F.slice(F.col("__toks"), F.col("__start"), chunk_tokens)
+    return chunked.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.size(piece).cast("bigint").alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+#: Scrub patterns shared verbatim with the DuckDB oracle — kept to
+#: constructs Java regex and RE2 interpret identically (no backrefs,
+#: no lookaround, explicit character classes).
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+
+
+def scrub_pii(
+    df: DataFrame, *, text_col: str = "text", out_col: str = "scrubbed"
+) -> DataFrame:
+    """Redact email addresses and phone numbers from ``text_col``,
+    counting redactions per row — the standard pre-training privacy
+    scrub, entirely in codegen (regexp_replace / regexp_count)."""
+    t = F.col(text_col)
+    return df.select(
+        "*",
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_PATTERN, "[EMAIL]"),
+            PHONE_PATTERN,
+            "[PHONE]",
+        ).alias(out_col),
+        F.regexp_count(t, F.lit(EMAIL_PATTERN)).cast("bigint").alias("n_emails"),
+        F.regexp_count(t, F.lit(PHONE_PATTERN)).cast("bigint").alias("n_phones"),
+    )

@@ -1,0 +1,360 @@
+"""Round-2 coverage growth: time-series verbs over the reference's
+tick data model (LOCF gap-fill, TWAP, drawdown, rolling moments),
+string aggregation, lateral explode, bloom-filter join pruning, and
+two more training-data ops (document chunking, PII scrubbing).
+
+Every query is oracle-exact (COVERAGE.md "Exactness strategy"):
+integer cents / integer µs accumulations, fixed float-op tails, window
+orders with unique tiebreakers, regex constructs Java and RE2 agree
+on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.text import chunk_documents, scrub_pii
+from ..operators.timeseries import (
+    drawdown,
+    locf_gapfill,
+    rolling_moments,
+    time_weighted_average,
+)
+from ..session import tune
+from ..tables import load
+
+
+# ---------------------------------------------------------------- q48
+def q48_locf_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF gap-fill (TimescaleDB ``locf(time_bucket_gapfill(...))``
+    analog): each user's daily last purchase value, carried forward
+    over days with no purchases, on a per-user generated day spine."""
+    tune(spark)
+    e = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return locf_gapfill(e, keys=["user_id"], ts="ts", value_col="value")
+
+
+_Q48_SQL = """
+WITH obs AS (
+  SELECT user_id, date_trunc('day', ts) AS bucket, arg_max(value, ts) AS obs
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+), spine AS (
+  SELECT user_id,
+         unnest(generate_series(min(bucket), max(bucket), INTERVAL 1 DAY)) AS bucket
+  FROM obs GROUP BY user_id
+)
+SELECT s.user_id, s.bucket,
+       last_value(o.obs IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+FROM spine s LEFT JOIN obs o ON o.user_id = s.user_id AND o.bucket = s.bucket
+"""
+
+
+# ---------------------------------------------------------------- q49
+def q49_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg ... ORDER BY):
+    per order, its line numbers + return flags joined in line order.
+    Spark has no ordered string_agg aggregate; the scalable rewrite is
+    collect_list of (order-key, payload) structs → sort_array →
+    transform → array_join — one shuffle, deterministic order."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    # (l_linenumber, l_returnflag) is NOT unique per order — the struct
+    # sort is total over BOTH fields, and the oracle's ORDER BY carries
+    # the same tiebreaker (duplicate payloads then agree either way)
+    parts = F.sort_array(
+        F.collect_list(F.struct("l_linenumber", "l_returnflag"))
+    )
+    return li.groupBy("l_orderkey").agg(
+        F.array_join(
+            F.transform(
+                parts,
+                lambda s: F.concat_ws(
+                    ":", s["l_linenumber"].cast("string"), s["l_returnflag"]
+                ),
+            ),
+            ",",
+        ).alias("lines"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+_Q49_SQL = """
+SELECT l_orderkey,
+       string_agg(l_linenumber || ':' || l_returnflag, ','
+                  ORDER BY l_linenumber, l_returnflag)
+         AS lines,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------- q50
+def q50_rolling_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day mean/stddev of purchase values per user via the
+    algebraic (n, Σx, Σx²) daily decomposition — the RANGE window
+    re-sums three integers per day instead of rescanning rows, and the
+    stddev is a fixed float-op tail over exact integer sums."""
+    tune(spark)
+    e = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return rolling_moments(
+        e, keys=["user_id"], ts="ts", value_col="value", trailing_days=6
+    )
+
+
+_Q50_SQL = """
+WITH daily AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS HUGEINT) AS sx,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)
+                  * CAST(round(value * 100) AS BIGINT)) AS HUGEINT) AS sxx
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+), rolled AS (
+  SELECT user_id, day,
+         sum(n)   OVER w AS n,
+         sum(sx)  OVER w AS sx,
+         sum(sxx) OVER w AS sxx
+  FROM daily
+  WINDOW w AS (PARTITION BY user_id ORDER BY day
+               RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, day,
+       CAST(n AS BIGINT) AS n_obs,
+       CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean_value,
+       CASE WHEN n > 1
+            THEN sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                      / CAST(n * (n - 1) AS DOUBLE)) / 100.0
+       END AS stddev_value
+FROM rolled
+"""
+
+
+# ---------------------------------------------------------------- q51
+def q51_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running peak and drawdown of each user's purchase series —
+    the canonical risk metric over the bar/tick data model (running
+    max picks exact inputs; one subtraction + one division)."""
+    tune(spark)
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select("user_id", "ts", "value")
+    return drawdown(e, keys=["user_id"], ts="ts", value_col="value")
+
+
+_Q51_SQL = """
+SELECT user_id, ts, value,
+       max(value) OVER w AS peak,
+       (value - max(value) OVER w) / max(value) OVER w AS drawdown
+FROM events WHERE event_type = 'purchase'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+# ---------------------------------------------------------------- q52
+def q52_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user-day (the TWAP twin of
+    q02's VWAP bars): each observation weighted by the integer µs it
+    stays current within its day.  BIGINT weighted sums, two final
+    divisions — engine-exact."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    return time_weighted_average(
+        e, keys=["user_id"], ts="ts", value_col="value"
+    )
+
+
+_Q52_SQL = """
+WITH x AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         epoch_us(least(
+             coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                      date_trunc('day', ts) + INTERVAL 1 DAY),
+             date_trunc('day', ts) + INTERVAL 1 DAY))
+           - epoch_us(ts) AS dt
+  FROM events
+)
+SELECT user_id, bucket,
+       CAST(sum(cents * dt) AS DOUBLE) / CAST(sum(dt) AS DOUBLE) / 100.0 AS twap,
+       CAST(count(*) AS BIGINT) AS n_obs
+FROM x GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------- q53
+def q53_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (50-token windows, stride 40)
+    — the context-window shaping step between curation and packing."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    return chunk_documents(
+        docs, id_col="doc_id", text_col="text", chunk_tokens=50, stride=40
+    )
+
+
+_Q53_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS toks,
+         CASE WHEN len(toks) > 50
+              THEN 1 + 40 * ((len(toks) - 50 + 39) // 40)
+              ELSE 1 END AS last_start
+  FROM documents
+), starts AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, last_start, 40)) AS s,
+         generate_subscripts(generate_series(1, last_start, 40), 1) AS chunk_id
+  FROM t WHERE len(toks) > 0
+)
+SELECT doc_id,
+       CAST(chunk_id - 1 AS BIGINT) AS chunk_id,
+       CAST(len(toks[s:s+49]) AS BIGINT) AS n_tokens,
+       array_to_string(toks[s:s+49], ' ') AS chunk_text
+FROM starts
+"""
+
+
+# ---------------------------------------------------------------- q54
+def q54_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over documents salted with deterministic synthetic
+    contact strings (the raw corpus has none): emails and phone
+    numbers are injected per doc_id, then redacted and counted — the
+    pre-training privacy pass, all in codegen regex ops that Java and
+    RE2 interpret identically."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1"),
+            F.lpad((F.col("doc_id") % 900 + 100).cast("string"), 3, "0"),
+            F.lit("-555-"),
+            F.lpad((F.col("doc_id") % 9000 + 1000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return scrub_pii(docs, text_col="text")
+
+
+_Q54_SQL = r"""
+WITH salted AS (
+  SELECT doc_id,
+         text || ' contact: user' || doc_id || '@example.com or +1'
+              || lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0')
+              || '-555-'
+              || lpad(CAST(doc_id % 9000 + 1000 AS VARCHAR), 4, '0') AS text
+  FROM documents
+)
+SELECT doc_id, text,
+       regexp_replace(
+         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                        '[EMAIL]', 'g'),
+         '\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}', '[PHONE]', 'g') AS scrubbed,
+       CAST(len(regexp_extract_all(
+         text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(
+         text, '\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}')) AS BIGINT) AS n_phones
+FROM salted
+"""
+
+
+# ---------------------------------------------------------------- q55
+def q55_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning (operators/bloomjoin.py): build a
+    bloom bitmap over the filtered orders keys, broadcast it as one
+    row, prune the lineitem scan with codegen'd bit tests BEFORE the
+    join shuffle — the semi-join reduction that keeps most of a 100 TB
+    fact table out of the exchange.  The real join still runs, so
+    bloom false positives cannot leak: the result is exactly the plain
+    join's (which is the oracle)."""
+    from ..operators.bloomjoin import bloom_prune, build_bloom
+
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    )
+    bloom = build_bloom(o.select("o_orderkey"), "o_orderkey")
+    pruned = bloom_prune(li, bloom, "l_orderkey")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    return (
+        pruned.join(o.select("o_orderkey", "o_orderpriority"),
+                    pruned.l_orderkey == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            (F.sum(cents) / 100.0).alias("revenue"),
+        )
+    )
+
+
+_Q55_SQL = """
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_lineitems,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+         / 100.0 AS revenue
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------- q56
+def q56_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary via lateral explode (the UDTF-shaped op):
+    explode every document's tokens, count, keep the top 20 under a
+    total (count DESC, token ASC) order."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    from ..functions import tokens
+
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+_Q56_SQL = r"""
+WITH t AS (
+  SELECT unnest(regexp_extract_all(trim(text), '\S+')) AS token
+  FROM documents
+)
+SELECT token, CAST(count(*) AS BIGINT) AS n
+FROM t GROUP BY 1
+ORDER BY n DESC, token ASC
+LIMIT 20
+"""
+
+
+QUERIES = {
+    "q48_locf_gapfill": q48_locf_gapfill,
+    "q49_listagg": q49_listagg,
+    "q50_rolling_volatility": q50_rolling_volatility,
+    "q51_drawdown": q51_drawdown,
+    "q52_twap": q52_twap,
+    "q53_document_chunking": q53_document_chunking,
+    "q54_pii_scrub": q54_pii_scrub,
+    "q55_bloom_join_prune": q55_bloom_join_prune,
+    "q56_token_vocab": q56_token_vocab,
+}
+
+ORACLE = {
+    "q48_locf_gapfill": _Q48_SQL,
+    "q49_listagg": _Q49_SQL,
+    "q50_rolling_volatility": _Q50_SQL,
+    "q51_drawdown": _Q51_SQL,
+    "q52_twap": _Q52_SQL,
+    "q53_document_chunking": _Q53_SQL,
+    "q54_pii_scrub": _Q54_SQL,
+    "q55_bloom_join_prune": _Q55_SQL,
+    "q56_token_vocab": _Q56_SQL,
+}

@@ -605,3 +605,69 @@ def test_asof_join_rejects_value_col_collision(spark):
             probe, state, on=["k"], probe_ts="ts", state_ts="ts",
             value_cols=["value"],
         )
+
+
+# ----------------------------------------------------- timeseries ops
+def test_locf_gapfill_fills_missing_days(spark):
+    from alpaca_pyspark_spark.operators.timeseries import locf_gapfill
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 5.0), (1, "2024-01-04 09:00:00", 7.0)],
+        "k long, ts_s string, v double",
+    ).select("k", F.col("ts_s").cast("timestamp_ntz").alias("ts"), "v")
+    out = {
+        str(r["bucket"])[:10]: r["value"]
+        for r in locf_gapfill(df, keys=["k"], ts="ts", value_col="v").collect()
+    }
+    assert out == {
+        "2024-01-01": 5.0, "2024-01-02": 5.0,
+        "2024-01-03": 5.0, "2024-01-04": 7.0,
+    }
+
+
+def test_twap_weights_by_holding_time(spark):
+    from alpaca_pyspark_spark.operators.timeseries import time_weighted_average
+
+    # value 1.00 held 6h, then 2.00 held to day end (18h):
+    # twap = (100*6 + 200*18) / 24 / 100 = 1.75
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1.0), (1, "2024-01-01 06:00:00", 2.0)],
+        "k long, ts_s string, v double",
+    ).select("k", F.col("ts_s").cast("timestamp_ntz").alias("ts"), "v")
+    rows = time_weighted_average(df, keys=["k"], ts="ts", value_col="v").collect()
+    assert len(rows) == 1 and rows[0]["twap"] == 1.75 and rows[0]["n_obs"] == 2
+
+
+def test_chunking_boundaries(spark):
+    from alpaca_pyspark_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),   # < window: 1 chunk
+            (2, " ".join(f"t{i}" for i in range(50))),   # == window: 1 chunk
+            (3, " ".join(f"t{i}" for i in range(51))),   # 1 stride past: 2 chunks
+            (4, ""),                                     # empty: dropped
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=50, stride=40).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc.get(1, [])) == 1 and by_doc[1][0]["n_tokens"] == 10
+    assert len(by_doc.get(2, [])) == 1 and by_doc[2][0]["n_tokens"] == 50
+    assert len(by_doc.get(3, [])) == 2
+    assert by_doc[3][1]["n_tokens"] == 11  # tail chunk: tokens 41..51
+    assert 4 not in by_doc
+
+
+def test_bloom_prune_no_false_negatives(spark):
+    from alpaca_pyspark_spark.operators.bloomjoin import bloom_prune, build_bloom
+
+    keys = spark.range(0, 100).withColumnRenamed("id", "k")
+    fact = spark.range(0, 10000).withColumnRenamed("id", "k")
+    bloom = build_bloom(keys, "k", num_bits=1 << 14, num_hashes=5)
+    pruned = bloom_prune(fact, bloom, "k", num_bits=1 << 14, num_hashes=5)
+    kept = {r["k"] for r in pruned.collect()}
+    assert set(range(100)) <= kept          # every true key survives
+    assert len(kept) < 10000                # and most non-keys are pruned
