@@ -155,3 +155,35 @@ def test_interval_joins_keep_equality_hash_path(spark):
         plan = formatted_plan(QUERIES[qid](spark, SF_DIR))
         assert "NestedLoop" not in plan, (qid, plan)
         assert "HashJoin" in plan or "SortMergeJoin" in plan, (qid, plan)
+
+
+def test_q52_twap_single_shuffle(spark):
+    df = QUERIES["q52_twap"](spark, SF_DIR)
+    # the lead() window and the (user, day) agg share one exchange
+    assert count_shuffles(df) == 1, formatted_plan(df)
+
+
+def test_q53_chunking_map_only(spark):
+    df = QUERIES["q53_document_chunking"](spark, SF_DIR)
+    # tokenize -> explode -> slice is a pure map pipeline: NO exchange
+    assert count_shuffles(df) == 0, formatted_plan(df)
+    assert has_whole_stage_codegen(df)
+
+
+def test_q54_pii_scrub_map_only(spark):
+    df = QUERIES["q54_pii_scrub"](spark, SF_DIR)
+    assert count_shuffles(df) == 0, formatted_plan(df)
+
+
+def test_q55_bloom_prunes_before_join_shuffle(spark):
+    df = QUERIES["q55_bloom_join_prune"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    # the bitmap rides a broadcast; the fact side is filtered by the
+    # bit tests (xxhash64 against the broadcast array) below the join
+    assert count_broadcasts(df) >= 2, plan
+    assert "xxhash64" in plan, plan
+
+
+def test_q51_drawdown_single_shuffle(spark):
+    df = QUERIES["q51_drawdown"](spark, SF_DIR)
+    assert count_shuffles(df) == 1, formatted_plan(df)
