@@ -335,6 +335,150 @@ LIMIT 20
 """
 
 
+
+
+# ---------------------------------------------------------------- q57
+def q57_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified EXACT-COUNT sampling: the top 20 documents per
+    (lang, source) stratum under a deterministic Lehmer-hash order —
+    the corpus-mixing primitive when each domain needs a fixed budget,
+    not a fixed rate (q37 is the rate-based sibling).  One shuffle on
+    the strata, rank window, no RNG state."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    h = ((F.col("doc_id") % 2147483647) * 48271 % 2147483647) * 16807 % 2147483647
+    w = Window.partitionBy("lang", "source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "lang", "source", h.alias("__h"))
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 20)
+        .select("doc_id", "lang", "source", "rk")
+    )
+
+
+_Q57_SQL = """
+WITH h AS (
+  SELECT doc_id, lang, source,
+         ((((doc_id % 2147483647) * 48271) % 2147483647) * 16807) % 2147483647
+           AS hh
+  FROM documents
+)
+SELECT doc_id, lang, source,
+       CAST(row_number() OVER (PARTITION BY lang, source
+                               ORDER BY hh, doc_id) AS BIGINT) AS rk
+FROM h
+QUALIFY rk <= 20
+"""
+
+
+# ---------------------------------------------------------------- q58
+def q58_window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window breadth: ntile, percent_rank, cume_dist, and
+    dense_rank over one per-flag price order — these four are the
+    remaining ranking functions the engine had not yet declared
+    (rank/row_number/lag/lead live in q20)."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("l_extendedprice").asc(), F.col("l_orderkey").asc(),
+        F.col("l_linenumber").asc(),
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_extendedprice",
+        F.ntile(10).over(w).cast("bigint").alias("decile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.dense_rank().over(w).cast("bigint").alias("drank"),
+    )
+
+
+_Q58_SQL = """
+SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+       CAST(ntile(10) OVER w AS BIGINT) AS decile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume,
+       CAST(dense_rank() OVER w AS BIGINT) AS drank
+FROM lineitem
+WINDOW w AS (PARTITION BY l_returnflag
+             ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+"""
+
+
+# ---------------------------------------------------------------- q59
+def q59_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (the SQL FILTER clause family):
+    count_if / sum-where / any / every per user over events — the
+    single-pass multi-metric shape that replaces N filtered scans."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_if(F.col("event_type") == "purchase").alias("n_purchases"),
+        (
+            F.sum(F.when(F.col("event_type") == "purchase", cents).otherwise(0))
+            / 100.0
+        ).alias("purchase_total"),
+        F.max(F.col("event_type") == "error").alias("any_error"),
+        F.min(F.col("value") > 0).alias("all_positive"),
+    )
+
+
+_Q59_SQL = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchases,
+       CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT))
+                     FILTER (event_type = 'purchase'), 0) AS DOUBLE) / 100.0
+         AS purchase_total,
+       bool_or(event_type = 'error') AS any_error,
+       bool_and(value > 0) AS all_positive
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------- q60
+def q60_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 dimension build from an event stream: each user's
+    signup events become versioned attribute rows with
+    [effective_from, effective_to) validity and a current flag —
+    lead() closes each version, the final version stays open (NULL).
+    One shuffle, one window pass; the standard CDC-to-warehouse shape."""
+    tune(spark)
+    e = load(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    nxt = F.lead("ts").over(w)
+    return e.select(
+        "user_id",
+        F.col("value").alias("attr_value"),
+        F.col("ts").alias("effective_from"),
+        nxt.alias("effective_to"),
+        nxt.isNull().alias("is_current"),
+        F.row_number().over(w).cast("bigint").alias("version"),
+    )
+
+
+_Q60_SQL = """
+SELECT user_id,
+       value AS attr_value,
+       ts AS effective_from,
+       lead(ts) OVER w AS effective_to,
+       lead(ts) OVER w IS NULL AS is_current,
+       CAST(row_number() OVER w AS BIGINT) AS version
+FROM events WHERE event_type = 'signup'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+"""
+
+
 QUERIES = {
     "q48_locf_gapfill": q48_locf_gapfill,
     "q49_listagg": q49_listagg,
@@ -345,6 +489,10 @@ QUERIES = {
     "q54_pii_scrub": q54_pii_scrub,
     "q55_bloom_join_prune": q55_bloom_join_prune,
     "q56_token_vocab": q56_token_vocab,
+    "q57_stratified_sample": q57_stratified_sample,
+    "q58_window_rank_suite": q58_window_rank_suite,
+    "q59_conditional_agg": q59_conditional_agg,
+    "q60_scd2_history": q60_scd2_history,
 }
 
 ORACLE = {
@@ -357,4 +505,8 @@ ORACLE = {
     "q54_pii_scrub": _Q54_SQL,
     "q55_bloom_join_prune": _Q55_SQL,
     "q56_token_vocab": _Q56_SQL,
+    "q57_stratified_sample": _Q57_SQL,
+    "q58_window_rank_suite": _Q58_SQL,
+    "q59_conditional_agg": _Q59_SQL,
+    "q60_scd2_history": _Q60_SQL,
 }
