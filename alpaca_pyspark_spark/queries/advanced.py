@@ -479,6 +479,174 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 """
 
 
+
+
+# ---------------------------------------------------------------- q61
+def q61_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy benchmark-contamination scoring (q39 is the exact-match
+    anti-join): per document, the FRACTION of its distinct 5-grams
+    that appear anywhere in the benchmark set (docs with doc_id%97==0
+    play the benchmark).  The benchmark n-gram set is dimension-sized
+    → broadcast semi-join per exploded n-gram, then one ratio —
+    integer counts, one division, engine-exact."""
+    from ..functions import tokens, word_shingles
+
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    grams = F.array_distinct(word_shingles(tokens(F.col("text")), 5))
+    exploded = docs.select(
+        "doc_id", F.size(grams).alias("n_grams"), F.explode(grams).alias("g")
+    )
+    bench = (
+        docs.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode(grams).alias("g"))
+        .distinct()
+    )
+    hits = (
+        exploded.join(F.broadcast(bench), "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    per_doc = exploded.select("doc_id", "n_grams").distinct()
+    return per_doc.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+        (
+            F.coalesce("n_hits", F.lit(0)).cast("double")
+            / F.col("n_grams").cast("double")
+        ).alias("overlap_frac"),
+    )
+
+
+_Q61_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS toks FROM documents
+), g AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(toks[i:i+4], ' ')
+                        FOR i IN range(1, len(toks) - 3)]) AS grams
+  FROM t WHERE len(toks) >= 5
+), e AS (
+  SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram FROM g
+), bench AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0
+)
+SELECT e.doc_id,
+       CAST(any_value(e.n_grams) AS BIGINT) AS n_grams,
+       CAST(count(bench.gram) AS BIGINT) AS n_hits,
+       CAST(count(bench.gram) AS DOUBLE) / CAST(any_value(e.n_grams) AS DOUBLE)
+         AS overlap_frac
+FROM e LEFT JOIN bench USING (gram)
+GROUP BY e.doc_id
+"""
+
+
+# ---------------------------------------------------------------- q62
+def q62_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (the Gopher/MassiveText
+    quality-filter family): duplicate-3-gram fraction and top-token
+    dominance per document — exact integer counts, two divisions."""
+    from ..functions import tokens, word_shingles
+
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    grams = word_shingles(toks, 3)
+    base = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tok"),
+        F.size(grams).alias("n_g"),
+        F.size(F.array_distinct(grams)).alias("n_gd"),
+        F.explode(toks).alias("tok"),
+    )
+    per_tok = base.groupBy("doc_id", "n_tok", "n_g", "n_gd", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return per_tok.groupBy("doc_id", "n_tok", "n_g", "n_gd").agg(
+        F.max("c").alias("top_tok_n")
+    ).select(
+        "doc_id",
+        F.col("n_tok").cast("bigint").alias("n_tokens"),
+        F.when(
+            F.col("n_g") > 0,
+            (F.col("n_g") - F.col("n_gd")).cast("double") / F.col("n_g").cast("double"),
+        ).otherwise(F.lit(0.0)).alias("dup_3gram_frac"),
+        (F.col("top_tok_n").cast("double") / F.col("n_tok").cast("double")).alias(
+            "top_token_frac"
+        ),
+    )
+
+
+_Q62_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS toks FROM documents
+), g AS (
+  SELECT doc_id, len(toks) AS n_tok,
+         CASE WHEN len(toks) >= 3
+              THEN [array_to_string(toks[i:i+2], ' ')
+                    FOR i IN range(1, len(toks) - 1)]
+              ELSE [] END AS grams,
+         toks
+  FROM t WHERE len(toks) > 0
+), tok_counts AS (
+  SELECT doc_id, any_value(n_tok) AS n_tok, tok, count(*) AS c
+  FROM (SELECT doc_id, n_tok, unnest(toks) AS tok FROM g)
+  GROUP BY doc_id, tok
+)
+SELECT g.doc_id,
+       CAST(g.n_tok AS BIGINT) AS n_tokens,
+       CASE WHEN len(g.grams) > 0
+            THEN CAST(len(g.grams) - len(list_distinct(g.grams)) AS DOUBLE)
+                 / CAST(len(g.grams) AS DOUBLE)
+            ELSE 0.0 END AS dup_3gram_frac,
+       CAST(m.top_n AS DOUBLE) / CAST(g.n_tok AS DOUBLE) AS top_token_frac
+FROM g JOIN (SELECT doc_id, max(c) AS top_n FROM tok_counts GROUP BY doc_id) m
+  USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------- q63
+def q63_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture weights: token mass per (lang, source) domain
+    and its share of the whole corpus — what a data-mixing config is
+    derived from.  Exact integer token totals; the share is one
+    division by the (windowed) grand total."""
+    from ..functions import tokens
+
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    per = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens(F.col("text"))).cast("bigint")).alias("n_tokens"),
+    )
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    return per.select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / total.cast("double")).alias("token_share"),
+    )
+
+
+_Q63_SQL = r"""
+WITH per AS (
+  SELECT lang, source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(regexp_extract_all(trim(text), '\S+'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY 1, 2
+)
+SELECT lang, source, n_docs, n_tokens,
+       CAST(n_tokens AS DOUBLE)
+         / CAST(sum(n_tokens) OVER () AS DOUBLE) AS token_share
+FROM per
+"""
+
+
 QUERIES = {
     "q48_locf_gapfill": q48_locf_gapfill,
     "q49_listagg": q49_listagg,
@@ -493,6 +661,9 @@ QUERIES = {
     "q58_window_rank_suite": q58_window_rank_suite,
     "q59_conditional_agg": q59_conditional_agg,
     "q60_scd2_history": q60_scd2_history,
+    "q61_contamination_overlap": q61_contamination_overlap,
+    "q62_repetition_stats": q62_repetition_stats,
+    "q63_corpus_mixture": q63_corpus_mixture,
 }
 
 ORACLE = {
@@ -509,4 +680,7 @@ ORACLE = {
     "q58_window_rank_suite": _Q58_SQL,
     "q59_conditional_agg": _Q59_SQL,
     "q60_scd2_history": _Q60_SQL,
+    "q61_contamination_overlap": _Q61_SQL,
+    "q62_repetition_stats": _Q62_SQL,
+    "q63_corpus_mixture": _Q63_SQL,
 }
