@@ -494,9 +494,13 @@ def q61_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     docs = load(spark, sf_dir, "documents")
     grams = F.array_distinct(word_shingles(tokens(F.col("text")), 5))
-    exploded = docs.select(
-        "doc_id", F.size(grams).alias("n_grams"), F.explode(grams).alias("g")
-    )
+    # The generator rides ALONE in its projection: a sibling column
+    # like size(grams) would be merged through the Generate by
+    # CollapseProject and re-evaluate the whole tokenize→shingle
+    # pipeline once PER EXPLODED ROW (~50× the work; measured 56 s vs
+    # 1 s at sf0.1).  Per-doc scalars come from a separate narrow
+    # projection joined back at the end.
+    exploded = docs.select("doc_id", F.explode(grams).alias("g"))
     bench = (
         docs.filter(F.col("doc_id") % 97 == 0)
         .select(F.explode(grams).alias("g"))
@@ -507,7 +511,9 @@ def q61_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
-    per_doc = exploded.select("doc_id", "n_grams").distinct()
+    per_doc = docs.select("doc_id", F.size(grams).alias("n_grams")).filter(
+        F.col("n_grams") > 0
+    )
     return per_doc.join(hits, "doc_id", "left").select(
         "doc_id",
         F.col("n_grams").cast("bigint").alias("n_grams"),
@@ -553,19 +559,21 @@ def q62_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     grams = word_shingles(toks, 3)
-    base = docs.select(
+    # generator isolated from the per-doc scalar columns — see q61
+    exploded = docs.select("doc_id", F.explode(toks).alias("tok"))
+    top = (
+        exploded.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_tok_n"))
+    )
+    stats = docs.select(
         "doc_id",
         F.size(toks).alias("n_tok"),
         F.size(grams).alias("n_g"),
         F.size(F.array_distinct(grams)).alias("n_gd"),
-        F.explode(toks).alias("tok"),
-    )
-    per_tok = base.groupBy("doc_id", "n_tok", "n_g", "n_gd", "tok").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    return per_tok.groupBy("doc_id", "n_tok", "n_g", "n_gd").agg(
-        F.max("c").alias("top_tok_n")
-    ).select(
+    ).filter(F.col("n_tok") > 0)
+    return stats.join(top, "doc_id").select(
         "doc_id",
         F.col("n_tok").cast("bigint").alias("n_tokens"),
         F.when(
