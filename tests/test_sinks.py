@@ -120,3 +120,33 @@ def test_dynamic_partition_overwrite_backfill(spark, tmp_path):
         for r in back.filter(F.col("day") == day).select("event_id", "value").collect()
     }
     assert got == want
+
+
+def test_file_format_round_trips(spark, tmp_path):
+    """Source/sink format breadth: the engine reads and writes every
+    Spark-built-in columnar/text format losslessly (parquet is the
+    primary path; csv/json/orc cover interchange)."""
+    from alpaca_pyspark_spark.tables import load
+
+    from .conftest import SF_DIR
+
+    e = load(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    want = {(r["event_id"], r["user_id"], r["event_type"], r["value"])
+            for r in e.collect()}
+
+    for fmt in ("parquet", "orc", "json", "csv"):
+        path = str(tmp_path / fmt)
+        w = e.write.mode("overwrite")
+        r = spark.read
+        if fmt == "csv":
+            w = w.option("header", True)
+            r = r.option("header", True).schema(e.schema)
+        if fmt == "json":
+            r = r.schema(e.schema)
+        getattr(w, fmt)(path)
+        back = getattr(r, fmt)(path)
+        got = {(x["event_id"], x["user_id"], x["event_type"], x["value"])
+               for x in back.collect()}
+        assert got == want, f"{fmt} round trip lost data"
