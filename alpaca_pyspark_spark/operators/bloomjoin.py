@@ -65,6 +65,8 @@ def build_bloom(
     path by orders of magnitude.  Densification is a broadcast join of
     the sparse (word, bits) aggregate onto a ``range(num_words)``
     spine, then one sorted collect into the array."""
+    if num_bits % 64:
+        raise ValueError("num_bits must be a multiple of 64")
     num_words = num_bits // 64
     pos = _positions(key_col, num_bits, num_hashes)
     exploded = keys.select(

@@ -655,6 +655,102 @@ FROM per
 """
 
 
+
+
+# ---------------------------------------------------------------- q64
+def q64_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): customer ⋈ orders ⋈
+    lineitem with selective filters on both dimensions, revenue
+    aggregation, top-10 — the canonical multi-way join Catalyst
+    reorders; the customer side broadcasts, lineitem never shuffles
+    for the first join.  Revenue in exact cents: price·(1−disc)
+    re-expressed as integer cents·(100−disc_pct) summed in BIGINT,
+    ONE final division by 10000."""
+    tune(spark)
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1995-03-15 00:00:00"
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1995-03-15 00:00:00"
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    disc_pct = F.round(F.col("l_discount") * 100).cast("bigint")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            (F.sum(cents * (F.lit(100) - disc_pct)) / 10000.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+_Q64_SQL = """
+SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+            AS DOUBLE) / 10000.0 AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------- q65
+def q65_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS through the SQL surface (q47 is
+    the scalar-subquery sibling): suppliers of a part ordered with
+    quantity > 45, minus any that also shipped late-return lines —
+    Catalyst decorrelates both into semi/anti joins (no per-row
+    subquery execution)."""
+    tune(spark)
+    for t in ("part", "supplier", "lineitem"):
+        load(spark, sf_dir, t).createOrReplaceTempView(f"__q65_{t}")
+    return spark.sql(
+        """
+        SELECT s.s_suppkey, s.s_name
+        FROM __q65_supplier s
+        WHERE EXISTS (
+            SELECT 1 FROM __q65_lineitem l
+            WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 45
+        )
+        AND NOT EXISTS (
+            SELECT 1 FROM __q65_lineitem l
+            WHERE l.l_suppkey = s.s_suppkey AND l.l_returnflag = 'R'
+              AND l.l_quantity > 49
+        )
+        """
+    )
+
+
+_Q65_SQL = """
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 45
+)
+AND NOT EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_suppkey = s.s_suppkey AND l.l_returnflag = 'R'
+      AND l.l_quantity > 49
+)
+"""
+
+
 QUERIES = {
     "q48_locf_gapfill": q48_locf_gapfill,
     "q49_listagg": q49_listagg,
@@ -672,6 +768,8 @@ QUERIES = {
     "q61_contamination_overlap": q61_contamination_overlap,
     "q62_repetition_stats": q62_repetition_stats,
     "q63_corpus_mixture": q63_corpus_mixture,
+    "q64_shipping_priority": q64_shipping_priority,
+    "q65_exists_subquery": q65_exists_subquery,
 }
 
 ORACLE = {
@@ -691,4 +789,6 @@ ORACLE = {
     "q61_contamination_overlap": _Q61_SQL,
     "q62_repetition_stats": _Q62_SQL,
     "q63_corpus_mixture": _Q63_SQL,
+    "q64_shipping_priority": _Q64_SQL,
+    "q65_exists_subquery": _Q65_SQL,
 }
