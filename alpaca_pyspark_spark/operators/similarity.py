@@ -68,6 +68,140 @@ def sign_bucket(vec: Column, *, dim: int, num_planes: int = 16) -> Column:
     return bucket
 
 
+def _seq_dot_block(A: "np.ndarray", B: "np.ndarray") -> "np.ndarray":
+    """All-pairs dot products with the EXACT IEEE summation order of
+    the engine's scalar fold: one accumulate step per dimension
+    (((0 + a₀b₀) + a₁b₁) + …), vectorized across pairs.  numpy's
+    elementwise add/multiply are plain IEEE ops (no FMA, no pairwise
+    reassociation), so every entry is bit-identical to the
+    ``aggregate``/``zip_with`` fold and to DuckDB's
+    ``list_cosine_similarity`` accumulation — verified in tests.
+    ~100× the interpreted fold's throughput."""
+    acc = np.zeros((A.shape[0], B.shape[0]))
+    for i in range(A.shape[1]):
+        acc += A[:, i, None] * B[None, :, i]
+    return acc
+
+
+def _seq_norms(M: "np.ndarray") -> "np.ndarray":
+    acc = np.zeros(M.shape[0])
+    for i in range(M.shape[1]):
+        acc += M[:, i] * M[:, i]
+    return np.sqrt(acc)
+
+
+def brute_force_topk_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    k: int = 10,
+    include_self: bool = False,
+) -> DataFrame:
+    """Exact top-k cosine neighbors, Arrow fast path: the (small)
+    query set rides in the UDF closure as one numpy block; each
+    corpus partition scores itself against every query with the
+    sequential-order kernel — same doubles as ``brute_force_topk``,
+    no interpreted per-pair fold, no pair materialization before the
+    top-k window.  The corpus side still never shuffles until the
+    final window over |corpus|×|Q| scored rows."""
+    q_rows = queries.select(
+        F.col(query_id).alias("qid"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).collect()
+    qids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
+    Q = np.array([r["qv"] for r in q_rows], dtype=np.float64)
+    nq = _seq_norms(Q)
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf["__cv"].to_numpy())
+            cos = _seq_dot_block(M, Q) / (_seq_norms(M)[:, None] * nq[None, :])
+            m, q = cos.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.tile(qids, m),
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), q),
+                    "cos_sim": cos.ravel(),
+                }
+            )
+
+    from . import spread
+
+    c = spread(
+        corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("__cv"),
+        )
+    )
+    scored = c.mapInPandas(score, "query_id long, vec_id long, cos_sim double")
+    if not include_self:
+        scored = scored.filter(F.col("vec_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def all_pairs_above_arrow(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float,
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold (id_a < id_b), Arrow fast
+    path for the ORACLE-BASELINE corpus sizes: the full vector set is
+    collected into the UDF closure (usable while |corpus|×dim fits the
+    driver — the dedup scale path is the LSH-bucketed variant, not
+    this).  Each partition's block scores against the whole corpus
+    with the sequential-order kernel; only passing pairs are emitted,
+    so nothing quadratic is ever materialized in the plan."""
+    rows = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).collect()
+    ids = np.array([r["id"] for r in rows], dtype=np.int64)
+    C = np.array([r["v"] for r in rows], dtype=np.float64)
+    nc = _seq_norms(C)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf["__v"].to_numpy())
+            mids = pdf["__id"].to_numpy()
+            cos = _seq_dot_block(M, C) / (_seq_norms(M)[:, None] * nc[None, :])
+            keep = (cos >= threshold) & (mids[:, None] < ids[None, :])
+            r, c = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "id_a": mids[r],
+                    "id_b": ids[c],
+                    "cos_sim": cos[r, c],
+                }
+            )
+
+    from . import spread
+
+    v = spread(
+        vectors.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        )
+    )
+    return v.mapInPandas(gen, "id_a long, id_b long, cos_sim double")
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,

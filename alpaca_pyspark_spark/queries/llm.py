@@ -28,7 +28,7 @@ from ..operators.dedup import (
     simhash_near_duplicates,
 )
 from ..operators.multimodal import decode_media, synthesize_media
-from ..operators.similarity import brute_force_topk, lsh_topk
+from ..operators.similarity import brute_force_topk_arrow, lsh_topk
 from ..operators.text import with_fingerprint, with_lang_id, with_text_stats
 from ..functions import char_ngrams
 from ..session import tune
@@ -144,7 +144,7 @@ def q13_embedding_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return brute_force_topk(
+    return brute_force_topk_arrow(
         emb, queries, id_col="vec_id", vec_col="embedding", query_id="query_id", k=10
     )
 

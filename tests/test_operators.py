@@ -671,3 +671,29 @@ def test_bloom_prune_no_false_negatives(spark):
     kept = {r["k"] for r in pruned.collect()}
     assert set(range(100)) <= kept          # every true key survives
     assert len(kept) < 10000                # and most non-keys are pruned
+
+
+def test_arrow_cosine_kernel_bit_equals_fold(spark):
+    """The numpy sequential-order kernel must produce BIT-identical
+    doubles to the JVM aggregate/zip_with fold (same IEEE op order) —
+    the property that lets the Arrow fast path keep the exact oracle."""
+    from alpaca_pyspark_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_arrow,
+    )
+    from alpaca_pyspark_spark.tables import load
+
+    emb = load(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    kw = dict(id_col="vec_id", vec_col="embedding", query_id="query_id", k=5)
+    fold = {
+        (r["query_id"], r["vec_id"]): (r["rank"], r["cos_sim"])
+        for r in brute_force_topk(emb, queries, **kw).collect()
+    }
+    arrow = {
+        (r["query_id"], r["vec_id"]): (r["rank"], r["cos_sim"])
+        for r in brute_force_topk_arrow(emb, queries, **kw).collect()
+    }
+    assert fold == arrow  # exact equality, including the doubles
