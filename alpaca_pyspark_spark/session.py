@@ -32,6 +32,14 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.parquet.inferTimestampNTZ.enabled": "true",
     # Arrow for any pandas-UDF paths (similarity/multimodal operators).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # ObjectHashAggregate (collect_list/collect_set aggs) falls back to
+    # SORT-BASED aggregation after only 128 distinct keys per partition
+    # — a full sort of the exploded input (2× on the minhash signature
+    # stage, measured).  Doc-level aggregations routinely see thousands
+    # of keys per partition and their buffers are small; 64k keeps the
+    # hash path while still bounding per-partition buffer memory for
+    # genuinely huge cardinalities.
+    "spark.sql.execution.objectHashAggregate.sortBased.fallbackThreshold": "65536",
 }
 
 
