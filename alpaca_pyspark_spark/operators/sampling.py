@@ -51,6 +51,21 @@ def deterministic_sample(
     return df.filter(det_hash(F.col(id_col)) < F.lit(int(rate * MINSTD_M)))
 
 
+def weighted_sample(
+    df: DataFrame, *, id_col: str, weight_promille: Column
+) -> DataFrame:
+    """Per-row-weighted Bernoulli keep (probability = promille/1000),
+    decided by the same Lehmer hash as :func:`deterministic_sample` —
+    quality-weighted corpus mixing that stays reproducible and
+    partition-independent.  All integer arithmetic: ``h*1000 <
+    w*(2^31-1)`` never exceeds ~2^41, exactly reproducible in ANSI
+    SQL.  ``weight_promille`` must be an integer column in [0, 1000]."""
+    return df.filter(
+        det_hash(F.col(id_col)) * F.lit(1000)
+        < weight_promille.cast("bigint") * F.lit(MINSTD_M)
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     *,

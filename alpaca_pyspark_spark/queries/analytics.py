@@ -1,0 +1,446 @@
+"""Behavioral / warehouse analytics coverage (q66+): outer-join
+aggregate-of-aggregate distributions, interval coalescing, staged
+funnels, snapshot diffing, correlated-average joins, argmax
+aggregates, profiling histograms, and weighted reproducible sampling.
+
+Every query is oracle-exact (COVERAGE.md "Exactness strategy"):
+integer cents / integer µs accumulations, packed-integer argmax
+ordering keys, explicit ROWS window frames (DuckDB's default RANGE
+frame differs on ties), and a fixed float-op tail (at most one
+division).
+
+Reference parity notes: the reference engine (tnixon/alpaca-pyspark)
+delegates all post-scan relational work to Spark
+(/root/reference/README.md:96-117 "use the DataFrame API"); these
+queries pin down that delegated surface over the driver's synthetic
+tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..session import tune
+from ..tables import load
+
+
+# ---------------------------------------------------------------- q66
+def q66_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): LEFT outer
+    join customer←orders so zero-order customers survive, count per
+    customer, then re-aggregate the counts into a histogram.  The
+    join and the first aggregate share the ``custkey`` hash
+    partitioning (one shuffle each side, no re-exchange between join
+    and count); the second aggregate's input is ≤ |distinct counts|
+    rows, so its shuffle is negligible at any scale."""
+    tune(spark)
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    counts = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        counts.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+_Q66_SQL = """
+WITH counts AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM counts
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# ---------------------------------------------------------------- q67
+def q67_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval coalescing (merge overlapping ranges): each event
+    spans [ts, ts+5min]; per user, merge transitively-overlapping
+    spans into islands and report each island's extent.  The classic
+    running-max-end window: a row starts a new island iff its start
+    exceeds the max end of ALL preceding rows (not just the previous
+    row — earlier long intervals can bridge).  Integer-µs arithmetic
+    throughout; explicit ROWS frames (DuckDB's ORDER BY default is
+    RANGE, which merges ties differently).  One shuffle on user_id
+    shared by both windows and the final aggregate."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    from ..operators.timeseries import _micros
+
+    dur = 300_000_000  # 5 min in µs
+    s = _micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_max_end = F.max(s + F.lit(dur)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = F.when(
+        prev_max_end.isNull() | (s > prev_max_end), F.lit(1)
+    ).otherwise(F.lit(0))
+    island = F.sum(new_island).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    spans = e.select(
+        "user_id",
+        s.alias("__s"),
+        (s + F.lit(dur)).alias("__e"),
+        island.cast("long").alias("island"),
+    )
+    return spans.groupBy("user_id", "island").agg(
+        F.timestamp_micros(F.min("__s")).cast("timestamp_ntz").alias("start_ts"),
+        F.timestamp_micros(F.max("__e")).cast("timestamp_ntz").alias("end_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+_Q67_SQL = """
+WITH spans AS (
+  SELECT user_id, event_id,
+         epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e,
+         max(epoch_us(ts) + 300000000) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS prev_max_end
+  FROM events
+), flagged AS (
+  SELECT user_id, s, e,
+         CASE WHEN prev_max_end IS NULL OR s > prev_max_end
+              THEN 1 ELSE 0 END AS new_island,
+         row_number() OVER (PARTITION BY user_id ORDER BY s, event_id) AS rn
+  FROM spans
+), islands AS (
+  SELECT user_id, s, e,
+         CAST(sum(new_island) OVER (
+           PARTITION BY user_id ORDER BY rn
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS island
+  FROM flagged
+)
+SELECT user_id, island,
+       make_timestamp(min(s)) AS start_ts,
+       make_timestamp(max(e)) AS end_ts,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM islands
+GROUP BY user_id, island
+"""
+
+
+# ---------------------------------------------------------------- q68
+def q68_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged conversion funnel (view → click → purchase, strictly
+    ordered in time per user): stage N's timestamp is the earliest
+    qualifying event AFTER stage N-1's.  Three chained min-windows
+    over the same user_id partitioning — one shuffle total, no
+    self-joins (the naive formulation is three correlated subqueries).
+    Returns one row of stage reach counts."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    ts, et = F.col("ts"), F.col("event_type")
+    t1 = F.min(F.when(et == "view", ts)).over(w)
+    step1 = e.withColumn("__t1", t1)
+    t2 = F.min(
+        F.when((et == "click") & (ts > F.col("__t1")), ts)
+    ).over(w)
+    step2 = step1.withColumn("__t2", t2)
+    t3 = F.min(
+        F.when((et == "purchase") & (ts > F.col("__t2")), ts)
+    ).over(w)
+    per_user = (
+        step2.withColumn("__t3", t3)
+        .select("user_id", "__t1", "__t2", "__t3")
+        .distinct()
+    )
+    return per_user.agg(
+        F.count("__t1").alias("n_view"),
+        F.count("__t2").alias("n_click_after_view"),
+        F.count("__t3").alias("n_purchase_after_click"),
+    )
+
+
+_Q68_SQL = """
+WITH s1 AS (
+  SELECT user_id, ts, event_type,
+         min(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS t1
+  FROM events
+), s2 AS (
+  SELECT user_id, ts, event_type, t1,
+         min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+           OVER (PARTITION BY user_id) AS t2
+  FROM s1
+), s3 AS (
+  SELECT DISTINCT user_id, t1, t2,
+         min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+           OVER (PARTITION BY user_id) AS t3
+  FROM s2
+)
+SELECT CAST(count(t1) AS BIGINT) AS n_view,
+       CAST(count(t2) AS BIGINT) AS n_click_after_view,
+       CAST(count(t3) AS BIGINT) AS n_purchase_after_click
+FROM s3
+"""
+
+
+# ---------------------------------------------------------------- q69
+def q69_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diffing (warehouse CDC reconciliation): FULL OUTER
+    join two keyed snapshots and classify every key as
+    added/removed/changed/unchanged, with exact integer-cent deltas.
+    The two snapshots are deterministic slices of ``orders`` (key
+    mod-filters; snapshot B bumps every 7th key's price).  Both sides
+    hash-partition on the join key; the classify+aggregate is one
+    more small shuffle."""
+    tune(spark)
+    o = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    a = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", cents.alias("cents_a")
+    )
+    b = o.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        (
+            cents
+            + F.when(F.col("o_orderkey") % 7 == 0, F.lit(100)).otherwise(F.lit(0))
+        ).alias("cents_b"),
+    )
+    diff = a.join(b, "o_orderkey", "full_outer")
+    change = (
+        F.when(F.col("cents_a").isNull(), F.lit("added"))
+        .when(F.col("cents_b").isNull(), F.lit("removed"))
+        .when(F.col("cents_a") != F.col("cents_b"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    delta = F.coalesce(F.col("cents_b"), F.lit(0)) - F.coalesce(
+        F.col("cents_a"), F.lit(0)
+    )
+    return (
+        diff.select(change.alias("change"), delta.alias("__d"))
+        .groupBy("change")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            (F.sum("__d") / 100.0).alias("net_delta"),
+        )
+    )
+
+
+_Q69_SQL = """
+WITH a AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents_a
+  FROM orders WHERE o_orderkey % 3 <> 0
+), b AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT)
+           + CASE WHEN o_orderkey % 7 = 0 THEN 100 ELSE 0 END AS cents_b
+  FROM orders WHERE o_orderkey % 5 <> 0
+), diff AS (
+  SELECT CASE WHEN a.cents_a IS NULL THEN 'added'
+              WHEN b.cents_b IS NULL THEN 'removed'
+              WHEN a.cents_a <> b.cents_b THEN 'changed'
+              ELSE 'unchanged' END AS change,
+         COALESCE(b.cents_b, 0) - COALESCE(a.cents_a, 0) AS d
+  FROM a FULL OUTER JOIN b USING (o_orderkey)
+)
+SELECT change, CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(d) AS DOUBLE) / 100.0 AS net_delta
+FROM diff
+GROUP BY change
+"""
+
+
+# ---------------------------------------------------------------- q70
+def q70_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity order revenue): for one brand's
+    parts, sum revenue of lineitems whose quantity is below 20% of
+    that part's average quantity.  The correlated-average subquery
+    becomes a grouped aggregate joined back; both the filtered part
+    list and the per-part stats are tiny → both BROADCAST, so the
+    lineitem scan never shuffles.  The avg comparison is done in
+    integers (qty·5·cnt < Σqty — quantities are integer-valued), so
+    no float compare; ONE final division by 7."""
+    tune(spark)
+    p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    li = load(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("bigint")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    lip = li.join(
+        F.broadcast(p.select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+    ).select("l_partkey", qty.alias("__q"), cents.alias("__c"))
+    stats = lip.groupBy("l_partkey").agg(
+        F.sum("__q").alias("__sq"), F.count(F.lit(1)).alias("__n")
+    )
+    small = lip.join(
+        F.broadcast(stats.withColumnRenamed("l_partkey", "__pk")),
+        F.col("l_partkey") == F.col("__pk"),
+    ).filter(F.col("__q") * 5 * F.col("__n") < F.col("__sq"))
+    return small.agg(
+        (F.sum("__c") / 100.0 / 7.0).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_small"),
+    )
+
+
+_Q70_SQL = """
+WITH lip AS (
+  SELECT l.l_partkey, CAST(l.l_quantity AS BIGINT) AS q,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT) AS c
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_brand = 'Brand#23'
+), stats AS (
+  SELECT l_partkey, CAST(sum(q) AS BIGINT) AS sq,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lip GROUP BY l_partkey
+)
+SELECT CAST(sum(lip.c) AS DOUBLE) / 100.0 / 7.0 AS avg_yearly,
+       CAST(count(*) AS BIGINT) AS n_small
+FROM lip JOIN stats ON lip.l_partkey = stats.l_partkey
+WHERE lip.q * 5 * stats.n < stats.sq
+"""
+
+
+# ---------------------------------------------------------------- q71
+def q71_argmax_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAX_BY / ARG_MAX surface: each user's highest-value event.
+    Ties on value are broken by event_id via a packed BIGINT ordering
+    key (cents·10^10 + id — value is cent-quantized so the pack is
+    exact and total-ordered); DuckDB's arg_max can't order by a
+    struct, and a packed key keeps both engines on pure integer
+    comparisons.  Single partial-aggregatable shuffle (max_by
+    combines map-side)."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    packed = cents * F.lit(10_000_000_000) + F.col("event_id")
+    return (
+        e.select("user_id", "event_id", packed.alias("__k"), cents.alias("__c"))
+        .groupBy("user_id")
+        .agg(
+            F.max_by("event_id", F.col("__k")).alias("top_event_id"),
+            (F.max_by("__c", F.col("__k")) / 100.0).alias("top_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+_Q71_SQL = """
+SELECT user_id,
+       arg_max(event_id, CAST(round(value * 100) AS BIGINT) * 10000000000
+                         + event_id) AS top_event_id,
+       CAST(arg_max(CAST(round(value * 100) AS BIGINT),
+                    CAST(round(value * 100) AS BIGINT) * 10000000000
+                    + event_id) AS DOUBLE) / 100.0 AS top_value,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------- q72
+def q72_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profiling histogram: fixed-width value bins (width $25) with
+    per-bin count, total, extrema, and share of rows.  The bin is
+    computed in integer cents (``cents div 2500``) so bucket edges
+    are exact; the share is one windowed grand total and one
+    division.  Bin + aggregate is one shuffle; the share window runs
+    on |bins| rows."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    binned = e.select(
+        (cents / F.lit(2500)).cast("bigint").alias("bin"),
+        cents.alias("__c"),
+        F.col("value"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("__c") / 100.0).alias("total_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    share = (
+        F.col("n").cast("double")
+        / F.sum("n").over(Window.partitionBy()).cast("double")
+    )
+    return per_bin.withColumn("share", share)
+
+
+_Q72_SQL = """
+WITH per_bin AS (
+  SELECT CAST(round(value * 100) AS BIGINT) // 2500 AS bin,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+           AS total_value,
+         min(value) AS min_value,
+         max(value) AS max_value
+  FROM events
+  GROUP BY 1
+)
+SELECT bin, n, total_value, min_value, max_value,
+       CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE) AS share
+FROM per_bin
+"""
+
+
+# ---------------------------------------------------------------- q73
+def q73_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted reproducible sampling: keep each document with
+    probability n_chars/1000 (capped at 0.5) — longer docs are more
+    likely to survive the mix — decided by the Lehmer hash of doc_id
+    (q37's RNG-free machinery, now with a per-row threshold).  Pure
+    integer arithmetic; the identical expression runs in the oracle,
+    so the kept set matches exactly.  No shuffle at all: a scan-side
+    filter that Catalyst keeps in whole-stage codegen."""
+    from ..operators.sampling import weighted_sample
+
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    w = F.least(F.col("n_chars"), F.lit(500))
+    return weighted_sample(docs, id_col="doc_id", weight_promille=w).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+_Q73_SQL = """
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE ((((doc_id % 2147483647) * 48271) % 2147483647) * 16807) % 2147483647
+      * 1000
+      < least(n_chars, 500) * 2147483647
+"""
+
+
+QUERIES = {
+    "q66_order_count_distribution": q66_order_count_distribution,
+    "q67_interval_coalesce": q67_interval_coalesce,
+    "q68_funnel": q68_funnel,
+    "q69_snapshot_diff": q69_snapshot_diff,
+    "q70_small_quantity_revenue": q70_small_quantity_revenue,
+    "q71_argmax_event": q71_argmax_event,
+    "q72_value_histogram": q72_value_histogram,
+    "q73_weighted_sample": q73_weighted_sample,
+}
+
+ORACLE = {
+    "q66_order_count_distribution": _Q66_SQL,
+    "q67_interval_coalesce": _Q67_SQL,
+    "q68_funnel": _Q68_SQL,
+    "q69_snapshot_diff": _Q69_SQL,
+    "q70_small_quantity_revenue": _Q70_SQL,
+    "q71_argmax_event": _Q71_SQL,
+    "q72_value_histogram": _Q72_SQL,
+    "q73_weighted_sample": _Q73_SQL,
+}

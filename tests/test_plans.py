@@ -61,9 +61,12 @@ def test_q14_sessionize_single_shuffle(spark):
 def test_q13_corpus_not_shuffled(spark):
     df = QUERIES["q13_embedding_sim"](spark, SF_DIR)
     plan = formatted_plan(df)
-    # query side broadcast; only the final per-query top-k shuffles
-    assert count_broadcasts(df) >= 1, plan
-    assert count_shuffles(df) <= 1, plan
+    # Arrow fast path: queries ride the UDF closure (no broadcast/join
+    # node at all); the corpus is scored in one MapInPandas pass and
+    # only the per-query top-k window shuffles.  spread() may add one
+    # narrow repartition when the local scan under-parallelizes.
+    assert "MapInPandas" in plan, plan
+    assert count_shuffles(df) <= 2, plan
 
 
 def test_scan_filter_stays_codegen(spark):
@@ -187,3 +190,34 @@ def test_q55_bloom_prunes_before_join_shuffle(spark):
 def test_q51_drawdown_single_shuffle(spark):
     df = QUERIES["q51_drawdown"](spark, SF_DIR)
     assert count_shuffles(df) == 1, formatted_plan(df)
+
+
+def test_q67_interval_coalesce_single_shuffle(spark):
+    df = QUERIES["q67_interval_coalesce"](spark, SF_DIR)
+    # both windows and the island aggregate share the user_id hash
+    # partitioning (HashPartitioning(user_id) satisfies the
+    # (user_id, island) clustering) -> exactly one exchange
+    assert count_shuffles(df) == 1, formatted_plan(df)
+
+
+def test_q70_lineitem_never_shuffles(spark):
+    df = QUERIES["q70_small_quantity_revenue"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    # part list AND per-part stats both broadcast; the only exchanges
+    # are the stats aggregate and the final one-row agg
+    assert count_broadcasts(df) >= 2, plan
+    assert count_shuffles(df) <= 2, plan
+
+
+def test_q71_argmax_partial_aggregatable(spark):
+    df = QUERIES["q71_argmax_event"](spark, SF_DIR)
+    # max_by combines map-side: one exchange, codegen end-to-end
+    assert count_shuffles(df) == 1, formatted_plan(df)
+    assert has_whole_stage_codegen(df)
+
+
+def test_q73_weighted_sample_map_only(spark):
+    df = QUERIES["q73_weighted_sample"](spark, SF_DIR)
+    # Lehmer-hash filter is scan-side arithmetic: NO exchange
+    assert count_shuffles(df) == 0, formatted_plan(df)
+    assert has_whole_stage_codegen(df)
