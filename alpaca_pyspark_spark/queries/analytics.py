@@ -423,6 +423,144 @@ WHERE ((((doc_id % 2147483647) * 48271) % 2147483647) * 16807) % 2147483647
 """
 
 
+# ---------------------------------------------------------------- q74
+def q74_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity day,
+    counted per (cohort, day-offset) of later activity.  The cohort
+    assignment is a min-window over user_id; the distinct and both
+    aggregates reuse that partitioning (subset clustering), so the
+    whole matrix costs the user_id exchange plus one small final
+    aggregate on |cohorts × offsets| rows."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    day = F.date_trunc("DAY", F.col("ts")).cast("date")
+    w = Window.partitionBy("user_id")
+    withc = e.select("user_id", day.alias("__day")).withColumn(
+        "cohort_day", F.min("__day").over(w)
+    )
+    per_user_day = withc.select(
+        "user_id", "cohort_day", F.datediff("__day", "cohort_day").alias("day_offset")
+    ).distinct()
+    return per_user_day.groupBy("cohort_day", "day_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+_Q74_SQL = """
+WITH d AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events
+), c AS (
+  SELECT user_id, day,
+         min(day) OVER (PARTITION BY user_id) AS cohort_day
+  FROM d
+), per_user AS (
+  SELECT DISTINCT user_id, cohort_day,
+         date_diff('day', cohort_day, day) AS day_offset
+  FROM c
+)
+SELECT cohort_day, CAST(day_offset AS INTEGER) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM per_user
+GROUP BY cohort_day, day_offset
+"""
+
+
+# ---------------------------------------------------------------- q75
+def q75_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) window aggregate: 2-hour windows every hour —
+    each event lands in width/slide = 2 overlapping windows.  Native
+    ``F.window(slide)`` (the same operator Structured Streaming uses);
+    the oracle reproduces Spark's slide-grid assignment with a 2-row
+    unnest.  Exact integer cents; the window fan-out is an Expand
+    (map-side), so the only shuffle is the aggregate itself."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    win = F.window("ts", "2 hours", "1 hour")
+    return (
+        e.select(win.alias("__w"), F.col("event_type"), cents.alias("__c"))
+        .groupBy(
+            F.col("__w.start").alias("win_start"),
+            F.col("__w.end").alias("win_end"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("__c") / 100.0).alias("total_value"),
+        )
+    )
+
+
+_Q75_SQL = """
+WITH fanned AS (
+  SELECT date_trunc('hour', e.ts) - i.i * INTERVAL 1 HOUR AS win_start,
+         date_trunc('hour', e.ts) - i.i * INTERVAL 1 HOUR
+           + INTERVAL 2 HOUR AS win_end,
+         e.event_type,
+         CAST(round(e.value * 100) AS BIGINT) AS c
+  FROM events e CROSS JOIN (SELECT unnest([0, 1]) AS i) i
+)
+SELECT CAST(win_start AS TIMESTAMP) AS win_start,
+       CAST(win_end AS TIMESTAMP) AS win_end,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(c) AS DOUBLE) / 100.0 AS total_value
+FROM fanned
+GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------- q76
+def q76_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact EWMA (α = 1/2) of each user's purchase series: the
+    recurrence eₙ = ½xₙ + ½eₙ₋₁ seeded with x₀, evaluated as a
+    sequential fold over the ts-sorted value array — with α a power
+    of two every step is exact IEEE arithmetic, and DuckDB's
+    seedless ``list_reduce`` (first element = initial accumulator)
+    folds the identical order, so the doubles match bit-for-bit.
+    One shuffle (the per-user collect); series length is bounded by
+    per-key activity, not corpus size."""
+    tune(spark)
+    e = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    ordered = (
+        e.groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "value"))
+            ).alias("__s")
+        )
+        .select(
+            "user_id",
+            F.transform("__s", lambda s: s["value"]).alias("__vals"),
+        )
+    )
+    fold = F.aggregate(
+        F.slice("__vals", 2, F.greatest(F.size("__vals") - 1, F.lit(0))),
+        F.element_at("__vals", 1),
+        lambda acc, x: x * F.lit(0.5) + acc * F.lit(0.5),
+    )
+    return ordered.select(
+        "user_id",
+        F.size("__vals").alias("n_purchases"),
+        fold.alias("ewma_value"),
+    )
+
+
+_Q76_SQL = """
+WITH s AS (
+  SELECT user_id,
+         list(value ORDER BY ts, event_id) AS vals
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(vals) AS INTEGER) AS n_purchases,
+       list_reduce(vals, (acc, x) -> x * 0.5 + acc * 0.5) AS ewma_value
+FROM s
+"""
+
+
 QUERIES = {
     "q66_order_count_distribution": q66_order_count_distribution,
     "q67_interval_coalesce": q67_interval_coalesce,
@@ -432,6 +570,9 @@ QUERIES = {
     "q71_argmax_event": q71_argmax_event,
     "q72_value_histogram": q72_value_histogram,
     "q73_weighted_sample": q73_weighted_sample,
+    "q74_cohort_retention": q74_cohort_retention,
+    "q75_hopping_window": q75_hopping_window,
+    "q76_ewma": q76_ewma,
 }
 
 ORACLE = {
@@ -443,4 +584,7 @@ ORACLE = {
     "q71_argmax_event": _Q71_SQL,
     "q72_value_histogram": _Q72_SQL,
     "q73_weighted_sample": _Q73_SQL,
+    "q74_cohort_retention": _Q74_SQL,
+    "q75_hopping_window": _Q75_SQL,
+    "q76_ewma": _Q76_SQL,
 }

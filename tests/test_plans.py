@@ -221,3 +221,25 @@ def test_q73_weighted_sample_map_only(spark):
     # Lehmer-hash filter is scan-side arithmetic: NO exchange
     assert count_shuffles(df) == 0, formatted_plan(df)
     assert has_whole_stage_codegen(df)
+
+
+def test_q75_hopping_window_expand_one_shuffle(spark):
+    df = QUERIES["q75_hopping_window"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    # the width/slide fan-out is a map-side Expand, not a join; only
+    # the aggregate exchanges
+    assert "Expand" in plan, plan
+    assert count_shuffles(df) == 1, plan
+
+
+def test_q74_cohort_reuses_user_partitioning(spark):
+    df = QUERIES["q74_cohort_retention"](spark, SF_DIR)
+    # cohort window + distinct share the user_id exchange; the final
+    # matrix aggregate is the only other shuffle
+    assert count_shuffles(df) == 2, formatted_plan(df)
+
+
+def test_q76_ewma_single_shuffle(spark):
+    df = QUERIES["q76_ewma"](spark, SF_DIR)
+    # per-user collect_list aggregate; the fold itself is expression-level
+    assert count_shuffles(df) == 1, formatted_plan(df)
