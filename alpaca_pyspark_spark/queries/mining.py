@@ -1,0 +1,440 @@
+"""Data-mining / warehouse-hardening coverage (q77+): mergeable exact
+distinct via bitmaps, blocked fuzzy matching, Markov transition
+matrices, skyline (pareto-frontier) queries, algebraic grouped
+regression, and the remaining TPC-H shapes (Q21 sole-late-shipper,
+Q11 value-share threshold).
+
+Every query is oracle-exact (COVERAGE.md "Exactness strategy"):
+integer cents, integer day offsets, integer edit distances, bitmap
+counts (exact by construction), and fixed float-op tails where a
+double output is required.
+
+Reference parity notes: the reference engine (tnixon/alpaca-pyspark)
+delegates all post-scan relational work to Spark
+(/root/reference/README.md:96-117); these queries pin down that
+delegated surface over the driver's synthetic tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..session import tune
+from ..tables import load
+
+
+# ---------------------------------------------------------------- q77
+def q77_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable EXACT distinct counts via bitmap aggregates (the
+    exact sibling of q46's HLL rollup): daily per-type user bitmaps
+    (``bitmap_construct_agg``) are OR-merged into weekly bitmaps
+    (``bitmap_or_agg``) and counted — the weekly rollup never rescans
+    the fact table, and unlike HLL the merge loses nothing.  The
+    bitmap key space is sharded by ``bitmap_bucket_number`` so one
+    group's bitmap is bounded at 4 KB regardless of the id range —
+    the continuous-aggregate pattern for exact COUNT(DISTINCT) at
+    100 TB.  Oracle: plain exact COUNT(DISTINCT) per week."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            "event_type",
+            F.date_trunc("WEEK", F.col("ts")).alias("week_start"),
+            F.date_trunc("DAY", F.col("ts")).alias("__day"),
+            F.bitmap_bucket_number(F.col("user_id")).alias("__bucket"),
+            F.bitmap_bit_position(F.col("user_id")).alias("__pos"),
+        )
+        # week_start rides along as a grouping key (functionally
+        # determined by __day): the weekly partial OR then runs
+        # map-side directly on the daily aggregate's output, so only
+        # the first exchange carries fact-table volume (as partial
+        # bitmaps); the rollup exchanges move |groups| rows.
+        .groupBy("event_type", "week_start", "__day", "__bucket")
+        .agg(F.bitmap_construct_agg(F.col("__pos")).alias("__bm"))
+    )
+    weekly = daily.groupBy("event_type", "week_start", "__bucket").agg(
+        F.bitmap_or_agg(F.col("__bm")).alias("__bm")
+    )
+    return (
+        weekly.groupBy("event_type", "week_start")
+        .agg(F.sum(F.bitmap_count(F.col("__bm"))).alias("n_users"))
+    )
+
+
+_Q77_SQL = """
+SELECT event_type,
+       CAST(date_trunc('week', ts) AS TIMESTAMP) AS week_start,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------- q78
+def q78_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching (entity-resolution core): candidate
+    pairs of distinct part names restricted by a cheap blocking key
+    (shared first character) plus a length-band filter — edit
+    distance ≤ 3 forces ``|len(a)-len(b)| ≤ 3``, so a band of ±2 with
+    the equi-join block keeps the pair space near-linear instead of
+    O(n²) — then exact Levenshtein (identical DP integers on both
+    engines) on the survivors only.  The name-dimension self-join is
+    broadcast (distinct names ≪ facts)."""
+    tune(spark)
+    names = (
+        load(spark, sf_dir, "part")
+        .select(F.col("p_name").alias("name"))
+        .distinct()
+        .withColumn("__block", F.substring("name", 1, 1))
+    )
+    a = names.alias("a")
+    b = names.alias("b")
+    cond = (
+        (F.col("a.__block") == F.col("b.__block"))
+        & (F.col("a.name") < F.col("b.name"))
+        & (
+            F.abs(F.length(F.col("a.name")) - F.length(F.col("b.name")))
+            <= F.lit(2)
+        )
+    )
+    return (
+        a.join(F.broadcast(b), cond)
+        .select(
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+            F.levenshtein(F.col("a.name"), F.col("b.name")).alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 3)
+    )
+
+
+_Q78_SQL = """
+WITH n AS (SELECT DISTINCT p_name AS name FROM part)
+SELECT a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS INTEGER) AS edit_dist
+FROM n a JOIN n b
+  ON substr(a.name, 1, 1) = substr(b.name, 1, 1)
+ AND a.name < b.name
+ AND abs(length(a.name) - length(b.name)) <= 2
+WHERE levenshtein(a.name, b.name) <= 3
+"""
+
+
+# ---------------------------------------------------------------- q79
+def q79_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: per-user
+    event sequences (ts order, event_id tiebreak) → ``lag`` pairs →
+    global (prev, next) counts → row-normalized probability.  One
+    shuffle on user_id for the sequence window; the count aggregate
+    and the |types|² normalization window run on vanishingly small
+    data.  The probability is one BIGINT/BIGINT double division —
+    exact parity."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    row_total = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n") / F.sum("n").over(row_total)).alias("p"),
+    )
+
+
+_Q79_SQL = """
+WITH seq AS (
+  SELECT user_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type,
+         event_type AS next_type
+  FROM events
+), counts AS (
+  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n,
+       CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY prev_type)
+                                AS DOUBLE) AS p
+FROM counts
+"""
+
+
+# ---------------------------------------------------------------- q80
+def q80_brand_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (pareto frontier) per brand: parts not dominated by any
+    same-brand part that is ≤ in size and ≥ in price (strict in at
+    least one).  Two window maxima express dominance exactly: the
+    best price among STRICTLY smaller sizes (RANGE frame ending at
+    1 PRECEDING — DuckDB's default RANGE differs on ties, so the
+    frame is explicit) and the best price within the same size.
+    Partitioned by brand, the sort is distributed; prices compare as
+    integer cents."""
+    tune(spark)
+    p = load(spark, sf_dir, "part")
+    cents = F.round(F.col("p_retailprice") * 100).cast("bigint")
+    w_smaller = (
+        Window.partitionBy("p_brand")
+        .orderBy("p_size")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same = Window.partitionBy("p_brand", "p_size")
+    scored = p.select(
+        "p_brand",
+        "p_partkey",
+        "p_size",
+        "p_retailprice",
+        cents.alias("__c"),
+    ).select(
+        "*",
+        F.max("__c").over(w_smaller).alias("__best_smaller"),
+        F.max("__c").over(w_same).alias("__best_same"),
+    )
+    return scored.filter(
+        (F.col("__best_smaller").isNull() | (F.col("__best_smaller") < F.col("__c")))
+        & (F.col("__c") == F.col("__best_same"))
+    ).select("p_brand", "p_partkey", "p_size", "p_retailprice")
+
+
+_Q80_SQL = """
+WITH scored AS (
+  SELECT p_brand, p_partkey, p_size, p_retailprice,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS c,
+         max(CAST(round(p_retailprice * 100) AS BIGINT))
+           OVER (PARTITION BY p_brand ORDER BY p_size
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS best_smaller,
+         max(CAST(round(p_retailprice * 100) AS BIGINT))
+           OVER (PARTITION BY p_brand, p_size) AS best_same
+  FROM part
+)
+SELECT p_brand, p_partkey, p_size, p_retailprice
+FROM scored
+WHERE (best_smaller IS NULL OR best_smaller < c) AND c = best_same
+"""
+
+
+# ---------------------------------------------------------------- q81
+def q81_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped OLS (the built-in ``regr_slope`` family, done exactly):
+    per event type, regress value-cents on day offset using the
+    algebraic sufficient statistics (n, Σx, Σy, Σxy, Σx²) accumulated
+    as integers — DECIMAL(38,0) on the Spark side, HUGEINT in DuckDB,
+    so the normal-equation numerator/denominator are exact and the
+    slope/intercept are a fixed 4-float-op tail.  Single map-side-
+    combinable aggregate (q27 is the pandas-UDF sibling; this one
+    never leaves whole-stage codegen)."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    x = F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+    y = F.round(F.col("value") * 100).cast("bigint")
+    dec = "decimal(38,0)"
+    stats = (
+        e.select("event_type", x.alias("__x"), y.alias("__y"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast(dec).alias("__n"),
+            F.sum("__x").cast(dec).alias("__sx"),
+            F.sum("__y").cast(dec).alias("__sy"),
+            F.sum(F.col("__x") * F.col("__y")).cast(dec).alias("__sxy"),
+            F.sum(F.col("__x") * F.col("__x")).cast(dec).alias("__sxx"),
+        )
+    )
+    num = (F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast(
+        "double"
+    )
+    den = (F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast(
+        "double"
+    )
+    slope = num / den
+    return stats.select(
+        "event_type",
+        F.col("__n").cast("bigint").alias("n"),
+        slope.alias("slope_cents_per_day"),
+        (
+            (F.col("__sy").cast("double") - slope * F.col("__sx").cast("double"))
+            / F.col("__n").cast("double")
+        ).alias("intercept_cents"),
+    )
+
+
+_Q81_SQL = """
+WITH stats AS (
+  SELECT event_type,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(CAST(date_diff('day', DATE '2024-01-01',
+                                 CAST(ts AS DATE)) AS BIGINT)) AS HUGEINT)
+           AS sx,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS HUGEINT) AS sy,
+         CAST(sum(CAST(date_diff('day', DATE '2024-01-01',
+                                 CAST(ts AS DATE)) AS BIGINT)
+                  * CAST(round(value * 100) AS BIGINT)) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(date_diff('day', DATE '2024-01-01',
+                                 CAST(ts AS DATE)) AS BIGINT)
+                  * CAST(date_diff('day', DATE '2024-01-01',
+                                   CAST(ts AS DATE)) AS BIGINT)) AS HUGEINT)
+           AS sxx
+  FROM events
+  GROUP BY 1
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_day,
+       (CAST(sy AS DOUBLE)
+        - (CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+         / CAST(n AS DOUBLE) AS intercept_cents
+FROM stats
+"""
+
+
+# ---------------------------------------------------------------- q82
+def q82_sole_late_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (sole late shipper): suppliers whose shipment
+    was late (> 45 days after order date) on orders involving at
+    least one OTHER supplier, where NO other supplier was late — an
+    EXISTS plus a NOT EXISTS, both correlated with an inequality on
+    the inner supplier.  Expressed as a left-semi then a left-anti
+    join: both are equi-joins on orderkey with the ``suppkey <>``
+    residual as a join condition, so the physical plan is two
+    hash/SMJ semi-joins, never a nested loop.  Top-10 by count with
+    the unique supplier name as tiebreak."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    s = load(spark, sf_dir, "supplier")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("l_orderkey").alias("ok"),
+            F.col("l_suppkey").alias("sk"),
+            (
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS")
+            ).alias("late"),
+        )
+        .groupBy("ok", "sk")
+        .agg(F.max("late").alias("late"))
+    )
+    late = pairs.filter(F.col("late")).select("ok", "sk")
+    other = pairs.select(
+        F.col("ok").alias("o_ok"), F.col("sk").alias("o_sk"), "late"
+    )
+    with_other = late.join(
+        other,
+        (F.col("ok") == F.col("o_ok")) & (F.col("sk") != F.col("o_sk")),
+        "left_semi",
+    )
+    sole = with_other.join(
+        other.filter(F.col("late")),
+        (F.col("ok") == F.col("o_ok")) & (F.col("sk") != F.col("o_sk")),
+        "left_anti",
+    )
+    return (
+        sole.join(F.broadcast(s), sole.sk == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(10)
+    )
+
+
+_Q82_SQL = """
+WITH pairs AS (
+  SELECT l.l_orderkey AS ok, l.l_suppkey AS sk,
+         max(l.l_shipdate > o.o_orderdate + INTERVAL 45 DAY) AS late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+)
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM pairs p1
+JOIN supplier s ON p1.sk = s.s_suppkey
+WHERE p1.late
+  AND EXISTS (SELECT 1 FROM pairs p2
+              WHERE p2.ok = p1.ok AND p2.sk <> p1.sk)
+  AND NOT EXISTS (SELECT 1 FROM pairs p3
+                  WHERE p3.ok = p1.ok AND p3.sk <> p1.sk AND p3.late)
+GROUP BY 1
+ORDER BY numwait DESC, s_name
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------- q83
+def q83_revenue_share_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (value-share threshold): per-part revenue kept
+    only when it exceeds the average part's share of GLOBAL revenue —
+    a scalar subquery over the whole fact table.  The global total is
+    a one-row aggregate broadcast into the per-part filter (no
+    single-partition window), and the threshold compare is
+    all-integer (``rev · n_parts > total``) — no division until the
+    displayed revenue.  Revenue in exact cents·(100−disc_pct)."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    disc_pct = F.round(F.col("l_discount") * 100).cast("bigint")
+    rev = (cents * (F.lit(100) - disc_pct)).alias("__r")
+    per_part = (
+        li.select(F.col("l_partkey").alias("partkey"), rev)
+        .groupBy("partkey")
+        .agg(F.sum("__r").alias("__rev"))
+    )
+    total = per_part.agg(
+        F.sum("__rev").alias("__total"), F.count(F.lit(1)).alias("__nparts")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("__rev") * F.col("__nparts") > F.col("__total"))
+        .select(
+            "partkey",
+            (F.col("__rev") / 10000.0).alias("revenue"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("partkey"))
+    )
+
+
+_Q83_SQL = """
+WITH per_part AS (
+  SELECT l_partkey AS partkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev
+  FROM lineitem
+  GROUP BY 1
+)
+SELECT partkey, CAST(rev AS DOUBLE) / 10000.0 AS revenue
+FROM per_part
+WHERE rev * (SELECT count(*) FROM per_part) > (SELECT sum(rev) FROM per_part)
+ORDER BY revenue DESC, partkey
+"""
+
+
+QUERIES = {
+    "q77_bitmap_distinct_rollup": q77_bitmap_distinct_rollup,
+    "q78_fuzzy_name_pairs": q78_fuzzy_name_pairs,
+    "q79_transition_matrix": q79_transition_matrix,
+    "q80_brand_skyline": q80_brand_skyline,
+    "q81_grouped_regression": q81_grouped_regression,
+    "q82_sole_late_shipper": q82_sole_late_shipper,
+    "q83_revenue_share_threshold": q83_revenue_share_threshold,
+}
+
+ORACLE = {
+    "q77_bitmap_distinct_rollup": _Q77_SQL,
+    "q78_fuzzy_name_pairs": _Q78_SQL,
+    "q79_transition_matrix": _Q79_SQL,
+    "q80_brand_skyline": _Q80_SQL,
+    "q81_grouped_regression": _Q81_SQL,
+    "q82_sole_late_shipper": _Q82_SQL,
+    "q83_revenue_share_threshold": _Q83_SQL,
+}

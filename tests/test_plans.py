@@ -243,3 +243,47 @@ def test_q76_ewma_single_shuffle(spark):
     df = QUERIES["q76_ewma"](spark, SF_DIR)
     # per-user collect_list aggregate; the fold itself is expression-level
     assert count_shuffles(df) == 1, formatted_plan(df)
+
+
+def test_q77_bitmap_rollup_fact_shuffle_is_partial(spark):
+    df = QUERIES["q77_bitmap_distinct_rollup"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    # only the first exchange sees fact-table volume, and it carries
+    # map-side partial bitmaps, not raw rows
+    assert "partial_bitmap_construct_agg" in plan, plan
+    assert count_shuffles(df) == 3, plan
+
+
+def test_q78_fuzzy_block_join_broadcasts(spark):
+    df = QUERIES["q78_fuzzy_name_pairs"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    # blocked candidate join is a broadcast HASH join (never O(n^2)
+    # nested loop); the only shuffles are the two name-distincts
+    assert "BroadcastHashJoin" in plan, plan
+    assert "NestedLoop" not in plan, plan
+    assert count_shuffles(df) == 2, plan
+
+
+def test_q80_skyline_windows_share_exchange(spark):
+    df = QUERIES["q80_brand_skyline"](spark, SF_DIR)
+    # both dominance windows (brand) and (brand, size) run on the one
+    # brand-hash exchange
+    assert count_shuffles(df) == 1, formatted_plan(df)
+
+
+def test_q82_sole_late_shipper_no_nested_loop(spark):
+    df = QUERIES["q82_sole_late_shipper"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    # the suppkey<>suppkey residual stays a residual: every join is
+    # hash/SMJ on the orderkey equi part
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+
+
+def test_q83_scalar_threshold_broadcasts_one_row(spark):
+    df = QUERIES["q83_revenue_share_threshold"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    # the global total joins in as a broadcast single-row build, not a
+    # single-partition window over the per-part table
+    assert count_broadcasts(df) >= 1, plan
+    assert "Window" not in plan, plan
