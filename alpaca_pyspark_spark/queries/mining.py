@@ -306,11 +306,14 @@ def q82_sole_late_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
     was late (> 45 days after order date) on orders involving at
     least one OTHER supplier, where NO other supplier was late — an
     EXISTS plus a NOT EXISTS, both correlated with an inequality on
-    the inner supplier.  Expressed as a left-semi then a left-anti
-    join: both are equi-joins on orderkey with the ``suppkey <>``
-    residual as a join condition, so the physical plan is two
-    hash/SMJ semi-joins, never a nested loop.  Top-10 by count with
-    the unique supplier name as tiebreak."""
+    the inner supplier.  Decorrelated the scalable way: the (order,
+    supplier, late) table is computed ONCE and the per-order
+    supplier/late counts are unordered COUNT windows over it, so the
+    EXISTS pair becomes an integer predicate (``n_supp ≥ 2 AND
+    n_late = 1``) with no self-join — one fact-table scan, no
+    correlated re-evaluation (a join-back formulation would plan the
+    pairs subtree twice: DataFrame plans are trees, not DAGs).
+    Top-10 by count with the unique name as tiebreak."""
     tune(spark)
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
@@ -327,19 +330,16 @@ def q82_sole_late_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("ok", "sk")
         .agg(F.max("late").alias("late"))
     )
-    late = pairs.filter(F.col("late")).select("ok", "sk")
-    other = pairs.select(
-        F.col("ok").alias("o_ok"), F.col("sk").alias("o_sk"), "late"
-    )
-    with_other = late.join(
-        other,
-        (F.col("ok") == F.col("o_ok")) & (F.col("sk") != F.col("o_sk")),
-        "left_semi",
-    )
-    sole = with_other.join(
-        other.filter(F.col("late")),
-        (F.col("ok") == F.col("o_ok")) & (F.col("sk") != F.col("o_sk")),
-        "left_anti",
+    per_order = Window.partitionBy("ok")
+    sole = (
+        pairs.select(
+            "ok",
+            "sk",
+            "late",
+            F.count(F.lit(1)).over(per_order).alias("n_supp"),
+            F.count_if(F.col("late")).over(per_order).alias("n_late"),
+        )
+        .filter(F.col("late") & (F.col("n_supp") >= 2) & (F.col("n_late") == 1))
     )
     return (
         sole.join(F.broadcast(s), sole.sk == s.s_suppkey)

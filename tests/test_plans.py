@@ -271,13 +271,13 @@ def test_q80_skyline_windows_share_exchange(spark):
     assert count_shuffles(df) == 1, formatted_plan(df)
 
 
-def test_q82_sole_late_shipper_no_nested_loop(spark):
+def test_q82_sole_late_shipper_single_fact_scan(spark):
     df = QUERIES["q82_sole_late_shipper"](spark, SF_DIR)
     plan = formatted_plan(df)
-    # the suppkey<>suppkey residual stays a residual: every join is
-    # hash/SMJ on the orderkey equi part
+    # the EXISTS/NOT-EXISTS pair is decorrelated into counts: the
+    # fact table is scanned exactly once and no nested loop appears
+    assert plan.count("lineitem.parquet") == 1, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
 
 
 def test_q83_scalar_threshold_broadcasts_one_row(spark):
