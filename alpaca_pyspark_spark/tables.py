@@ -38,19 +38,25 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects ([PARQUET_TYPE_ILLEGAL]).  Read it as raw int64
-    nanos (legacy conf) and truncate to microsecond TIMESTAMP_NTZ —
-    the same floor-to-µs DuckDB applies, so the oracle agrees exactly.
+    """events.ts has shipped as both parquet TIMESTAMP(NANOS) (which
+    Spark's vectorized reader rejects, [PARQUET_TYPE_ILLEGAL]) and as
+    plain TIMESTAMP(MICROS) depending on the generator version.  Handle
+    both: nanos are read as raw int64 (legacy conf) and floored to
+    microseconds — the same truncation DuckDB applies, so the oracle
+    agrees exactly; micros are just normalized to TIMESTAMP_NTZ.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn(
-        "ts",
-        F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz"),
-    ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+    if isinstance(df.schema["ts"].dataType, LongType):
+        ts = F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz")
+    else:
+        ts = F.col("ts").cast("timestamp_ntz")
+    return df.withColumn("ts", ts).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
