@@ -1,0 +1,307 @@
+"""Remaining classic warehouse shapes (q84-q88): the TPC-H query
+forms not yet pinned by earlier modules — Q1 pricing summary, Q18
+large-volume orders, Q19 disjunctive-predicate join, Q20 nested
+share-of-total semi-join, Q22 anti-join against a scalar average.
+
+Every query is oracle-exact (COVERAGE.md "Exactness strategy"):
+money accumulates as integer cents, discount/tax as integer percent
+(inputs are percent-quantized), quantities as integers; the only
+float ops are final divisions on identical integer operands, so both
+engines produce bit-identical doubles.
+
+Reference parity: the reference engine delegates all post-scan
+relational work to Spark SQL (/root/reference/USAGE.md:259-280);
+these queries pin down the aggregate/join breadth of that delegated
+surface over the driver's synthetic TPC-H-ish tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import tune
+from ..tables import load
+
+
+def _cents(col: str) -> F.Column:
+    return F.round(F.col(col) * 100).cast("bigint")
+
+
+def _pct(col: str) -> F.Column:
+    return F.round(F.col(col) * 100).cast("bigint")
+
+
+# ---------------------------------------------------------------- q84
+def q84_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary: the canonical full-scan aggregate.
+    One pass over lineitem, hash aggregation on a 4-ish-group key —
+    partial aggregation means the exchange carries |groups| rows, not
+    the fact table, so the shape is scan-bound at any scale.
+
+    Exactness: disc_price = cents x (100 - disc_pct) accumulates in
+    e4 units (cent-percent), charge in e6 units — integer sums are
+    order-independent; each output is ONE final division.  At 100 TB
+    the e6 sums approach int64 range (~1e11/row x 1e9 rows): swap the
+    accumulator to DECIMAL(38,0) (same plan shape, Spark's decimal
+    sum is still partial-aggregated); at bench scale int64 is exact
+    and faster."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp")
+    )
+    qty = F.round(F.col("l_quantity")).cast("bigint")
+    cents = _cents("l_extendedprice")
+    dpct = _pct("l_discount")
+    tpct = _pct("l_tax")
+    disc_e4 = cents * (F.lit(100) - dpct)
+    charge_e6 = disc_e4 * (F.lit(100) + tpct)
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).alias("sum_qty"),
+            (F.sum(cents) / 100.0).alias("sum_base_price"),
+            (F.sum(disc_e4) / 10000.0).alias("sum_disc_price"),
+            (F.sum(charge_e6) / 1000000.0).alias("sum_charge"),
+            (F.sum(qty) / F.count(F.lit(1)).cast("double")).alias("avg_qty"),
+            (F.sum(cents) / (100.0 * F.count(F.lit(1)))).alias("avg_price"),
+            (F.sum(dpct) / (100.0 * F.count(F.lit(1)))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_Q84_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS sum_base_price,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)
+         / 10000.0 AS sum_disc_price,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS DOUBLE)
+         / 1000000.0 AS sum_charge,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS avg_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+         / (100.0 * count(*)) AS avg_price,
+       CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
+         / (100.0 * count(*)) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------- q85
+def q85_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 large-volume orders: orders whose total quantity
+    exceeds 300, joined back to customer.  The HAVING aggregate runs
+    FIRST and is partial-aggregated (the exchange carries one row per
+    order); the survivors (~0.1% of orders) then drive the
+    orders/customer joins, so the big side is filtered before any
+    join shuffle.  AQE turns both joins into broadcasts at this
+    survivor cardinality."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    qty = F.round(F.col("l_quantity")).cast("bigint")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            (F.round(F.col("o_totalprice") * 100).cast("bigint") / 100.0).alias(
+                "o_total"
+            ),
+            "total_qty",
+        )
+        .orderBy(F.col("o_total").desc(), "o_orderdate", "o_orderkey")
+    )
+
+
+_Q85_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DOUBLE) / 100.0
+         AS o_total,
+       total_qty
+FROM (
+  SELECT l_orderkey,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY 1 HAVING total_qty > 300
+) big
+JOIN orders ON big.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_total DESC, o_orderdate, o_orderkey
+"""
+
+
+# ---------------------------------------------------------------- q86
+def q86_disjunctive_predicate_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue over a part-lineitem join whose
+    predicate is an OR of three brand/size/quantity clause bundles.
+    Catalyst extracts the common equi-key (partkey) for the join and
+    pushes the disjunction's per-side implications (size range, qty
+    range) into the scans; part is broadcast.  The OR never forces a
+    nested loop — check tests/test_plans.py."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    qty = F.round(F.col("l_quantity")).cast("bigint")
+    joined = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    clause = (
+        ((F.col("p_brand") == "Brand#11") & (F.col("p_size").between(1, 15)) & (qty >= 1) & (qty <= 20))
+        | ((F.col("p_brand") == "Brand#22") & (F.col("p_size").between(10, 30)) & (qty >= 10) & (qty <= 30))
+        | ((F.col("p_brand") == "Brand#33") & (F.col("p_size").between(20, 50)) & (qty >= 20) & (qty <= 40))
+    )
+    disc_e4 = _cents("l_extendedprice") * (F.lit(100) - _pct("l_discount"))
+    return joined.filter(clause).agg(
+        (F.sum(disc_e4) / 10000.0).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+_Q86_SQL = """
+SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)
+         / 10000.0 AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+       AND CAST(round(l_quantity) AS BIGINT) BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30
+       AND CAST(round(l_quantity) AS BIGINT) BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#33' AND p_size BETWEEN 20 AND 50
+       AND CAST(round(l_quantity) AS BIGINT) BETWEEN 20 AND 40)
+"""
+
+
+# ---------------------------------------------------------------- q87
+def q87_dominant_supplier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (share-of-total nested aggregation): supplier
+    names that shipped more than a fifth of some part's total quantity.
+    Both aggregation levels reuse ONE exchange: the per-(part,
+    supplier) aggregate is hash-partitioned by l_partkey prefix, and
+    the per-part total is a window over the same partitioning — no
+    second fact shuffle, no self-join.  The supplier attach is a
+    broadcast semi-probe at dimension size."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    qty = F.round(F.col("l_quantity")).cast("bigint")
+    from pyspark.sql import Window
+
+    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(F.sum(qty).alias("sup_qty"))
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        per_ps.withColumn("part_qty", F.sum("sup_qty").over(w))
+        .filter(F.col("sup_qty") * 5 > F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(dominant, s.s_suppkey == dominant.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+_Q87_SQL = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM (
+    SELECT l_partkey, l_suppkey,
+           sum(CAST(round(l_quantity) AS BIGINT)) AS sup_qty,
+           sum(sum(CAST(round(l_quantity) AS BIGINT)))
+             OVER (PARTITION BY l_partkey) AS part_qty
+    FROM lineitem GROUP BY 1, 2
+  ) WHERE sup_qty * 5 > part_qty
+)
+ORDER BY s_suppkey
+"""
+
+
+# ---------------------------------------------------------------- q88
+def q88_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average balance and no
+    order since 2000, summarized per market segment.  The global
+    average is a one-row broadcast (scalar subquery); the lapsed test
+    is an anti-join probing the date-filtered custkey set (the filter
+    is pushed to the orders scan before the join builds).  The balance
+    compare happens against avg = sum_cents/(100*cnt) — both engines
+    divide the same integers, so the double threshold is
+    bit-identical."""
+    tune(spark)
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    cents = _cents("c_acctbal")
+    avg_row = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg((F.sum(cents) / (100.0 * F.count(F.lit(1)))).alias("__avg"))
+    )
+    recent = o.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    rich = (
+        c.crossJoin(F.broadcast(avg_row))
+        .filter(F.col("c_acctbal") > F.col("__avg"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    )
+    return (
+        rich.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            (F.sum(cents) / 100.0).alias("total_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_Q88_SQL = """
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_cust,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_acctbal
+FROM customer
+WHERE c_acctbal > (
+        SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+               / (100.0 * count(*))
+        FROM customer WHERE c_acctbal > 0.0
+      )
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+QUERIES = {
+    "q84_pricing_summary": q84_pricing_summary,
+    "q85_large_volume_orders": q85_large_volume_orders,
+    "q86_disjunctive_predicate_join": q86_disjunctive_predicate_join,
+    "q87_dominant_supplier_parts": q87_dominant_supplier_parts,
+    "q88_idle_rich_customers": q88_idle_rich_customers,
+}
+
+ORACLE = {
+    "q84_pricing_summary": _Q84_SQL,
+    "q85_large_volume_orders": _Q85_SQL,
+    "q86_disjunctive_predicate_join": _Q86_SQL,
+    "q87_dominant_supplier_parts": _Q87_SQL,
+    "q88_idle_rich_customers": _Q88_SQL,
+}
