@@ -1,0 +1,261 @@
+"""Corpus-search and graph coverage (q89-q91): inverted-index
+construction, BM25-style ranked retrieval, and iterative PageRank —
+the retrieval-side counterparts of the LLM-pipeline operators in
+``queries/llm.py`` (a training-data engine both curates documents AND
+serves lexical search / graph signals over them).
+
+Exactness strategy (COVERAGE.md): token counts, document frequencies,
+posting lists, and graph ranks are all integers; BM25's real-valued
+scoring function is replaced by an order-equivalent exact rational
+(numerator/denominator cleared of float constants, one integer
+division) so Spark and DuckDB agree bit-for-bit — no transcendental
+``log`` idf, no float summation order.
+
+Reference parity: the reference delegates all post-scan analytics to
+Spark SQL (/root/reference/USAGE.md:259-280); this module pins the
+text-retrieval surface a corpus engine needs beyond it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import tokens
+from ..session import tune
+from ..tables import load
+
+#: Fixed retrieval query for q90 (terms chosen to exist in the corpus).
+BM25_TERMS = ("hash", "join", "vector")
+
+
+# ---------------------------------------------------------------- q89
+def q89_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: token -> (document frequency, sorted
+    posting list), keeping tokens that appear in >= 10 documents.
+
+    Shape: explode(distinct per-doc tokens) -> ONE hash aggregation
+    keyed by token (collect_set is partial-aggregated object hash
+    agg, so the exchange carries per-token partial sets, not the
+    exploded token stream).  At 100 TB the posting lists for
+    stop-word-frequency tokens are the skew risk: cap or shard them
+    (the df >= 10 floor here is the inverse guard — drop the long
+    tail instead) and write the index bucketed by token so lookups
+    prune."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tok_doc = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokens(F.lower(F.col("text"))))).alias("token"),
+    )
+    return (
+        tok_doc.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sort_array(F.collect_set("doc_id")).alias("postings"),
+        )
+        .filter(F.col("df") >= 10)
+    )
+
+
+_Q89_SQL = r"""
+WITH td AS (
+  SELECT DISTINCT doc_id, lower(tok) AS token
+  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+        FROM documents)
+)
+SELECT token, CAST(count(*) AS BIGINT) AS df,
+       list(doc_id ORDER BY doc_id) AS postings
+FROM td GROUP BY token HAVING count(*) >= 10
+"""
+
+
+# ---------------------------------------------------------------- q90
+def q90_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-ranked retrieval for a fixed 3-term query, top-20 docs.
+
+    The classic BM25(k1=1.2, b=0.75) per-term score
+    ``idf * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))`` is computed as an
+    exact rational in integer micro-units: with T = total corpus
+    tokens, N = docs, avgdl = T/N, multiplying numerator and
+    denominator by 10*T clears every float constant:
+
+        score_u = (1_000_000 * 22*T*tf * (N-df+1))
+                  DIV ((10*T*tf + 3*T + 9*dl*N) * (df+1))
+
+    (idf uses the rational form (N-df+1)/(df+1) instead of its log —
+    same ordering, no transcendental).  Per-doc totals are integer
+    sums — order-independent, so the shuffle schedule can't change
+    the ranking.  Magnitudes stay under 2^63 up to ~1e9-token
+    corpora; past that the accumulator moves to DECIMAL(38,0) with
+    the same plan shape.
+
+    Plan: the term filter lands BEFORE the exploded token stream
+    shuffles (only query-term hits leave the map side); corpus stats
+    (T, N) and per-term df are one-row/3-row broadcasts."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    with_toks = docs.select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("__toks")
+    )
+    dl = with_toks.select(
+        "doc_id", F.size("__toks").cast("bigint").alias("dl")
+    )
+    stats = dl.agg(
+        F.sum("dl").alias("T"), F.count(F.lit(1)).alias("N")
+    )
+    tf = (
+        with_toks.select("doc_id", F.explode("__toks").alias("token"))
+        .filter(F.col("token").isin(*BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.expr(
+                "(1000000L * 22 * T * tf * (N - df + 1))"
+                " DIV ((10 * T * tf + 3 * T + 9 * dl * N) * (df + 1))"
+            ).alias("s"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("s").alias("score_micro"))
+    )
+    return scored.orderBy(F.col("score_micro").desc(), "doc_id").limit(20)
+
+
+_Q90_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents
+), dl AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks
+), stats AS (
+  SELECT CAST(sum(dl) AS BIGINT) AS T, CAST(count(*) AS BIGINT) AS N FROM dl
+), tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS token FROM toks)
+  WHERE token IN ('hash', 'join', 'vector')
+  GROUP BY 1, 2
+), dfreq AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+)
+SELECT tf.doc_id,
+       CAST(sum((1000000 * 22 * s.T * tf.tf * (s.N - d.df + 1))
+                // ((10 * s.T * tf.tf + 3 * s.T + 9 * dl.dl * s.N)
+                    * (d.df + 1))) AS BIGINT) AS score_micro
+FROM tf
+JOIN dfreq d USING (token)
+JOIN dl USING (doc_id)
+CROSS JOIN stats s
+GROUP BY tf.doc_id
+ORDER BY score_micro DESC, doc_id
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------- q91
+#: Part nodes are offset past the supplier key space.
+_PART_OFFSET = 1_000_000
+_ITERATIONS = 3
+
+
+def q91_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 3 iterations) over the bipartite
+    supplier-part shipment graph, reporting supplier ranks.
+
+    Exact integer fixed-point: ranks live in micro-units (r0 = 1e6);
+    each step is ``r' = 150000 + (85 * sum(r DIV outdeg)) DIV 100`` —
+    integer contributions sum order-independently and the truncating
+    DIVs are deterministic, so the oracle (the same three steps
+    unrolled as chained CTEs) agrees bit-for-bit.
+
+    Scale shape: the symmetrized edge list is built ONCE from a
+    distinct-pairs aggregation and persisted; every iteration is then
+    edges ⋈ ranks (hash join on src) -> hash agg on dst.  The rank
+    side is |V| rows — tiny next to |E| — so AQE broadcasts it and
+    the edge table never re-shuffles; on a real cluster the iteration
+    loop is the place to ``localCheckpoint`` every few rounds to
+    truncate lineage."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    pairs = (
+        li.select(
+            F.col("l_suppkey").alias("s"),
+            (F.col("l_partkey") + _PART_OFFSET).alias("p"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("s").alias("src"), F.col("p").alias("dst")).unionByName(
+        pairs.select(F.col("p").alias("src"), F.col("s").alias("dst"))
+    ).persist()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).select(
+        F.col("src").alias("node"), "outdeg"
+    ).persist()
+    ranks = deg.select("node", "outdeg", F.lit(1000000).cast("bigint").alias("r"))
+    for _ in range(_ITERATIONS):
+        contribs = (
+            edges.join(ranks, edges.src == ranks.node)
+            .select("dst", F.expr("r DIV outdeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = deg.join(contribs, deg.node == contribs.dst).select(
+            "node",
+            "outdeg",
+            (F.lit(150000) + F.expr("(85 * in_sum) DIV 100")).alias("r"),
+        )
+    return (
+        ranks.filter(F.col("node") < _PART_OFFSET)
+        .select(F.col("node").alias("s_suppkey"), F.col("r").alias("rank_micro"))
+        .orderBy(F.col("rank_micro").desc(), "s_suppkey")
+    )
+
+
+_Q91_SQL = f"""
+WITH pairs AS (
+  SELECT DISTINCT l_suppkey AS s, l_partkey + {_PART_OFFSET} AS p FROM lineitem
+), e AS (
+  SELECT s AS src, p AS dst FROM pairs
+  UNION ALL
+  SELECT p AS src, s AS dst FROM pairs
+), deg AS (
+  SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY 1
+), r0 AS (
+  SELECT node, outdeg, CAST(1000000 AS BIGINT) AS r FROM deg
+), r1 AS (
+  SELECT d.node, d.outdeg, 150000 + (85 * c.in_sum) // 100 AS r
+  FROM deg d JOIN (SELECT e.dst, sum(r.r // r.outdeg) AS in_sum
+                   FROM e JOIN r0 r ON e.src = r.node GROUP BY 1) c
+    ON d.node = c.dst
+), r2 AS (
+  SELECT d.node, d.outdeg, 150000 + (85 * c.in_sum) // 100 AS r
+  FROM deg d JOIN (SELECT e.dst, sum(r.r // r.outdeg) AS in_sum
+                   FROM e JOIN r1 r ON e.src = r.node GROUP BY 1) c
+    ON d.node = c.dst
+), r3 AS (
+  SELECT d.node, d.outdeg, 150000 + (85 * c.in_sum) // 100 AS r
+  FROM deg d JOIN (SELECT e.dst, sum(r.r // r.outdeg) AS in_sum
+                   FROM e JOIN r2 r ON e.src = r.node GROUP BY 1) c
+    ON d.node = c.dst
+)
+SELECT node AS s_suppkey, CAST(r AS BIGINT) AS rank_micro
+FROM r3 WHERE node < {_PART_OFFSET}
+ORDER BY rank_micro DESC, s_suppkey
+"""
+
+
+QUERIES = {
+    "q89_inverted_index": q89_inverted_index,
+    "q90_bm25_topk": q90_bm25_topk,
+    "q91_pagerank_suppliers": q91_pagerank_suppliers,
+}
+
+ORACLE = {
+    "q89_inverted_index": _Q89_SQL,
+    "q90_bm25_topk": _Q90_SQL,
+    "q91_pagerank_suppliers": _Q91_SQL,
+}
