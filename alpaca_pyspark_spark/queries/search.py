@@ -90,40 +90,45 @@ def q90_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpora; past that the accumulator moves to DECIMAL(38,0) with
     the same plan shape.
 
-    Plan: the term filter lands BEFORE the exploded token stream
-    shuffles (only query-term hits leave the map side); corpus stats
-    (T, N) and per-term df are one-row/3-row broadcasts."""
+    Plan: ONE map-only tokenize pass produces a compact per-doc row
+    (dl + one tf column per query term — ``size(filter(toks, ...))``,
+    no explode, no per-term shuffle); that table is the only thing
+    the corpus scan feeds.  Corpus stats (T, N, every term's df) are
+    ONE aggregated row broadcast back over it, scoring is a map-side
+    expression, and top-20 is TakeOrderedAndProject — the whole query
+    is one aggregation exchange over |docs| compact rows."""
     tune(spark)
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    with_toks = docs.select(
-        "doc_id", tokens(F.lower(F.col("text"))).alias("__toks")
+    toks = tokens(F.lower(F.col("text")))
+
+    def eq(term):
+        return lambda x: x == term
+
+    per_doc = docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("dl"),
+        *[
+            F.size(F.filter(toks, eq(t))).cast("bigint").alias(f"tf_{t}")
+            for t in BM25_TERMS
+        ],
     )
-    dl = with_toks.select(
-        "doc_id", F.size("__toks").cast("bigint").alias("dl")
+    stats = per_doc.agg(
+        F.sum("dl").alias("T"),
+        F.count(F.lit(1)).alias("N"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("bigint")).alias(f"df_{t}")
+            for t in BM25_TERMS
+        ],
     )
-    stats = dl.agg(
-        F.sum("dl").alias("T"), F.count(F.lit(1)).alias("N")
+    term_score = " + ".join(
+        f"IF(tf_{t} > 0, (1000000L * 22 * T * tf_{t} * (N - df_{t} + 1))"
+        f" DIV ((10 * T * tf_{t} + 3 * T + 9 * dl * N) * (df_{t} + 1)), 0L)"
+        for t in BM25_TERMS
     )
-    tf = (
-        with_toks.select("doc_id", F.explode("__toks").alias("token"))
-        .filter(F.col("token").isin(*BM25_TERMS))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     scored = (
-        tf.join(F.broadcast(dfreq), "token")
-        .join(dl, "doc_id")
+        per_doc.filter(sum(F.col(f"tf_{t}") for t in BM25_TERMS) > 0)
         .crossJoin(F.broadcast(stats))
-        .select(
-            "doc_id",
-            F.expr(
-                "(1000000L * 22 * T * tf * (N - df + 1))"
-                " DIV ((10 * T * tf + 3 * T + 9 * dl * N) * (df + 1))"
-            ).alias("s"),
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("s").alias("score_micro"))
+        .select("doc_id", F.expr(term_score).alias("score_micro"))
     )
     return scored.orderBy(F.col("score_micro").desc(), "doc_id").limit(20)
 

@@ -194,11 +194,12 @@ WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
 def q87_dominant_supplier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape (share-of-total nested aggregation): supplier
     names that shipped more than a fifth of some part's total quantity.
-    Both aggregation levels reuse ONE exchange: the per-(part,
-    supplier) aggregate is hash-partitioned by l_partkey prefix, and
-    the per-part total is a window over the same partitioning — no
-    second fact shuffle, no self-join.  The supplier attach is a
-    broadcast semi-probe at dimension size."""
+    The fact table is touched by exactly ONE partial-aggregated
+    exchange (per-(part, supplier) sums); the per-part total is a
+    window over that already-aggregated table — its exchange moves
+    |part x supplier| compact rows, never raw lineitem, and there is
+    no self-join.  The supplier attach is a broadcast semi-probe at
+    dimension size."""
     tune(spark)
     li = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")

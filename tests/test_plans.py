@@ -287,3 +287,78 @@ def test_q83_scalar_threshold_broadcasts_one_row(spark):
     # single-partition window over the per-part table
     assert count_broadcasts(df) >= 1, plan
     assert "Window" not in plan, plan
+
+
+def test_q84_pricing_summary_partial_agg(spark):
+    df = QUERIES["q84_pricing_summary"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    # the agg exchange carries |groups| partial rows; the only other
+    # exchange is the final ORDER BY range partitioning
+    assert "partial_sum" in plan, plan
+    assert count_shuffles(df) == 2, plan
+    assert plan.count("lineitem.parquet") == 1, plan
+
+
+def test_q85_filter_before_join_and_broadcasts(spark):
+    df = QUERIES["q85_large_volume_orders"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    # the HAVING aggregate prunes lineitem before any join; both
+    # attach joins are broadcasts, so no join re-shuffles survivors
+    assert count_broadcasts(df) >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_q86_disjunction_keeps_hash_join(spark):
+    df = QUERIES["q86_disjunctive_predicate_join"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    # OR-of-clauses must not force a nested loop: the common partkey
+    # equi-key drives a broadcast hash join
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q87_fact_shuffle_carries_aggregates(spark):
+    df = QUERIES["q87_dominant_supplier_parts"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    # exactly one scan of lineitem, partial-aggregated before its
+    # exchange; the share-of-total window runs on aggregated rows
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "partial_sum" in plan, plan
+
+
+def test_q88_anti_join_no_fact_rescan(spark):
+    df = QUERIES["q88_idle_rich_customers"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    # the scalar average is a one-row broadcast; customer scanned for
+    # the avg and for the probe side, orders only as the anti build
+    assert count_broadcasts(df) >= 2, plan
+    assert "LeftAnti" in plan, plan
+
+
+def test_q89_inverted_index_single_shuffle(spark):
+    df = QUERIES["q89_inverted_index"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    # collect_set is partial-aggregated object hash agg: the exchange
+    # carries per-token partial sets, not the exploded token stream
+    assert count_shuffles(df) == 1, plan
+    assert "partial_collect_set" in plan, plan
+
+
+def test_q90_bm25_one_pass_one_shuffle(spark):
+    df = QUERIES["q90_bm25_topk"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    # per-term tf columns come from size(filter(...)) in the map
+    # stage — no explode, no per-term shuffle; stats broadcast back;
+    # top-k is TakeOrdered, not a global sort exchange
+    assert count_shuffles(df) == 1, plan
+    assert "Generate" not in plan, plan  # no explode anywhere
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q91_pagerank_bounded_iteration_shuffles(spark):
+    df = QUERIES["q91_pagerank_suppliers"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    # the rank side of every iteration joins broadcast (|V| rows);
+    # the symmetrized edge table is built once and never re-shuffled
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
