@@ -253,14 +253,129 @@ ORDER BY rank_micro DESC, s_suppkey
 """
 
 
+# ---------------------------------------------------------------- q92
+def q92_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: after near-duplicate clustering
+    (connected components over the cosine-threshold pair graph, as in
+    q33), keep ONE representative per cluster — the longest member,
+    ties to the smallest id.  This is the "collapse the duplicate
+    family" step that turns pair/cluster detection into an actual
+    deduplicated corpus.
+
+    The argmax is a packed-integer ``max_by`` (n_chars * 2^20 - id:
+    total order, so the aggregate is partial-aggregatable and
+    tie-stable on both engines — same trick as q71).  Embedding ids
+    and doc ids share a key space at matching row counts; the inner
+    join scopes the report to embedded documents."""
+    from ..operators.components import connected_components
+    from ..operators.dedup import embedding_near_duplicates
+
+    tune(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    pairs = embedding_near_duplicates(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.5, num_planes=None
+    )
+    comp = connected_components(pairs, emb, src="id_a", dst="id_b", vertex_id="vec_id")
+    packed = F.col("n_chars") * F.lit(1048576) - F.col("doc_id")
+    return (
+        comp.join(docs, comp.id == docs.doc_id)
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max_by("doc_id", packed).alias("rep_doc_id"),
+            F.max("n_chars").alias("rep_chars"),
+        )
+    )
+
+
+_Q92_SQL = """
+WITH RECURSIVE
+E AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM E a JOIN E b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= 0.5
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT reach.id, edges.v FROM reach JOIN edges ON reach.r = edges.u
+),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+SELECT component,
+       CAST(count(*) AS BIGINT) AS n_members,
+       arg_max(doc_id, n_chars * 1048576 - doc_id) AS rep_doc_id,
+       CAST(max(n_chars) AS BIGINT) AS rep_chars
+FROM comp JOIN documents ON comp.id = doc_id
+GROUP BY component
+"""
+
+
+# ---------------------------------------------------------------- q93
+def q93_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One iteration of BPE tokenizer training: count adjacent
+    character pairs across the corpus weighted by word frequency, and
+    report the top-30 merge candidates — the inner loop of building a
+    subword vocabulary from a 100 TB corpus.
+
+    Two bounded aggregations: words collapse to (word, freq) FIRST
+    (the heavy exploded token stream partial-aggregates map-side;
+    the exchange carries |vocab| rows), then each distinct word fans
+    out to its ~len(word) bigrams exactly once — pair counting runs
+    on the vocabulary, not the corpus.  All counts integer; top-30
+    is TakeOrdered."""
+    from ..functions import char_ngrams
+
+    tune(spark)
+    docs = load(spark, sf_dir, "documents").select("text")
+    words = (
+        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.length("w") >= 2)
+    )
+    return (
+        words.select(F.explode(char_ngrams(F.col("w"), 2)).alias("pair"), "c")
+        .groupBy("pair")
+        .agg(F.sum("c").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(30)
+    )
+
+
+_Q93_SQL = r"""
+WITH words AS (
+  SELECT lower(tok) AS w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS tok FROM documents)
+  GROUP BY 1
+), prs AS (
+  SELECT unnest(list_transform(range(1, length(w)),
+                               i -> substring(w, i::INT, 2))) AS pair, c
+  FROM words WHERE length(w) >= 2
+)
+SELECT pair, CAST(sum(c) AS BIGINT) AS n
+FROM prs GROUP BY pair ORDER BY n DESC, pair LIMIT 30
+"""
+
+
 QUERIES = {
     "q89_inverted_index": q89_inverted_index,
     "q90_bm25_topk": q90_bm25_topk,
     "q91_pagerank_suppliers": q91_pagerank_suppliers,
+    "q92_cluster_representatives": q92_cluster_representatives,
+    "q93_bpe_merge_pairs": q93_bpe_merge_pairs,
 }
 
 ORACLE = {
     "q89_inverted_index": _Q89_SQL,
     "q90_bm25_topk": _Q90_SQL,
     "q91_pagerank_suppliers": _Q91_SQL,
+    "q92_cluster_representatives": _Q92_SQL,
+    "q93_bpe_merge_pairs": _Q93_SQL,
 }

@@ -362,3 +362,13 @@ def test_q91_pagerank_bounded_iteration_shuffles(spark):
     # the symmetrized edge table is built once and never re-shuffled
     assert "BroadcastHashJoin" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q93_pair_counts_run_on_vocab_not_corpus(spark):
+    df = QUERIES["q93_bpe_merge_pairs"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    # word collapse partial-aggregates the exploded token stream;
+    # bigram fan-out happens after, on distinct words only; top-30
+    # never global-sorts
+    assert count_shuffles(df) == 2, plan
+    assert "TakeOrderedAndProject" in plan, plan
