@@ -12,13 +12,13 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import advanced, analytics, core, extended, llm, mining, scale, search, warehouse
+from . import advanced, analytics, core, extended, llm, mining, scale, search, tpch, warehouse
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
 
-for mod in (core, extended, llm, scale, advanced, analytics, mining, warehouse, search):
+for mod in (core, extended, llm, scale, advanced, analytics, mining, warehouse, search, tpch):
     QUERIES.update(mod.QUERIES)
     ORACLE.update(mod.ORACLE)

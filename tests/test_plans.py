@@ -372,3 +372,39 @@ def test_q93_pair_counts_run_on_vocab_not_corpus(spark):
     # never global-sorts
     assert count_shuffles(df) == 2, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q94_dimensions_never_shuffle(spark):
+    df = QUERIES["q94_returned_revenue_customers"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    # fact aggregates to custkeys before customer/nation attach; the
+    # returnflag filter reaches the lineitem scan
+    assert "BroadcastHashJoin" in plan, plan
+    assert any("l_returnflag" in f for f in pushed_filters(df)), pushed_filters(df)
+
+
+def test_q96_promo_share_single_fact_pass(spark):
+    df = QUERIES["q96_promo_revenue_share"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    # conditional + total sums come from ONE aggregation: lineitem is
+    # scanned once and part joins broadcast
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert count_broadcasts(df) >= 1, plan
+
+
+def test_q99_profit_one_fact_exchange(spark):
+    df = QUERIES["q99_profit_by_nation"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    # all three dimensions broadcast; the only wide exchanges are the
+    # (nation, year) partial agg and the final order
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert count_shuffles(df) == 2, plan
+
+
+def test_q100_semi_probe_broadcast(spark):
+    df = QUERIES["q100_market_share"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    # the EUROPE customer set probes as a broadcast semi-join (the
+    # fact-fact lineitem x orders join is rightly left to SMJ/AQE)
+    assert "BroadcastHashJoin LeftSemi" in plan, plan
