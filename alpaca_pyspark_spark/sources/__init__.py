@@ -13,6 +13,8 @@ Spark 4 Python DataSource API with a declarative core:
 - :mod:`.alpaca`      — the six concrete sources: stock bars, stock
   trades, option bars, corporate actions, crypto bars, crypto trades
   (crypto fills the reference's explicit placeholder).
+- :mod:`.sink`        — the write-path inverse the reference lacks: a
+  paged REST batch sink with two-phase commit manifest.
 """
 
 from __future__ import annotations
@@ -31,6 +33,7 @@ def register_all(spark: SparkSession) -> None:
         StockBarsDataSource,
         StockTradesDataSource,
     )
+    from .sink import RestBatchSink
 
     for cls in (
         StockBarsDataSource,
@@ -39,5 +42,6 @@ def register_all(spark: SparkSession) -> None:
         CorporateActionsDataSource,
         CryptoBarsDataSource,
         CryptoTradesDataSource,
+        RestBatchSink,
     ):
         spark.dataSource.register(cls)

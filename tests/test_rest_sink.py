@@ -1,0 +1,103 @@
+"""REST batch sink e2e: executors POST record pages to a local HTTP
+server; the driver posts the commit manifest only after every task
+succeeded (two-phase-commit ordering the test asserts directly)."""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from .conftest import SF_DIR
+
+
+class _CaptureHandler(BaseHTTPRequestHandler):
+    # class-level capture shared by all handler instances
+    ingests: list[dict] = []
+    commits: list[dict] = []
+    lock = threading.Lock()
+
+    def do_POST(self):  # noqa: N802 (http.server API)
+        body = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+        with _CaptureHandler.lock:
+            if self.path.endswith("/commit"):
+                _CaptureHandler.commits.append(
+                    {"body": body, "t": time.monotonic()}
+                )
+            else:
+                _CaptureHandler.ingests.append(
+                    {"body": body, "t": time.monotonic()}
+                )
+        self.send_response(200)
+        self.send_header("content-type", "application/json")
+        self.end_headers()
+        self.wfile.write(b"{}")
+
+    def log_message(self, *a):  # silence
+        pass
+
+
+@pytest.fixture()
+def capture_server():
+    _CaptureHandler.ingests = []
+    _CaptureHandler.commits = []
+    server = ThreadingHTTPServer(("127.0.0.1", 0), _CaptureHandler)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{server.server_address[1]}/v1"
+    server.shutdown()
+
+
+def test_rest_sink_end_to_end(spark, capture_server):
+    from alpaca_pyspark_spark.sources import register_all
+    from alpaca_pyspark_spark.tables import load
+
+    register_all(spark)
+    df = (
+        load(spark, SF_DIR, "events")
+        .select("event_id", "ts", "user_id", "event_type")
+        .limit(137)
+        .repartition(4)
+    )
+    n = df.count()
+    (
+        df.write.format("Rest_Batch_Sink")
+        .options(endpoint=capture_server, batch_size=25)
+        .mode("append")
+        .save()
+    )
+    got_rows = [r for pg in _CaptureHandler.ingests for r in pg["body"]["records"]]
+    assert len(got_rows) == n
+    # every page respects the batch size
+    assert all(len(pg["body"]["records"]) <= 25 for pg in _CaptureHandler.ingests)
+    # rows survive the JSON trip intact (ids unique, ts ISO-parseable)
+    assert len({r["event_id"] for r in got_rows}) == n
+    assert all("T" in r["ts"] for r in got_rows)
+    # exactly one commit manifest, with the true totals, AFTER all pages
+    assert len(_CaptureHandler.commits) == 1
+    manifest = _CaptureHandler.commits[0]["body"]
+    assert manifest["status"] == "committed"
+    assert manifest["rows"] == n
+    assert manifest["pages"] == len(_CaptureHandler.ingests)
+    last_page_t = max(pg["t"] for pg in _CaptureHandler.ingests)
+    assert _CaptureHandler.commits[0]["t"] >= last_page_t
+
+
+def test_rest_sink_rejects_overwrite_and_missing_endpoint(spark, capture_server):
+    from alpaca_pyspark_spark.sources import register_all
+    from alpaca_pyspark_spark.tables import load
+
+    register_all(spark)
+    df = load(spark, SF_DIR, "events").select("event_id").limit(1)
+    with pytest.raises(Exception, match="append-only"):
+        (
+            df.write.format("Rest_Batch_Sink")
+            .options(endpoint=capture_server)
+            .mode("overwrite")
+            .save()
+        )
+    with pytest.raises(Exception, match="endpoint"):
+        df.write.format("Rest_Batch_Sink").mode("append").save()
