@@ -419,6 +419,70 @@ ORDER BY revenue DESC, partkey
 """
 
 
+# --------------------------------------------------------------- q102
+def q102_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier profiling: flag prices more than 1.5 MADs
+    (median absolute deviation) from their return-flag group's median.
+
+    Both medians are EXACT percentiles over integer cents, so the
+    interpolated midpoints are exact halves/quarters in binary and
+    the two engines agree bit-for-bit (probe-verified); the only
+    inexact op is the final 4.4478*mad product, computed identically
+    on identical doubles.  Plan: median and MAD are two sequential
+    windows over the SAME group partitioning -- one exchange of the
+    fact table total, then the summary aggregate.  At 100 TB swap the
+    exact window percentile for approx_percentile partials per block
+    + merged (the rollup pattern of q46) -- exactness here is what
+    makes the oracle gate possible."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    w = Window.partitionBy("l_returnflag")
+    d = (
+        li.select("l_returnflag", cents.alias("__c"))
+        .withColumn("__med", F.percentile("__c", F.lit(0.5)).over(w))
+        .withColumn("__dev", F.abs(F.col("__c") - F.col("__med")))
+        .withColumn("__mad", F.percentile("__dev", F.lit(0.5)).over(w))
+    )
+    return (
+        d.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.count_if(F.col("__dev") > F.lit(1.5) * F.col("__mad")).alias(
+                "n_outliers"
+            ),
+            (F.max("__med") / 100.0).alias("median_price"),
+            (F.max("__mad") / 100.0).alias("mad_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_Q102_SQL = """
+WITH c AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+), m AS (
+  SELECT l_returnflag, quantile_cont(cents, 0.5) AS med
+  FROM c GROUP BY 1
+), d AS (
+  SELECT c.l_returnflag, cents, med, abs(cents - med) AS dev
+  FROM c JOIN m USING (l_returnflag)
+), md AS (
+  SELECT l_returnflag, quantile_cont(dev, 0.5) AS mad
+  FROM d GROUP BY 1
+)
+SELECT d.l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(count(*) FILTER (dev > 1.5 * mad) AS BIGINT) AS n_outliers,
+       max(med) / 100.0 AS median_price,
+       max(mad) / 100.0 AS mad_price
+FROM d JOIN md USING (l_returnflag)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "q77_bitmap_distinct_rollup": q77_bitmap_distinct_rollup,
     "q78_fuzzy_name_pairs": q78_fuzzy_name_pairs,
@@ -427,6 +491,7 @@ QUERIES = {
     "q81_grouped_regression": q81_grouped_regression,
     "q82_sole_late_shipper": q82_sole_late_shipper,
     "q83_revenue_share_threshold": q83_revenue_share_threshold,
+    "q102_mad_outliers": q102_mad_outliers,
 }
 
 ORACLE = {
@@ -437,4 +502,5 @@ ORACLE = {
     "q81_grouped_regression": _Q81_SQL,
     "q82_sole_late_shipper": _Q82_SQL,
     "q83_revenue_share_threshold": _Q83_SQL,
+    "q102_mad_outliers": _Q102_SQL,
 }
