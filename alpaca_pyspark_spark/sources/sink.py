@@ -27,6 +27,7 @@ from typing import Any, Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamWriter,
     DataSourceWriter,
     WriterCommitMessage,
 )
@@ -111,6 +112,38 @@ class RestBatchWriter(DataSourceWriter):
         self._post(self._commit_path, {"status": "aborted"})
 
 
+class RestStreamWriter(DataSourceStreamWriter):
+    """Streaming micro-batch variant: same paged POSTs per task; the
+    per-batch manifest carries ``batchId``, which is what makes
+    replays detectable server-side — on failure recovery Structured
+    Streaming re-runs the last uncommitted batch, the server sees the
+    same batchId again and deduplicates (the standard idempotent-sink
+    contract; same stance as ``streaming/enrich.py``'s merge sink)."""
+
+    def __init__(self, inner: RestBatchWriter):
+        self._inner = inner
+
+    def write(self, iterator: Iterator[Any]) -> _PartitionResult:
+        return self._inner.write(iterator)
+
+    def commit(self, messages: list[_PartitionResult], batchId: int) -> None:
+        self._inner._post(
+            self._inner._commit_path,
+            {
+                "status": "committed",
+                "batch_id": batchId,
+                "partitions": len(messages),
+                "rows": sum(m.rows for m in messages),
+                "pages": sum(m.pages for m in messages),
+            },
+        )
+
+    def abort(self, messages: list[_PartitionResult], batchId: int) -> None:
+        self._inner._post(
+            self._inner._commit_path, {"status": "aborted", "batch_id": batchId}
+        )
+
+
 class RestBatchSink(DataSource):
     """``df.write.format("Rest_Batch_Sink")`` — options:
 
@@ -154,4 +187,15 @@ class RestBatchSink(DataSource):
             self._commit_path,
             self._batch_size,
             [f.name for f in schema.fields],
+        )
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> DataSourceStreamWriter:
+        return RestStreamWriter(
+            RestBatchWriter(
+                self._config,
+                self._path,
+                self._commit_path,
+                self._batch_size,
+                [f.name for f in schema.fields],
+            )
         )

@@ -101,3 +101,34 @@ def test_rest_sink_rejects_overwrite_and_missing_endpoint(spark, capture_server)
         )
     with pytest.raises(Exception, match="endpoint"):
         df.write.format("Rest_Batch_Sink").mode("append").save()
+
+
+def test_rest_sink_streaming_batches_carry_batch_id(spark, capture_server, tmp_path):
+    from alpaca_pyspark_spark.sources import register_all
+    from alpaca_pyspark_spark.tables import load
+
+    register_all(spark)
+    events = load(spark, SF_DIR, "events").select("event_id", "user_id").limit(80)
+    src = str(tmp_path / "src")
+    events.write.parquet(src)
+    n = events.count()
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        stream.writeStream.format("Rest_Batch_Sink")
+        .options(endpoint=capture_server, batch_size=30)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got_rows = [r for pg in _CaptureHandler.ingests for r in pg["body"]["records"]]
+    assert len(got_rows) == n
+    # one manifest per committed micro-batch, each stamped with its id
+    assert len(_CaptureHandler.commits) >= 1
+    ids = [m["body"]["batch_id"] for m in _CaptureHandler.commits]
+    assert ids == sorted(set(ids)), ids
+    assert sum(m["body"]["rows"] for m in _CaptureHandler.commits) == n
