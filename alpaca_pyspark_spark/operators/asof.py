@@ -37,11 +37,19 @@ def asof_join(
     state_ts: str,
     value_cols: Sequence[str],
     allow_exact_matches: bool = True,
+    tolerance: str | None = None,
 ) -> DataFrame:
     """For each probe row, attach the latest state values with
     ``state.ts <= probe.ts`` (or ``<`` when ``allow_exact_matches`` is
     False), matching on equality of ``on``.  Probe rows with no prior
     state get NULLs (left-join semantics).
+
+    ``tolerance`` (a SQL interval string, e.g. ``"1 hour"``) bounds
+    how stale the matched state may be: when the latest prior state is
+    older than ``probe.ts - tolerance`` the attach is NULLed — the
+    same semantics as ``pandas.merge_asof(tolerance=...)``.  The bound
+    is applied AFTER the window fill (one extra filled column carrying
+    the matched state timestamp), so it costs no additional shuffle.
 
     Returns the probe columns followed by ``value_cols`` from state.
     """
@@ -66,6 +74,7 @@ def asof_join(
         F.col(state_ts).alias(_TS),
         F.lit(state_side).alias(_SIDE),
         *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        F.col(state_ts).alias("__asof_sts"),
         F.lit(None).cast(row_type).alias(_ROW),
     )
     probe_sel = probe.select(
@@ -73,6 +82,7 @@ def asof_join(
         F.col(probe_ts).alias(_TS),
         F.lit(probe_side).alias(_SIDE),
         *[F.lit(None).cast(state.schema[c].dataType).alias(f"__v_{c}") for c in value_cols],
+        F.lit(None).cast(state.schema[state_ts].dataType).alias("__asof_sts"),
         probe_struct.alias(_ROW),
     )
 
@@ -86,8 +96,21 @@ def asof_join(
         _SIDE,
         _ROW,
         *[F.last(F.col(f"__v_{c}"), ignorenulls=True).over(w).alias(f"__v_{c}") for c in value_cols],
+        F.last(F.col("__asof_sts"), ignorenulls=True).over(w).alias("__asof_sts"),
     )
-    return filled.filter(F.col(_SIDE) == probe_side).select(
+    probe_rows = filled.filter(F.col(_SIDE) == probe_side)
+    if tolerance is not None:
+        fresh = F.col("__asof_sts") >= F.col(f"{_ROW}.{probe_ts}") - F.expr(
+            f"INTERVAL {tolerance}"
+        )
+        return probe_rows.select(
+            *[F.col(f"{_ROW}.{c}").alias(c) for c in probe.columns],
+            *[
+                F.when(fresh, F.col(f"__v_{c}")).alias(c)
+                for c in value_cols
+            ],
+        )
+    return probe_rows.select(
         *[F.col(f"{_ROW}.{c}").alias(c) for c in probe.columns],
         *[F.col(f"__v_{c}").alias(c) for c in value_cols],
     )

@@ -568,6 +568,46 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------- q103
+def q103_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with staleness bound (``pandas.merge_asof
+    tolerance`` semantics, and the batch twin of a state-TTL stream
+    join): each click attaches the user's latest prior purchase ONLY
+    if it happened within the last 6 hours — older state is treated
+    as expired and the attach is NULL.  Same single-shuffle
+    union+window rewrite as q06; the bound rides the window fill as
+    one extra column."""
+    from ..operators.asof import asof_join
+
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("recent_purchase_value")
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        probe_ts="ts",
+        state_ts="ts",
+        value_cols=["recent_purchase_value"],
+        tolerance="6 HOURS",
+    )
+
+
+_Q103_SQL = """
+SELECT c.user_id, c.event_id AS click_id, c.ts,
+       CASE WHEN p.ts >= c.ts - INTERVAL 6 HOUR THEN p.value END
+         AS recent_purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
 QUERIES = {
     "q01_scan_filter_project": q01_scan_filter_project,
     "q02_bars_tumbling": q02_bars_tumbling,
@@ -584,6 +624,7 @@ QUERIES = {
     "q11_exact_distinct": q11_exact_distinct,
     "q11_approx_distinct": q11_approx_distinct,
     "q14_stream_session": q14_stream_session,
+    "q103_asof_tolerance": q103_asof_tolerance,
 }
 
 ORACLE = {
@@ -601,4 +642,5 @@ ORACLE = {
     "q10_semi_anti": _Q10_SQL,
     "q11_exact_distinct": _Q11_SQL,
     "q14_stream_session": _Q14_SQL,
+    "q103_asof_tolerance": _Q103_SQL,
 }

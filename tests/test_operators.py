@@ -49,6 +49,31 @@ def test_asof_join_matches_naive(spark):
     assert out == {"p0": None, "p1": 1.0, "p2": 2.0, "p3": None}
 
 
+def test_asof_join_tolerance_boundary(spark):
+    from datetime import datetime as DT
+
+    probe = spark.createDataFrame(
+        [("A", DT(2024, 1, 1, 12, 0, 0), "exact"),
+         ("A", DT(2024, 1, 1, 13, 0, 0), "stale"),
+         ("A", DT(2024, 1, 1, 11, 0, 1), "fresh")],
+        "key string, t timestamp_ntz, tag string",
+    )
+    state = spark.createDataFrame(
+        [("A", DT(2024, 1, 1, 11, 0, 0), 7.0)],
+        "key string, t timestamp_ntz, v double",
+    )
+    out = {
+        r["tag"]: r["v"]
+        for r in asof_join(
+            probe, state, on=["key"], probe_ts="t", state_ts="t",
+            value_cols=["v"], tolerance="1 HOUR",
+        ).collect()
+    }
+    # inclusive bound: state exactly 1h old stays; 2h old expires;
+    # 59m59s old stays
+    assert out == {"exact": 7.0, "stale": None, "fresh": 7.0}
+
+
 def test_asof_join_strict_inequality(spark):
     probe = spark.createDataFrame([("A", 10, "p1")], "key string, t long, tag string")
     state = spark.createDataFrame([("A", 10, 1.0)], "key string, t long, v double")
