@@ -483,6 +483,92 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# --------------------------------------------------------------- q104
+def q104_merkle_block_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy reconciliation (the Merkle-tree primitive behind
+    replica repair / cross-region dataset sync): fingerprint each
+    1000-order block of lineitem with an order-independent XOR of
+    portable row hashes, fingerprint a drifted replica the same way,
+    and report only the divergent blocks — the repair then rescans
+    those blocks alone, never the full table.
+
+    The row hash is engine-portable integer arithmetic (mod-2^40
+    mixing — NOT xxhash, which the oracle engine lacks); bit_xor is
+    commutative/associative, so partial aggregation works and the
+    exchange carries one row per block.  The synthetic replica drifts
+    deterministically: every line of orders ending in 7 mod 1000 has
+    its price bumped one cent."""
+    tune(spark)
+    M = 1 << 40
+    li = load(spark, sf_dir, "lineitem")
+
+    def fingerprint(df, bump):
+        cents = F.round(F.col("l_extendedprice") * 100).cast("bigint") + bump
+        fp = (
+            (F.col("l_orderkey") % M) * 1000003
+            + F.col("l_linenumber").cast("bigint") * 97
+            + cents
+        ) % M
+        return (
+            df.select(
+                (F.col("l_orderkey") / 1000).cast("bigint").alias("block"),
+                fp.alias("__fp"),
+            )
+            .groupBy("block")
+            .agg(
+                F.expr("bit_xor(__fp)").alias("block_fp"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+        )
+
+    base = fingerprint(li, F.lit(0))
+    drift = F.when(F.col("l_orderkey") % 1000 == 7, F.lit(1)).otherwise(F.lit(0))
+    replica = fingerprint(li, drift)
+    return (
+        base.alias("b")
+        .join(replica.alias("r"), "block", "full_outer")
+        .filter(
+            (F.col("b.block_fp") != F.col("r.block_fp"))
+            | F.col("b.block_fp").isNull()
+            | F.col("r.block_fp").isNull()
+        )
+        .select(
+            "block",
+            F.col("b.n_rows").alias("base_rows"),
+            F.col("r.n_rows").alias("replica_rows"),
+        )
+        .orderBy("block")
+    )
+
+
+_Q104_SQL = """
+WITH base AS (
+  SELECT l_orderkey // 1000 AS block,
+         bit_xor(((l_orderkey % 1099511627776) * 1000003
+                  + l_linenumber * 97
+                  + CAST(round(l_extendedprice * 100) AS BIGINT))
+                 % 1099511627776) AS block_fp,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM lineitem GROUP BY 1
+), replica AS (
+  SELECT l_orderkey // 1000 AS block,
+         bit_xor(((l_orderkey % 1099511627776) * 1000003
+                  + l_linenumber * 97
+                  + CAST(round(l_extendedprice * 100) AS BIGINT)
+                  + CASE WHEN l_orderkey % 1000 = 7 THEN 1 ELSE 0 END)
+                 % 1099511627776) AS block_fp,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM lineitem GROUP BY 1
+)
+SELECT COALESCE(b.block, r.block) AS block,
+       b.n_rows AS base_rows,
+       r.n_rows AS replica_rows
+FROM base b FULL OUTER JOIN replica r USING (block)
+WHERE b.block_fp IS DISTINCT FROM r.block_fp
+ORDER BY block
+"""
+
+
 QUERIES = {
     "q77_bitmap_distinct_rollup": q77_bitmap_distinct_rollup,
     "q78_fuzzy_name_pairs": q78_fuzzy_name_pairs,
@@ -492,6 +578,7 @@ QUERIES = {
     "q82_sole_late_shipper": q82_sole_late_shipper,
     "q83_revenue_share_threshold": q83_revenue_share_threshold,
     "q102_mad_outliers": q102_mad_outliers,
+    "q104_merkle_block_diff": q104_merkle_block_diff,
 }
 
 ORACLE = {
@@ -503,4 +590,5 @@ ORACLE = {
     "q82_sole_late_shipper": _Q82_SQL,
     "q83_revenue_share_threshold": _Q83_SQL,
     "q102_mad_outliers": _Q102_SQL,
+    "q104_merkle_block_diff": _Q104_SQL,
 }
