@@ -312,3 +312,76 @@ def test_salted_aggregate_matches_plain_random(spark, rows, parts):
         .collect()
     }
     assert got == want
+
+
+@pytest.mark.slow
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(  # probe rows: (key, ts seconds)
+        st.tuples(st.integers(0, 2), st.integers(0, 3600)),
+        min_size=1,
+        max_size=25,
+    ),
+    st.lists(  # state rows: (key, ts seconds, value)
+        st.tuples(st.integers(0, 2), st.integers(0, 3600), st.integers(-100, 100)),
+        min_size=1,
+        max_size=25,
+    ),
+    st.sampled_from([60, 600, 3600]),  # tolerance seconds
+)
+def test_asof_tolerance_matches_pandas_merge_asof(spark, probes, states, tol):
+    """The union+window rewrite with a staleness bound must agree with
+    pandas.merge_asof(tolerance=...) — including ties (latest state at
+    equal ts wins), exact-boundary staleness, and no-prior-state rows."""
+    import pandas as pd
+
+    from alpaca_pyspark_spark.operators.asof import asof_join
+
+    base = datetime(2024, 1, 1, tzinfo=None)
+    probe_pd = pd.DataFrame(
+        {
+            "key": [k for k, _ in probes],
+            "t": [base + timedelta(seconds=s) for _, s in probes],
+            "pid": range(len(probes)),
+        }
+    )
+    state_pd = pd.DataFrame(
+        {
+            "key": [k for k, _, _ in states],
+            "t": [base + timedelta(seconds=s) for _, s, _ in states],
+            "v": [float(v) for _, _, v in states],
+        }
+    )
+    # pandas keeps the LAST state row at an equal (key, ts) — our
+    # window's (ts, side) sort does too, but only when state rows at
+    # the same instant are themselves deterministically ordered; drop
+    # such duplicates to keep the reference well-defined.
+    state_pd = state_pd.drop_duplicates(subset=["key", "t"], keep="last")
+
+    probe = spark.createDataFrame(probe_pd, "key long, t timestamp_ntz, pid long")
+    state = spark.createDataFrame(state_pd, "key long, t timestamp_ntz, v double")
+    got = {
+        r["pid"]: r["v"]
+        for r in asof_join(
+            probe,
+            state,
+            on=["key"],
+            probe_ts="t",
+            state_ts="t",
+            value_cols=["v"],
+            tolerance=f"{tol} SECONDS",
+        ).collect()
+    }
+
+    want_df = pd.merge_asof(
+        probe_pd.sort_values(["t", "pid"]),
+        state_pd.sort_values("t"),
+        on="t",
+        by="key",
+        tolerance=pd.Timedelta(seconds=tol),
+    )
+    want = {
+        int(r.pid): (None if pd.isna(r.v) else float(r.v))
+        for r in want_df.itertuples()
+    }
+    assert got == want
