@@ -561,6 +561,64 @@ FROM s
 """
 
 
+# --------------------------------------------------------------- q105
+def q105_lambda_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lambda-architecture serving query: daily per-type activity
+    where history (before Jan 28) is answered from a PRE-AGGREGATED
+    daily rollup — the batch layer, which at 100 TB is a materialized
+    table ~10^6x smaller than raw — and only the hot tail (Jan 28 on)
+    aggregates raw events.  The two branches meet in a unionByName of
+    identical shapes; the half-open boundary (< vs >=) makes double
+    counting impossible by construction, and the oracle — ONE direct
+    aggregate over everything — proves the seam is exact.
+
+    Exactness: counts and integer-cent sums only (order-independent
+    merges), so serving from partials is bit-identical to rescanning
+    raw history.  The rollup branch re-aggregating its partials is
+    the same merge the q30/q46/q77 cascades pin down."""
+    tune(spark)
+    cutoff = F.lit("2024-01-28").cast("timestamp")
+    e = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    day = F.date_trunc("DAY", F.col("ts"))
+    # batch layer: the pre-aggregated daily rollup (materialized
+    # upstream in a real deployment; built inline here so the query is
+    # self-contained)
+    rollup = (
+        e.groupBy(day.alias("day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("sum_cents"))
+        .filter(F.col("day") < cutoff)
+    )
+    # speed layer: raw tail
+    tail = (
+        e.filter(F.col("ts") >= cutoff)
+        .groupBy(day.alias("day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("sum_cents"))
+    )
+    return (
+        rollup.unionByName(tail)
+        .select(
+            "day",
+            "event_type",
+            "n",
+            (F.col("sum_cents") / 100.0).alias("sum_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+_Q105_SQL = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "q66_order_count_distribution": q66_order_count_distribution,
     "q67_interval_coalesce": q67_interval_coalesce,
@@ -573,6 +631,7 @@ QUERIES = {
     "q74_cohort_retention": q74_cohort_retention,
     "q75_hopping_window": q75_hopping_window,
     "q76_ewma": q76_ewma,
+    "q105_lambda_serving": q105_lambda_serving,
 }
 
 ORACLE = {
@@ -587,4 +646,5 @@ ORACLE = {
     "q74_cohort_retention": _Q74_SQL,
     "q75_hopping_window": _Q75_SQL,
     "q76_ewma": _Q76_SQL,
+    "q105_lambda_serving": _Q105_SQL,
 }
