@@ -569,6 +569,73 @@ ORDER BY block
 """
 
 
+# --------------------------------------------------------------- q106
+def q106_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED median (no Spark/DuckDB built-in): the
+    quantity-weighted median price per return flag — the smallest
+    price whose running weight reaches half the group total.
+
+    Classic one-window formulation: order by (price, unique
+    tiebreak), running sum of integer weights, then the first row
+    with ``2*cum >= total`` per group.  All integers until the final
+    /100 — both engines execute the identical selection, so the
+    oracle matches bit-for-bit.  One exchange on the group key; the
+    running sum is a linear pass (same scaling argument as q41)."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    wgt = F.round(F.col("l_quantity")).cast("bigint")
+    base = li.select(
+        "l_returnflag",
+        cents.alias("__c"),
+        wgt.alias("__w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    ow = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("__c", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gw = Window.partitionBy("l_returnflag")
+    hit = (
+        base.withColumn("__cum", F.sum("__w").over(ow))
+        .withColumn("__tot", F.sum("__w").over(gw))
+        .filter(F.col("__cum") * 2 >= F.col("__tot"))
+    )
+    return (
+        hit.groupBy("l_returnflag")
+        .agg(
+            (F.min("__c") / 100.0).alias("weighted_median_price"),
+            F.max("__tot").alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_Q106_SQL = """
+WITH base AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+         CAST(round(l_quantity) AS BIGINT) AS w,
+         l_orderkey, l_linenumber
+  FROM lineitem
+), cum AS (
+  SELECT l_returnflag, c, w,
+         sum(w) OVER (PARTITION BY l_returnflag
+                      ORDER BY c, l_orderkey, l_linenumber
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(w) OVER (PARTITION BY l_returnflag) AS tot
+  FROM base
+)
+SELECT l_returnflag,
+       CAST(min(c) AS DOUBLE) / 100.0 AS weighted_median_price,
+       CAST(max(tot) AS BIGINT) AS total_weight
+FROM cum WHERE cum * 2 >= tot
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "q77_bitmap_distinct_rollup": q77_bitmap_distinct_rollup,
     "q78_fuzzy_name_pairs": q78_fuzzy_name_pairs,
@@ -579,6 +646,7 @@ QUERIES = {
     "q83_revenue_share_threshold": q83_revenue_share_threshold,
     "q102_mad_outliers": q102_mad_outliers,
     "q104_merkle_block_diff": q104_merkle_block_diff,
+    "q106_weighted_median": q106_weighted_median,
 }
 
 ORACLE = {
@@ -591,4 +659,5 @@ ORACLE = {
     "q83_revenue_share_threshold": _Q83_SQL,
     "q102_mad_outliers": _Q102_SQL,
     "q104_merkle_block_diff": _Q104_SQL,
+    "q106_weighted_median": _Q106_SQL,
 }
