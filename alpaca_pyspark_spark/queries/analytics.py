@@ -619,6 +619,155 @@ ORDER BY 1, 2
 """
 
 
+# --------------------------------------------------------------- q107
+def q107_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path mining: sessionize (30-min gap, q14's islands),
+    take each session's first three event types in (ts, event_id)
+    total order, and count the top-20 opening paths — the
+    click-stream sequence analysis behind funnel design.
+
+    Both the islands pass and the path collect run on the SAME
+    user_id exchange (window then partial-aggregated collect); the
+    path histogram exchange carries |distinct paths| rows and top-20
+    is TakeOrdered."""
+    tune(spark)
+    e = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    ow = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    new_s = F.when(
+        F.col("ts") > F.lag("ts").over(ow) + F.expr("INTERVAL 30 MINUTES"), 1
+    ).otherwise(F.when(F.lag("ts").over(ow).isNull(), 1).otherwise(0))
+    sess = e.withColumn("__sid", F.sum(new_s).over(run))
+    paths = (
+        sess.groupBy("user_id", "__sid")
+        .agg(
+            F.array_join(
+                F.slice(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("ts", "event_id", "event_type")
+                            )
+                        ),
+                        lambda r: r["event_type"],
+                    ),
+                    1,
+                    3,
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(20)
+    )
+
+
+_Q107_SQL = """
+WITH x AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), y AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM x
+), z AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM y
+), p AS (
+  SELECT user_id, sid,
+         array_to_string(list(event_type ORDER BY ts, event_id)[1:3], '>')
+           AS path
+  FROM z GROUP BY 1, 2
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+FROM p GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------- q109
+def q109_trailing_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding exact distinct: daily active users (DAU) and trailing
+    7-day active users (WAU) per day, plus the stickiness ratio.
+
+    Scale shape: activity first collapses to DISTINCT (user, day) —
+    the only pass over raw events — then each activity day fans out
+    to the ≤7 report days it supports (a bounded explode of the
+    ALREADY-distinct pairs, not the event stream), and the per-day
+    distinct runs on that.  Report days are clipped to the observed
+    range so edge windows are partial by construction, same on both
+    engines."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.date_trunc("DAY", F.col("ts")).alias("d")
+    ).distinct()
+    max_day = ud.agg(F.max("d").alias("__mx"))
+    wau = (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(6)),
+                    lambda i: F.col("d") + F.make_dt_interval(days=i),
+                )
+            ).alias("day"),
+        )
+        .crossJoin(F.broadcast(max_day))
+        .filter(F.col("day") <= F.col("__mx"))
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+    dau = ud.groupBy(F.col("d").alias("day")).agg(
+        F.count_distinct("user_id").alias("dau")
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            (F.col("dau") / F.col("wau").cast("double")).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
+_Q109_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d
+  FROM events
+), mx AS (SELECT max(d) AS mxd FROM ud),
+w AS (
+  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+  FROM (
+    SELECT ud.user_id, ud.d + INTERVAL (o.o) DAY AS day
+    FROM ud CROSS JOIN (SELECT unnest(range(7)) AS o) o
+  ) f, mx
+  WHERE f.day <= mx.mxd
+  GROUP BY day
+), a AS (
+  SELECT d AS day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+  FROM ud GROUP BY 1
+)
+SELECT a.day, a.dau, w.wau,
+       CAST(a.dau AS DOUBLE) / CAST(w.wau AS DOUBLE) AS stickiness
+FROM a JOIN w USING (day)
+ORDER BY day
+"""
+
+
 QUERIES = {
     "q66_order_count_distribution": q66_order_count_distribution,
     "q67_interval_coalesce": q67_interval_coalesce,
@@ -632,6 +781,8 @@ QUERIES = {
     "q75_hopping_window": q75_hopping_window,
     "q76_ewma": q76_ewma,
     "q105_lambda_serving": q105_lambda_serving,
+    "q107_session_paths": q107_session_paths,
+    "q109_trailing_active_users": q109_trailing_active_users,
 }
 
 ORACLE = {
@@ -647,4 +798,6 @@ ORACLE = {
     "q75_hopping_window": _Q75_SQL,
     "q76_ewma": _Q76_SQL,
     "q105_lambda_serving": _Q105_SQL,
+    "q107_session_paths": _Q107_SQL,
+    "q109_trailing_active_users": _Q109_SQL,
 }
