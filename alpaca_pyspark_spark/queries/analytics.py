@@ -768,6 +768,62 @@ ORDER BY day
 """
 
 
+# --------------------------------------------------------------- q108
+def q108_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: a v1 snapshot (orders before 2000,
+    written without the priority column) unions a v2 snapshot (2000+,
+    with it) via ``unionByName(allowMissingColumns=True)`` — the
+    missing column back-fills NULL, the pattern for reading a table
+    whose schema grew mid-history.  Downstream aggregation treats the
+    NULL generation as its own bucket, proving no rows are lost or
+    misattributed across the seam (oracle: explicit UNION ALL with a
+    NULL literal)."""
+    tune(spark)
+    o = load(spark, sf_dir, "orders")
+    cutoff = F.lit("2000-01-01").cast("timestamp")
+    v1 = o.filter(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    v2 = o.filter(F.col("o_orderdate") >= cutoff).select(
+        "o_orderkey", "o_orderdate", "o_totalprice", "o_orderpriority"
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return (
+        v1.unionByName(v2, allowMissingColumns=True)
+        .groupBy(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("<pre-schema>")).alias(
+                "priority"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(cents) / 100.0).alias("total_value"),
+        )
+        .orderBy("o_year", "priority")
+    )
+
+
+_Q108_SQL = """
+WITH unified AS (
+  SELECT o_orderkey, o_orderdate, o_totalprice,
+         CAST(NULL AS VARCHAR) AS o_orderpriority
+  FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
+  UNION ALL
+  SELECT o_orderkey, o_orderdate, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+)
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       COALESCE(o_orderpriority, '<pre-schema>') AS priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_value
+FROM unified
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "q66_order_count_distribution": q66_order_count_distribution,
     "q67_interval_coalesce": q67_interval_coalesce,
@@ -782,6 +838,7 @@ QUERIES = {
     "q76_ewma": q76_ewma,
     "q105_lambda_serving": q105_lambda_serving,
     "q107_session_paths": q107_session_paths,
+    "q108_schema_evolution_union": q108_schema_evolution_union,
     "q109_trailing_active_users": q109_trailing_active_users,
 }
 
@@ -799,5 +856,6 @@ ORACLE = {
     "q76_ewma": _Q76_SQL,
     "q105_lambda_serving": _Q105_SQL,
     "q107_session_paths": _Q107_SQL,
+    "q108_schema_evolution_union": _Q108_SQL,
     "q109_trailing_active_users": _Q109_SQL,
 }
