@@ -1,7 +1,8 @@
-"""TPC-H join-graph breadth (q94-q101): the multi-dimension join
-shapes — Q10 returned-revenue, Q12 late-shipment buckets, Q14 promo
-share, Q15 top supplier, Q7 nation-pair flows, Q9 profit rollup,
-Q8 market share, Q5 local-supplier revenue — adapted to the driver's
+"""TPC-H join-graph breadth (q94-q101, q110-q111): the multi-dimension
+join shapes — Q10 returned-revenue, Q12 late-shipment buckets, Q14
+promo share, Q15 top supplier, Q7 nation-pair flows, Q9 profit rollup,
+Q8 market share, Q5 local-supplier revenue, Q2 cheapest-supplier
+argmin, Q4 EXISTS priority counts — adapted to the driver's
 synthetic star schema (no partsupp/shipmode/commitdate columns; each
 docstring notes the adaptation).
 
@@ -443,6 +444,118 @@ ORDER BY revenue DESC, n_name
 """
 
 
+# --------------------------------------------------------------- q110
+def q110_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (no partsupp: a supplier's offer price for a
+    part = its minimum observed line price).  For every LARGE-type
+    part, pick the supplier with the cheapest offer (exact integer
+    argmin, supplier key as tiebreak) and attach supplier + nation.
+
+    The offer table is ONE partial-aggregated exchange over the fact
+    side; the per-part argmin is a packed-integer ``min_by`` on that
+    aggregate (no correlated-subquery re-scan, which is how Q2 is
+    written in the spec); dimensions broadcast."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "LARGE")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    cents = _cents("l_extendedprice")
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(F.min(cents).alias("offer_cents"))
+    # pack (offer, suppkey) so min_by's total order is deterministic:
+    # cheapest offer first, smallest supplier on ties
+    packed = F.col("offer_cents") * F.lit(1024) + F.col("l_suppkey")
+    best = offers.groupBy("l_partkey").agg(
+        F.min_by("l_suppkey", packed).alias("best_suppkey"),
+        F.min(packed).alias("__pk"),
+    )
+    best = best.select(
+        "l_partkey",
+        "best_suppkey",
+        ((F.col("__pk") - F.col("best_suppkey")) / F.lit(1024)).cast("bigint").alias("offer_cents"),
+    )
+    return (
+        best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
+        .join(s, best.best_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            F.col("best_suppkey").alias("s_suppkey"),
+            "s_name",
+            "n_name",
+            (F.col("offer_cents") / 100.0).alias("best_price"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+_Q110_SQL = """
+WITH offers AS (
+  SELECT l_partkey, l_suppkey,
+         min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS offer_cents
+  FROM lineitem GROUP BY 1, 2
+), best AS (
+  SELECT l_partkey,
+         arg_min(l_suppkey, offer_cents * 1024 + l_suppkey) AS best_suppkey,
+         min(offer_cents * 1024 + l_suppkey) AS pk
+  FROM offers GROUP BY 1
+)
+SELECT p_partkey, p_name, best_suppkey AS s_suppkey, s_name, n_name,
+       CAST((pk - best_suppkey) // 1024 AS DOUBLE) / 100.0 AS best_price
+FROM best
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON best_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_type = 'LARGE'
+ORDER BY p_partkey
+"""
+
+
+# --------------------------------------------------------------- q111
+def q111_priority_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4: orders per priority that had at least one late line
+    (shipped >60 days after ordering).  The EXISTS decorrelates to a
+    broadcast LEFT SEMI probe of the late-line order keys — the
+    orders side never rescans lineitem per row, and the semi build is
+    pre-aggregated to distinct keys map-side."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    late = (
+        li.join(
+            o.select("o_orderkey", "o_orderdate"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey")
+        .distinct()
+    )
+    return (
+        o.join(late, o.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_Q111_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o.o_orderkey
+      AND l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "q94_returned_revenue_customers": q94_returned_revenue_customers,
     "q95_late_shipment_priority": q95_late_shipment_priority,
@@ -452,6 +565,8 @@ QUERIES = {
     "q99_profit_by_nation": q99_profit_by_nation,
     "q100_market_share": q100_market_share,
     "q101_local_supplier_revenue": q101_local_supplier_revenue,
+    "q110_cheapest_supplier": q110_cheapest_supplier,
+    "q111_priority_late_orders": q111_priority_late_orders,
 }
 
 ORACLE = {
@@ -463,4 +578,6 @@ ORACLE = {
     "q99_profit_by_nation": _Q99_SQL,
     "q100_market_share": _Q100_SQL,
     "q101_local_supplier_revenue": _Q101_SQL,
+    "q110_cheapest_supplier": _Q110_SQL,
+    "q111_priority_late_orders": _Q111_SQL,
 }
