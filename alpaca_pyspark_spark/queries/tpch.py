@@ -1,4 +1,4 @@
-"""TPC-H join-graph breadth (q94-q101, q110-q111): the multi-dimension
+"""TPC-H join-graph breadth (q94-q101, q110-q113): the multi-dimension
 join shapes — Q10 returned-revenue, Q12 late-shipment buckets, Q14
 promo share, Q15 top supplier, Q7 nation-pair flows, Q9 profit rollup,
 Q8 market share, Q5 local-supplier revenue, Q2 cheapest-supplier
@@ -556,6 +556,81 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# --------------------------------------------------------------- q112
+def q112_discount_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: forecast-revenue from the discount band — one year,
+    discounts of 5-7%, quantity under 24.  Pure scan-side predicates
+    (all three reach PushedFilters) and a single global sum of
+    cents x pct integers: the minimal full-scan aggregate, the
+    I/O-bound lower bound every other fact query sits above."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    dpct = F.round(F.col("l_discount") * 100).cast("bigint")
+    qty = F.round(F.col("l_quantity")).cast("bigint")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .filter(dpct.between(5, 7) & (qty < 24))
+        .agg(
+            (F.sum(_cents("l_extendedprice") * dpct) / 10000.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_Q112_SQL = """
+SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
+         / 10000.0 AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+  AND CAST(round(l_quantity) AS BIGINT) < 24
+"""
+
+
+# --------------------------------------------------------------- q113
+def q113_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (no partsupp: supply relationships come from
+    observed lineitems): distinct supplier count per (brand, size)
+    for non-PROMO parts, excluding negative-balance suppliers (the
+    "customer complaints" NOT IN of the original).
+
+    The exclusion list is a broadcast ANTI join probing distinct
+    (partkey, suppkey) pairs — one fact exchange, already distinct,
+    then the count-distinct re-aggregates by (brand, size)."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") != "PROMO")
+    bad = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    rel = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        rel.join(F.broadcast(bad), rel.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), rel.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_size")
+    )
+
+
+_Q113_SQL = """
+SELECT p_brand, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) rel
+JOIN part ON l_partkey = p_partkey
+WHERE p_type <> 'PROMO'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2
+ORDER BY supplier_cnt DESC, p_brand, p_size
+"""
+
+
 QUERIES = {
     "q94_returned_revenue_customers": q94_returned_revenue_customers,
     "q95_late_shipment_priority": q95_late_shipment_priority,
@@ -567,6 +642,8 @@ QUERIES = {
     "q101_local_supplier_revenue": q101_local_supplier_revenue,
     "q110_cheapest_supplier": q110_cheapest_supplier,
     "q111_priority_late_orders": q111_priority_late_orders,
+    "q112_discount_band_revenue": q112_discount_band_revenue,
+    "q113_supplier_diversity": q113_supplier_diversity,
 }
 
 ORACLE = {
@@ -580,4 +657,6 @@ ORACLE = {
     "q101_local_supplier_revenue": _Q101_SQL,
     "q110_cheapest_supplier": _Q110_SQL,
     "q111_priority_late_orders": _Q111_SQL,
+    "q112_discount_band_revenue": _Q112_SQL,
+    "q113_supplier_diversity": _Q113_SQL,
 }
