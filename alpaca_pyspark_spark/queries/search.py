@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import tokens
+from ..functions import tokens, word_shingles
 from ..session import tune
 from ..tables import load
 
@@ -364,12 +364,63 @@ FROM prs GROUP BY pair ORDER BY n DESC, pair LIMIT 30
 """
 
 
+# --------------------------------------------------------------- q114
+def q114_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memorization-risk passage detection: 8-word shingles appearing
+    in 3+ distinct documents, with their posting lists — the span
+    finder that runs before training to locate boilerplate/duplicated
+    passages that per-document dedup misses (doc pairs below any
+    similarity threshold can still share one verbatim paragraph).
+
+    Shape: per-doc DISTINCT shingles explode into ONE partial-
+    aggregated exchange keyed by shingle (count + partial collect
+    sets); the >= 3 floor prunes the long unique tail at the
+    aggregate.  At 100 TB shingle strings are the shuffle-width risk:
+    hash them to 64-bit keys for the count pass and resolve surviving
+    shingles' text in a second tiny join (documented swap; exact text
+    kept here for the oracle)."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles(tokens(F.lower(F.col("text"))), 8))
+        ).alias("passage"),
+    )
+    return (
+        sh.groupBy("passage")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sort_array(F.collect_set("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") >= 3)
+        .orderBy(F.col("n_docs").desc(), "passage")
+    )
+
+
+_Q114_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+7], ' ') AS passage
+  FROM t, unnest(range(1, len(toks) - 6)) u(i)
+  WHERE len(toks) >= 8
+)
+SELECT passage, CAST(count(*) AS BIGINT) AS n_docs,
+       list(doc_id ORDER BY doc_id) AS doc_ids
+FROM sh GROUP BY passage HAVING count(*) >= 3
+ORDER BY n_docs DESC, passage
+"""
+
+
 QUERIES = {
     "q89_inverted_index": q89_inverted_index,
     "q90_bm25_topk": q90_bm25_topk,
     "q91_pagerank_suppliers": q91_pagerank_suppliers,
     "q92_cluster_representatives": q92_cluster_representatives,
     "q93_bpe_merge_pairs": q93_bpe_merge_pairs,
+    "q114_repeated_passages": q114_repeated_passages,
 }
 
 ORACLE = {
@@ -378,4 +429,5 @@ ORACLE = {
     "q91_pagerank_suppliers": _Q91_SQL,
     "q92_cluster_representatives": _Q92_SQL,
     "q93_bpe_merge_pairs": _Q93_SQL,
+    "q114_repeated_passages": _Q114_SQL,
 }
