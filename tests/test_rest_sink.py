@@ -12,6 +12,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import pytest
 
 from .conftest import SF_DIR
+from .test_sources import CREDS, mock_api  # noqa: F401  (fixture)
 
 
 class _CaptureHandler(BaseHTTPRequestHandler):
@@ -132,3 +133,44 @@ def test_rest_sink_streaming_batches_carry_batch_id(spark, capture_server, tmp_p
     ids = [m["body"]["batch_id"] for m in _CaptureHandler.commits]
     assert ids == sorted(set(ids)), ids
     assert sum(m["body"]["rows"] for m in _CaptureHandler.commits) == n
+
+
+def test_api_stream_to_rest_sink_round_trip(spark, capture_server, mock_api, tmp_path):  # noqa: F811
+    """Full connector loop: REST poller source (mock Alpaca API) →
+    projection → REST sink.  Both custom connectors in one streaming
+    query; every polled trade must land in the sink exactly once with
+    a per-batch manifest."""
+    from alpaca_pyspark_spark.sources import register_all
+    from alpaca_pyspark_spark.streaming.source import StockTradesStreamDataSource
+
+    register_all(spark)
+    spark.dataSource.register(StockTradesStreamDataSource)
+    df = (
+        spark.readStream.format("Alpaca_Stocks_Trades_Stream")
+        .options(
+            **CREDS,
+            endpoint=mock_api,
+            symbols="AAPL",
+            start="2021-01-01T00:00:00+00:00",
+            end="2021-01-02T00:00:00+00:00",
+            poll_interval=str(12 * 3600),
+        )
+        .load()
+        .select("symbol", "time", "price", "size")
+    )
+    q = (
+        df.writeStream.format("Rest_Batch_Sink")
+        .options(endpoint=capture_server, batch_size=10)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [r for pg in _CaptureHandler.ingests for r in pg["body"]["records"]]
+    # mock serves the same 2-trade page per 12h slice: 2 slices x 2 rows
+    assert len(got) == 4
+    assert {r["symbol"] for r in got} == {"AAPL"}
+    assert all(set(r) == {"symbol", "time", "price", "size"} for r in got)
+    assert sum(m["body"]["rows"] for m in _CaptureHandler.commits) == 4
