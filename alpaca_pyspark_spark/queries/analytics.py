@@ -824,6 +824,63 @@ ORDER BY 1, 2
 """
 
 
+# --------------------------------------------------------------- q115
+def q115_ignore_nulls_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window breadth: per user-ordered event stream,
+    carry forward the last purchase value (last_value IGNORE NULLS —
+    event-stream LOCF) and pin each user's first-ever purchase value
+    (first_value IGNORE NULLS over the full frame).  The sparse
+    column is built with the same conditional on both engines, so
+    null positions are identical; one exchange on user_id serves both
+    frames."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    pv = F.when(
+        F.col("event_type") == "purchase",
+        F.round(F.col("value") * 100).cast("bigint"),
+    )
+    running = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    full = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.last(pv, ignorenulls=True).over(running) / 100.0).alias(
+            "last_purchase_value"
+        ),
+        (F.first(pv, ignorenulls=True).over(full) / 100.0).alias(
+            "first_purchase_value"
+        ),
+    )
+
+
+_Q115_SQL = """
+SELECT user_id, event_id, ts,
+       CAST(last_value(pv IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100.0
+         AS last_purchase_value,
+       CAST(first_value(pv IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS DOUBLE) / 100.0 AS first_purchase_value
+FROM (
+  SELECT user_id, event_id, ts,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(round(value * 100) AS BIGINT) END AS pv
+  FROM events
+)
+"""
+
+
 QUERIES = {
     "q66_order_count_distribution": q66_order_count_distribution,
     "q67_interval_coalesce": q67_interval_coalesce,
@@ -840,6 +897,7 @@ QUERIES = {
     "q107_session_paths": q107_session_paths,
     "q108_schema_evolution_union": q108_schema_evolution_union,
     "q109_trailing_active_users": q109_trailing_active_users,
+    "q115_ignore_nulls_windows": q115_ignore_nulls_windows,
 }
 
 ORACLE = {
@@ -858,4 +916,5 @@ ORACLE = {
     "q107_session_paths": _Q107_SQL,
     "q108_schema_evolution_union": _Q108_SQL,
     "q109_trailing_active_users": _Q109_SQL,
+    "q115_ignore_nulls_windows": _Q115_SQL,
 }
