@@ -881,6 +881,74 @@ FROM (
 """
 
 
+# --------------------------------------------------------------- q116
+def q116_incremental_view_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: a materialized per-type summary
+    (count, cent-sum, exact distinct users) maintained by MERGING a
+    new day's delta into yesterday's state — no base rescan.  Counts
+    and sums add; exact distinct merges because the state keeps
+    sharded user bitmaps (q77's trick), so COUNT(DISTINCT) stays
+    incrementally maintainable — the thing plain distinct counts
+    famously are not.  The oracle computes the same summary directly
+    over all data: merge(state, delta) == recompute, bit-for-bit.
+
+    At 100 TB the state table is |types x buckets| rows regardless of
+    history length; each nightly update touches one day of raw data
+    plus that state."""
+    tune(spark)
+    cutoff = F.lit("2024-01-30").cast("timestamp")
+    e = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+
+    def summarize(df):
+        return (
+            df.select(
+                "event_type",
+                cents.alias("__c"),
+                F.bitmap_bucket_number(F.col("user_id")).alias("__bkt"),
+                F.bitmap_bit_position(F.col("user_id")).alias("__pos"),
+            )
+            .groupBy("event_type", "__bkt")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("__c").alias("sum_cents"),
+                F.bitmap_construct_agg(F.col("__pos")).alias("bm"),
+            )
+        )
+
+    state = summarize(e.filter(F.col("ts") < cutoff))
+    delta = summarize(e.filter(F.col("ts") >= cutoff))
+    merged = (
+        state.unionByName(delta)
+        .groupBy("event_type", "__bkt")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_cents").alias("sum_cents"),
+            F.bitmap_or_agg(F.col("bm")).alias("bm"),
+        )
+    )
+    return (
+        merged.groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            (F.sum("sum_cents") / 100.0).alias("total_value"),
+            F.sum(F.bitmap_count(F.col("bm"))).alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_Q116_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_value,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "q66_order_count_distribution": q66_order_count_distribution,
     "q67_interval_coalesce": q67_interval_coalesce,
@@ -898,6 +966,7 @@ QUERIES = {
     "q108_schema_evolution_union": q108_schema_evolution_union,
     "q109_trailing_active_users": q109_trailing_active_users,
     "q115_ignore_nulls_windows": q115_ignore_nulls_windows,
+    "q116_incremental_view_update": q116_incremental_view_update,
 }
 
 ORACLE = {
@@ -917,4 +986,5 @@ ORACLE = {
     "q108_schema_evolution_union": _Q108_SQL,
     "q109_trailing_active_users": _Q109_SQL,
     "q115_ignore_nulls_windows": _Q115_SQL,
+    "q116_incremental_view_update": _Q116_SQL,
 }
