@@ -949,6 +949,113 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# --------------------------------------------------------------- q117
+def q117_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gap detection: missing ranges in what should be a
+    dense id sequence (per-user event_ids here; the same query audits
+    kafka offsets, invoice numbers, ingest batch ids).  One lag
+    window per user, rows where ``id > prev + 1`` emit the missing
+    [prev+1, id-1] range — no generate/explode of the full id domain,
+    so the cost tracks |events|, not |id-space| (the naive
+    sequence-table anti-join would materialize the domain)."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    prev = F.lag("event_id").over(w)
+    return (
+        e.select("user_id", "event_id")
+        .withColumn("__prev", prev)
+        .filter(F.col("__prev").isNotNull() & (F.col("event_id") > F.col("__prev") + 1))
+        .select(
+            "user_id",
+            (F.col("__prev") + 1).alias("gap_start"),
+            (F.col("event_id") - 1).alias("gap_end"),
+            (F.col("event_id") - F.col("__prev") - 1).alias("n_missing"),
+        )
+        .orderBy("user_id", "gap_start")
+    )
+
+
+_Q117_SQL = """
+SELECT user_id,
+       prev + 1 AS gap_start,
+       event_id - 1 AS gap_end,
+       event_id - prev - 1 AS n_missing
+FROM (
+  SELECT user_id, event_id,
+         lag(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+  FROM events
+)
+WHERE prev IS NOT NULL AND event_id > prev + 1
+ORDER BY user_id, gap_start
+"""
+
+
+# --------------------------------------------------------------- q118
+def q118_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence statistic for the event_type x user
+    cohort contingency table (feature-correlation screening).  Cell,
+    row, column and grand totals are exact integers; each cell's term
+    is the double ``(o*n - r*c)^2 / (r*c*n)`` (one division of two
+    exact int64s) and the 25 terms are summed by a SORTED sequential
+    fold — float addition is not associative, so a deterministic
+    order is what makes the statistic reproducible across partition
+    schedules AND engines (q76's technique).
+
+    Scale: the contingency table is |types x cohorts| rows no matter
+    the fact size; the only wide exchange is the cell count."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    cells = e.groupBy(
+        "event_type", (F.col("user_id") % 5).alias("cohort")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    wr = Window.partitionBy("event_type")
+    wc = Window.partitionBy("cohort")
+    wn = Window.partitionBy()
+    with_totals = cells.select(
+        "event_type",
+        "cohort",
+        "o",
+        F.sum("o").over(wr).alias("r"),
+        F.sum("o").over(wc).alias("c"),
+        F.sum("o").over(wn).alias("n"),
+    )
+    folded = with_totals.agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("event_type", "cohort", "o", "r", "c", "n"))),
+            F.lit(0.0),
+            lambda acc, cell: acc
+            + F.pow(cell["o"] * cell["n"] - cell["r"] * cell["c"], F.lit(2.0))
+            / (cell["r"] * cell["c"] * cell["n"]).cast("double"),
+        ).alias("chi_square"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.max("n").alias("n_obs"),
+    )
+    return folded
+
+
+_Q118_SQL = """
+WITH cells AS (
+  SELECT event_type, user_id % 5 AS cohort, CAST(count(*) AS BIGINT) AS o
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT event_type, cohort, o,
+         sum(o) OVER (PARTITION BY event_type) AS r,
+         sum(o) OVER (PARTITION BY cohort) AS c,
+         sum(o) OVER () AS n
+  FROM cells
+)
+SELECT list_reduce(
+         list_prepend(0.0, list(
+           CAST((o * n - r * c) AS DOUBLE) ** 2 / CAST(r * c * n AS DOUBLE)
+           ORDER BY event_type, cohort)),
+         (acc, x) -> acc + x) AS chi_square,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(max(n) AS BIGINT) AS n_obs
+FROM t
+"""
+
+
 QUERIES = {
     "q66_order_count_distribution": q66_order_count_distribution,
     "q67_interval_coalesce": q67_interval_coalesce,
@@ -967,6 +1074,8 @@ QUERIES = {
     "q109_trailing_active_users": q109_trailing_active_users,
     "q115_ignore_nulls_windows": q115_ignore_nulls_windows,
     "q116_incremental_view_update": q116_incremental_view_update,
+    "q117_sequence_gaps": q117_sequence_gaps,
+    "q118_chi_square_independence": q118_chi_square_independence,
 }
 
 ORACLE = {
@@ -987,4 +1096,6 @@ ORACLE = {
     "q109_trailing_active_users": _Q109_SQL,
     "q115_ignore_nulls_windows": _Q115_SQL,
     "q116_incremental_view_update": _Q116_SQL,
+    "q117_sequence_gaps": _Q117_SQL,
+    "q118_chi_square_independence": _Q118_SQL,
 }
