@@ -1,0 +1,86 @@
+"""Z-order (Morton) clustering for multi-dimensional data skipping.
+
+The write-side layout lever the reference never needed (its API
+returns pre-filtered data) but a 100 TB lakehouse lives on: sorting a
+table by the bit-interleaved key of two filter columns makes EVERY
+file narrow in BOTH dimensions, so parquet row-group min/max stats
+prune scans for predicates on either column — a single-column sort
+only prunes its own column and leaves the other striped across all
+files.
+
+Pure JVM expressions (64 shift/or terms, whole-stage codegen); no
+UDFs.  ``write_zordered`` is the packaging: range-partition by the
+z-value (contiguous key ranges per output file), sort within
+partitions, write.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: bits kept per dimension (2 dims x 16 bits = 32-bit z-value).
+DEFAULT_BITS = 16
+
+
+def z_value(a: Column, b: Column, *, bits: int = DEFAULT_BITS) -> Column:
+    """Interleave the low ``bits`` of two non-negative integer columns
+    into a Morton key: a's bit i lands at 2i+1, b's at 2i.  Values are
+    masked to ``bits`` first, so callers hash/mod wider domains down
+    (rank-based bucketing preserves more resolution when domains are
+    skewed — do that upstream if needed)."""
+    mask = (1 << bits) - 1
+    a = a.cast("bigint").bitwiseAND(F.lit(mask))
+    b = b.cast("bigint").bitwiseAND(F.lit(mask))
+    acc = F.lit(0).cast("bigint")
+    for i in range(bits):
+        abit = F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        bbit = F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i)
+        acc = acc.bitwiseOR(abit).bitwiseOR(bbit)
+    return acc
+
+
+def _normalized(df: DataFrame, col: str, bits: int) -> Column:
+    """Scale ``col`` to fill the ``bits`` budget using its min/max.
+
+    Without this, dimensions with different domain widths misalign in
+    the interleave — the wider column's high bits dominate every split
+    and the layout degenerates to a single-column sort (a 0-199 column
+    against a 0-9 column shares no significant bit positions).  The
+    min/max pass is a driver-side scalar aggregate, amortized over the
+    write."""
+    mn, mx = df.agg(F.min(col), F.max(col)).collect()[0]
+    span = max(1, int(mx) - int(mn))
+    mask = (1 << bits) - 1
+    return ((F.col(col).cast("bigint") - F.lit(int(mn))) * mask / span).cast(
+        "bigint"
+    )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    *,
+    col_a: str,
+    col_b: str,
+    num_files: int,
+    bits: int = DEFAULT_BITS,
+) -> None:
+    """Write ``df`` as parquet clustered on z(col_a, col_b):
+    normalize both dimensions to the bit budget, range-partition on
+    the z-value (each output file owns a contiguous Morton range → a
+    small rectangle in (a, b) space), sort within partitions so row
+    groups are narrow too, drop the key."""
+    keyed = df.withColumn(
+        "__z",
+        z_value(
+            _normalized(df, col_a, bits), _normalized(df, col_b, bits), bits=bits
+        ),
+    )
+    (
+        keyed.repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
