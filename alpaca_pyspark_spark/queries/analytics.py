@@ -1056,6 +1056,39 @@ FROM t
 """
 
 
+# --------------------------------------------------------------- q119
+def q119_grouped_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic grouped MODE: each user's most frequent event
+    type, ties to the lexicographically smallest type.  Built-in
+    ``F.mode`` documents no tiebreak order, so reproducible pipelines
+    use the explicit form: count per (group, value) — ONE partial-
+    aggregated fact exchange — then a rank window over the tiny
+    aggregate with a total order.  Oracle states the same order."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), "event_type")
+    return (
+        counts.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select("user_id", F.col("event_type").alias("modal_type"), "n")
+        .orderBy("user_id")
+    )
+
+
+_Q119_SQL = """
+SELECT user_id, event_type AS modal_type, n
+FROM (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY count(*) DESC, event_type) AS rk
+  FROM events GROUP BY 1, 2
+)
+WHERE rk = 1
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "q66_order_count_distribution": q66_order_count_distribution,
     "q67_interval_coalesce": q67_interval_coalesce,
@@ -1076,6 +1109,7 @@ QUERIES = {
     "q116_incremental_view_update": q116_incremental_view_update,
     "q117_sequence_gaps": q117_sequence_gaps,
     "q118_chi_square_independence": q118_chi_square_independence,
+    "q119_grouped_mode": q119_grouped_mode,
 }
 
 ORACLE = {
@@ -1098,4 +1132,5 @@ ORACLE = {
     "q116_incremental_view_update": _Q116_SQL,
     "q117_sequence_gaps": _Q117_SQL,
     "q118_chi_square_independence": _Q118_SQL,
+    "q119_grouped_mode": _Q119_SQL,
 }
