@@ -1,8 +1,12 @@
 """Benchmark harness: runs the declared query set at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE compact JSON line:
 
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+    {"metric": "...", "value": N, "unit": "sec", "n_queries": K, "sf": ...}
+
+The per-query timing map is written to ``BENCH_DETAIL.json`` and
+stderr (the driver keeps only a ~2 kB stdout tail, so the final stdout
+line must stay small).
 
 Each query is executed to completion (count + a cheap checksum
 collect) so the full plan — scan, shuffle, agg — actually runs.
@@ -56,14 +60,29 @@ def main() -> None:
         total += dt
         print(f"# {qid}: {n} rows in {dt:.3f}s", file=sys.stderr)
 
+    # The driver captures only a short tail of stdout, so the final line
+    # must stay compact: headline number + sf only.  The per-query map
+    # goes to stderr and BENCH_DETAIL.json for human/judge inspection.
+    detail = {
+        "metric": "declared_query_set_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "n_queries": len(timings),
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(detail), file=sys.stderr)
+    Path(__file__).resolve().parent.joinpath("BENCH_DETAIL.json").write_text(
+        json.dumps(detail, indent=1) + "\n"
+    )
     print(
         json.dumps(
             {
                 "metric": "declared_query_set_total",
                 "value": round(total, 3),
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "n_queries": len(timings),
+                "sf": detail["sf"],
             }
         )
     )
