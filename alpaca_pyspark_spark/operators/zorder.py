@@ -40,16 +40,20 @@ def z_value(a: Column, b: Column, *, bits: int = DEFAULT_BITS) -> Column:
     return acc
 
 
-def _normalized(df: DataFrame, col: str, bits: int) -> Column:
-    """Scale ``col`` to fill the ``bits`` budget using its min/max.
+def _normalized(col: str, stats, bits: int) -> Column:
+    """Scale ``col`` to fill the ``bits`` budget using its min/max
+    (from the shared one-pass stats row).
 
     Without this, dimensions with different domain widths misalign in
     the interleave — the wider column's high bits dominate every split
     and the layout degenerates to a single-column sort (a 0-199 column
-    against a 0-9 column shares no significant bit positions).  The
-    min/max pass is a driver-side scalar aggregate, amortized over the
-    write."""
-    mn, mx = df.agg(F.min(col), F.max(col)).collect()[0]
+    against a 0-9 column shares no significant bit positions)."""
+    mn, mx = stats[f"__mn_{col}"], stats[f"__mx_{col}"]
+    if mn is None or mx is None:
+        # empty input or all-NULL column: nothing meaningful to scale —
+        # pass the raw value through (masked by z_value) instead of
+        # raising on int(None)
+        return F.col(col).cast("bigint")
     span = max(1, int(mx) - int(mn))
     mask = (1 << bits) - 1
     return ((F.col(col).cast("bigint") - F.lit(int(mn))) * mask / span).cast(
@@ -70,11 +74,21 @@ def write_zordered(
     normalize both dimensions to the bit budget, range-partition on
     the z-value (each output file owns a contiguous Morton range → a
     small rectangle in (a, b) space), sort within partitions so row
-    groups are narrow too, drop the key."""
+    groups are narrow too, drop the key.
+
+    Both dimensions' min/max come from ONE scalar-aggregate pass (a
+    single 1-row collect amortized over the write, not one scan per
+    dimension)."""
+    stats = df.agg(
+        F.min(col_a).alias(f"__mn_{col_a}"),
+        F.max(col_a).alias(f"__mx_{col_a}"),
+        F.min(col_b).alias(f"__mn_{col_b}"),
+        F.max(col_b).alias(f"__mx_{col_b}"),
+    ).collect()[0]
     keyed = df.withColumn(
         "__z",
         z_value(
-            _normalized(df, col_a, bits), _normalized(df, col_b, bits), bits=bits
+            _normalized(col_a, stats, bits), _normalized(col_b, stats, bits), bits=bits
         ),
     )
     (

@@ -315,37 +315,44 @@ WHERE lip.q * 5 * stats.n < stats.sq
 # ---------------------------------------------------------------- q71
 def q71_argmax_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MAX_BY / ARG_MAX surface: each user's highest-value event.
-    Ties on value are broken by event_id via a packed BIGINT ordering
-    key (cents·10^10 + id — value is cent-quantized so the pack is
-    exact and total-ordered); DuckDB's arg_max can't order by a
-    struct, and a packed key keeps both engines on pure integer
-    comparisons.  Single partial-aggregatable shuffle (max_by
-    combines map-side)."""
+    Ties on value are broken by event_id via a lexicographic ``max``
+    over ``struct(cents, event_id)`` — a total order with NO domain
+    bound on either key (an earlier packed form, cents·10^10 + id,
+    silently corrupted the argmax once event_id ≥ 10^10 — a count a
+    100 TB event log exceeds); DuckDB's arg_max can't order by a
+    struct, but plain ``max`` of a struct orders lexicographically on
+    both engines.  Single partial-aggregatable shuffle (max combines
+    map-side)."""
     tune(spark)
     e = load(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100).cast("bigint")
-    packed = cents * F.lit(10_000_000_000) + F.col("event_id")
     return (
-        e.select("user_id", "event_id", packed.alias("__k"), cents.alias("__c"))
+        e.select(
+            "user_id",
+            F.struct(cents.alias("c"), F.col("event_id").alias("id")).alias("__s"),
+        )
         .groupBy("user_id")
-        .agg(
-            F.max_by("event_id", F.col("__k")).alias("top_event_id"),
-            (F.max_by("__c", F.col("__k")) / 100.0).alias("top_value"),
-            F.count(F.lit(1)).alias("n_events"),
+        .agg(F.max("__s").alias("__m"), F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("__m.id").alias("top_event_id"),
+            (F.col("__m.c") / 100.0).alias("top_value"),
+            "n_events",
         )
     )
 
 
 _Q71_SQL = """
-SELECT user_id,
-       arg_max(event_id, CAST(round(value * 100) AS BIGINT) * 10000000000
-                         + event_id) AS top_event_id,
-       CAST(arg_max(CAST(round(value * 100) AS BIGINT),
-                    CAST(round(value * 100) AS BIGINT) * 10000000000
-                    + event_id) AS DOUBLE) / 100.0 AS top_value,
-       CAST(count(*) AS BIGINT) AS n_events
-FROM events
-GROUP BY user_id
+WITH M AS (
+  SELECT user_id,
+         max({'c': CAST(round(value * 100) AS BIGINT), 'id': event_id}) AS m,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events
+  GROUP BY user_id
+)
+SELECT user_id, m.id AS top_event_id,
+       CAST(m.c AS DOUBLE) / 100.0 AS top_value, n_events
+FROM M
 """
 
 

@@ -94,6 +94,56 @@ WHERE list_cosine_similarity(a.v, b.v) >= 0.35
 """
 
 
+def _plane_sql(p: int, dim: int = 64) -> str:
+    """The deterministic hyperplane as a DuckDB DOUBLE[] literal.
+    ``repr(float)`` round-trips, so DuckDB parses the identical IEEE
+    doubles Spark embeds as plan literals."""
+    from ..operators.similarity import _hyperplane
+
+    return "[" + ",".join(repr(x) for x in _hyperplane(p, dim)) + "]::DOUBLE[]"
+
+
+def _bucket_sql(col: str, *, num_planes: int = 8, dim: int = 64) -> str:
+    """DuckDB twin of :func:`operators.similarity.sign_bucket`: the
+    sign of each plane dot sets one bit.  ``list_inner_product``
+    accumulates in the same sequential order as Spark's
+    ``zip_with``+``aggregate`` fold (verified: 0/500 bucket mismatches
+    at sf0.01), so the bucket ids match bit-for-bit."""
+    return (
+        "("
+        + " + ".join(
+            f"(CASE WHEN list_inner_product({col}, {_plane_sql(p, dim)}) >= 0"
+            f" THEN {1 << p} ELSE 0 END)"
+            for p in range(num_planes)
+        )
+        + ")"
+    )
+
+
+def q12_embedding_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB-scale path of embedding near-dup: candidates are
+    restricted to vectors sharing an 8-plane sign bucket (a
+    shuffle-partitioned equi-join on the bucket id — never all-pairs),
+    then exact-cosine verified.  FULLY oracle-paired: the hyperplanes
+    are deterministic compile-time constants, so the DuckDB oracle
+    replicates the exact bucketing and finds the identical pair set."""
+    tune(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.35, num_planes=8, dim=64
+    )
+
+
+_Q12_EMB_LSH_SQL = f"""
+WITH E AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+B AS (SELECT vec_id, v, {_bucket_sql('v')} AS bucket FROM E)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       list_cosine_similarity(a.v, b.v) AS cos_sim
+FROM B a JOIN B b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+"""
+
+
 def q33_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate CLUSTERS, not just pairs: connected components
     over the cosine-threshold pair graph (A~B, B~C ⇒ {A,B,C} one
@@ -118,6 +168,47 @@ E AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
   FROM E a JOIN E b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= 0.5
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT reach.id, edges.v FROM reach JOIN edges ON reach.r = edges.u
+)
+SELECT id AS vec_id, min(r) AS component FROM reach GROUP BY id
+"""
+
+
+def q33_near_dup_components_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters over the LSH-bucketed pair graph — the
+    composition a 100 TB dedup actually runs: sign-bucket candidate
+    generation (no all-pairs, no driver collect) feeding hash-min
+    label propagation.  Oracle: recursive-CTE transitive closure over
+    the identically-bucketed pair set."""
+    from ..operators.components import connected_components
+
+    tune(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = embedding_near_duplicates(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.5, num_planes=8, dim=64
+    )
+    return connected_components(
+        pairs, emb, src="id_a", dst="id_b", vertex_id="vec_id"
+    ).select(F.col("id").alias("vec_id"), "component")
+
+
+_Q33_LSH_SQL = f"""
+WITH RECURSIVE
+E AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+B AS (SELECT vec_id, v, {_bucket_sql('v')} AS bucket FROM E),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM B a JOIN B b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
   WHERE list_cosine_similarity(a.v, b.v) >= 0.5
 ),
 edges AS (
@@ -169,9 +260,13 @@ SELECT query_id, vec_id, rank, cos_sim FROM R WHERE rank <= 10
 
 
 def q13_embedding_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate neighbors via 16-plane sign-LSH with Hamming-1
-    multiprobe (rows-only; recall vs brute force is unit-tested).
-    The scale path: bucket pruning replaces the full corpus scan."""
+    """Approximate neighbors via 8-plane sign-LSH with Hamming-1
+    multiprobe.  FULLY oracle-paired (upgraded from rows-only): the
+    hyperplanes are deterministic constants, so the DuckDB oracle
+    replicates the bucketing, the 9-bucket probe set, and the exact
+    cosine re-rank — the approximation itself is verified, not just
+    row counts.  The scale path: bucket pruning replaces the full
+    corpus scan."""
     tune(spark)
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8).select(
@@ -184,6 +279,31 @@ def q13_embedding_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, id_col="vec_id", vec_col="embedding", query_id="query_id",
         dim=64, k=10, num_planes=8,
     )
+
+
+_Q13_ANN_SQL = f"""
+WITH E AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+B AS (SELECT vec_id, v, {_bucket_sql('v')} AS bucket FROM E),
+Q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qb FROM B WHERE vec_id < 8),
+P AS (
+  SELECT query_id, qv, xor(qb, m.mask) AS bucket
+  FROM Q, (VALUES (0),(1),(2),(4),(8),(16),(32),(64),(128)) m(mask)
+),
+S AS (
+  SELECT DISTINCT p.query_id, c.vec_id,
+         list_cosine_similarity(p.qv, c.v) AS cos_sim
+  FROM P p JOIN B c USING (bucket)
+  WHERE c.vec_id <> p.query_id
+),
+R AS (
+  SELECT query_id, vec_id, cos_sim,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY cos_sim DESC, vec_id
+         ) AS BIGINT) AS rank
+  FROM S
+)
+SELECT query_id, vec_id, rank, cos_sim FROM R WHERE rank <= 10
+"""
 
 
 def q13_embedding_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -615,6 +735,7 @@ QUERIES = {
     "q12_simhash_dedup": q12_simhash_dedup,
     "q12_exact_dedup": q12_exact_dedup,
     "q12_embedding_dedup": q12_embedding_dedup,
+    "q12_embedding_dedup_lsh": q12_embedding_dedup_lsh,
     "q13_embedding_sim": q13_embedding_sim,
     "q13_embedding_sim_ann": q13_embedding_sim_ann,
     "q13_embedding_sim_ivf": q13_embedding_sim_ivf,
@@ -625,6 +746,7 @@ QUERIES = {
     "q19_ngram_jaccard": q19_ngram_jaccard,
     "q32_corpus_curation": q32_corpus_curation,
     "q33_near_dup_components": q33_near_dup_components,
+    "q33_near_dup_components_lsh": q33_near_dup_components_lsh,
     "q37_deterministic_sample": q37_deterministic_sample,
     "q38_sequence_packing": q38_sequence_packing,
     "q39_decontaminate": q39_decontaminate,
@@ -635,7 +757,9 @@ QUERIES = {
 ORACLE = {
     "q12_exact_dedup": _Q12_EXACT_SQL,
     "q12_embedding_dedup": _Q12_EMB_SQL,
+    "q12_embedding_dedup_lsh": _Q12_EMB_LSH_SQL,
     "q13_embedding_sim": _Q13_SQL,
+    "q13_embedding_sim_ann": _Q13_ANN_SQL,
     "q15_text_stats": _Q15_SQL,
     "q16_lang_id": _Q16_SQL,
     "q17_fingerprint": _Q17_SQL,
@@ -643,6 +767,7 @@ ORACLE = {
     "q19_ngram_jaccard": _Q19_SQL,
     "q32_corpus_curation": _Q32_SQL,
     "q33_near_dup_components": _Q33_SQL,
+    "q33_near_dup_components_lsh": _Q33_LSH_SQL,
     "q37_deterministic_sample": _Q37_SQL,
     "q38_sequence_packing": _Q38_SQL,
     "q39_decontaminate": _Q39_SQL,

@@ -262,11 +262,14 @@ def q92_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     family" step that turns pair/cluster detection into an actual
     deduplicated corpus.
 
-    The argmax is a packed-integer ``max_by`` (n_chars * 2^20 - id:
-    total order, so the aggregate is partial-aggregatable and
-    tie-stable on both engines — same trick as q71).  Embedding ids
-    and doc ids share a key space at matching row counts; the inner
-    join scopes the report to embedded documents."""
+    The argmax is a lexicographic ``max`` over
+    ``struct(n_chars, -doc_id)`` — longest first, smallest id on ties
+    — a deterministic total order with no domain bound on either key
+    (the earlier packed-integer form assumed doc_id < 2^20); both
+    engines order structs by field position and the aggregate stays
+    partial-aggregatable.  Embedding ids and doc ids share a key
+    space at matching row counts; the inner join scopes the report to
+    embedded documents."""
     from ..operators.components import connected_components
     from ..operators.dedup import embedding_near_duplicates
 
@@ -277,14 +280,21 @@ def q92_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, id_col="vec_id", vec_col="embedding", threshold=0.5, num_planes=None
     )
     comp = connected_components(pairs, emb, src="id_a", dst="id_b", vertex_id="vec_id")
-    packed = F.col("n_chars") * F.lit(1048576) - F.col("doc_id")
     return (
         comp.join(docs, comp.id == docs.doc_id)
         .groupBy("component")
         .agg(
             F.count(F.lit(1)).alias("n_members"),
-            F.max_by("doc_id", packed).alias("rep_doc_id"),
+            F.max(
+                F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id"))
+            ).alias("__m"),
             F.max("n_chars").alias("rep_chars"),
+        )
+        .select(
+            "component",
+            "n_members",
+            (-F.col("__m.neg_id")).alias("rep_doc_id"),
+            "rep_chars",
         )
     )
 
@@ -310,7 +320,7 @@ reach(id, r) AS (
 comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
 SELECT component,
        CAST(count(*) AS BIGINT) AS n_members,
-       arg_max(doc_id, n_chars * 1048576 - doc_id) AS rep_doc_id,
+       -((max({'n_chars': n_chars, 'neg_id': -doc_id})).neg_id) AS rep_doc_id,
        CAST(max(n_chars) AS BIGINT) AS rep_chars
 FROM comp JOIN documents ON comp.id = doc_id
 GROUP BY component

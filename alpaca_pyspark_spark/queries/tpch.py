@@ -452,9 +452,14 @@ def q110_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmin, supplier key as tiebreak) and attach supplier + nation.
 
     The offer table is ONE partial-aggregated exchange over the fact
-    side; the per-part argmin is a packed-integer ``min_by`` on that
-    aggregate (no correlated-subquery re-scan, which is how Q2 is
-    written in the spec); dimensions broadcast."""
+    side; the per-part argmin is a lexicographic ``min`` over
+    ``struct(offer_cents, l_suppkey)`` — a deterministic total order
+    with NO domain assumption on the supplier key space (an earlier
+    packed-integer form, ``offer*1024 + suppkey``, silently corrupted
+    the argmin once l_suppkey ≥ 1024); both engines order structs by
+    field position, and the aggregate stays partial-aggregatable (no
+    correlated-subquery re-scan, which is how Q2 is written in the
+    spec); dimensions broadcast."""
     tune(spark)
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part").filter(F.col("p_type") == "LARGE")
@@ -462,17 +467,14 @@ def q110_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation")
     cents = _cents("l_extendedprice")
     offers = li.groupBy("l_partkey", "l_suppkey").agg(F.min(cents).alias("offer_cents"))
-    # pack (offer, suppkey) so min_by's total order is deterministic:
-    # cheapest offer first, smallest supplier on ties
-    packed = F.col("offer_cents") * F.lit(1024) + F.col("l_suppkey")
-    best = offers.groupBy("l_partkey").agg(
-        F.min_by("l_suppkey", packed).alias("best_suppkey"),
-        F.min(packed).alias("__pk"),
-    )
-    best = best.select(
-        "l_partkey",
-        "best_suppkey",
-        ((F.col("__pk") - F.col("best_suppkey")) / F.lit(1024)).cast("bigint").alias("offer_cents"),
+    best = (
+        offers.groupBy("l_partkey")
+        .agg(F.min(F.struct("offer_cents", "l_suppkey")).alias("__m"))
+        .select(
+            "l_partkey",
+            F.col("__m.l_suppkey").alias("best_suppkey"),
+            F.col("__m.offer_cents").alias("offer_cents"),
+        )
     )
     return (
         best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
@@ -497,15 +499,14 @@ WITH offers AS (
   FROM lineitem GROUP BY 1, 2
 ), best AS (
   SELECT l_partkey,
-         arg_min(l_suppkey, offer_cents * 1024 + l_suppkey) AS best_suppkey,
-         min(offer_cents * 1024 + l_suppkey) AS pk
+         min({'offer_cents': offer_cents, 'l_suppkey': l_suppkey}) AS m
   FROM offers GROUP BY 1
 )
-SELECT p_partkey, p_name, best_suppkey AS s_suppkey, s_name, n_name,
-       CAST((pk - best_suppkey) // 1024 AS DOUBLE) / 100.0 AS best_price
+SELECT p_partkey, p_name, m.l_suppkey AS s_suppkey, s_name, n_name,
+       CAST(m.offer_cents AS DOUBLE) / 100.0 AS best_price
 FROM best
 JOIN part ON l_partkey = p_partkey
-JOIN supplier ON best_suppkey = s_suppkey
+JOIN supplier ON m.l_suppkey = s_suppkey
 JOIN nation ON s_nationkey = n_nationkey
 WHERE p_type = 'LARGE'
 ORDER BY p_partkey

@@ -214,7 +214,13 @@ class PaginatedRestReader(DataSourceReader):
         )
 
     def read(self, partition: SymbolSlicePartition):
-        fetcher = make_fetcher(self.config.endpoint, self.path, self.config.headers)
+        fetcher = make_fetcher(
+            self.config.endpoint,
+            self.path,
+            self.config.headers,
+            timeout=self.config.timeout,
+            retries=self.config.retries,
+        )
         part_params = {
             k: v for k, v in self.params.items() if k not in ("symbols", "start", "end")
         }

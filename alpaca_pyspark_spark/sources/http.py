@@ -44,14 +44,15 @@ def build_url(endpoint: str, path: str, params: dict[str, Any]) -> str:
     return f"{base}?{'&'.join(pairs)}" if pairs else base
 
 
-def make_session():
-    """requests.Session with the reference's retry strategy mounted."""
+def make_session(retries: int | None = None):
+    """requests.Session with the reference's retry strategy mounted
+    (``retries`` overrides the total; None keeps the reference's 3)."""
     import requests
     from requests.adapters import HTTPAdapter
     from urllib3.util.retry import Retry
 
     retry = Retry(
-        total=RETRY_TOTAL,
+        total=RETRY_TOTAL if retries is None else retries,
         backoff_factor=RETRY_BACKOFF,
         status_forcelist=list(RETRY_STATUSES),
         allowed_methods=frozenset({"GET", "HEAD", "OPTIONS"}),
@@ -68,16 +69,23 @@ def make_fetcher(
     path: str,
     headers: dict[str, str],
     session: Any | None = None,
+    *,
+    timeout: float | None = None,
+    retries: int | None = None,
 ) -> Fetcher:
-    """Build the per-partition page fetcher (executor-side)."""
+    """Build the per-partition page fetcher (executor-side).
+    ``timeout`` overrides the read timeout (connect stays 10 s);
+    ``retries`` overrides the retry total — both None by default,
+    preserving the reference's constants."""
     import requests
 
-    sess = session or make_session()
+    sess = session or make_session(retries)
+    req_timeout = REQUEST_TIMEOUT if timeout is None else (REQUEST_TIMEOUT[0], timeout)
 
     def fetch(params: dict[str, str]) -> dict[str, Any]:
         url = build_url(endpoint, path, params)
         try:
-            resp = sess.get(url, headers=headers, timeout=REQUEST_TIMEOUT)
+            resp = sess.get(url, headers=headers, timeout=req_timeout)
         except requests.RequestException:
             logger.exception("request failed: %s", url)
             raise

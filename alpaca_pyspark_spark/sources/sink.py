@@ -67,9 +67,15 @@ class RestBatchWriter(DataSourceWriter):
         self._commit_path = commit_path
         self._batch_size = batch_size
         self._columns = columns
+        self._session = None
 
     def _post(self, path: str, payload: dict[str, Any]) -> None:
-        sess = make_session()
+        # one retry-configured session per writer instance — connection
+        # reuse across a partition's pages instead of a fresh TCP/TLS
+        # handshake per POST
+        if self._session is None:
+            self._session = make_session()
+        sess = self._session
         url = build_url(self._config.endpoint, path, {})
         resp = sess.post(
             url,
@@ -109,7 +115,12 @@ class RestBatchWriter(DataSourceWriter):
         )
 
     def abort(self, messages: list[_PartitionResult]) -> None:
-        self._post(self._commit_path, {"status": "aborted"})
+        # best-effort tombstone: a failed abort POST must not mask the
+        # original job failure with a secondary network error
+        try:
+            self._post(self._commit_path, {"status": "aborted"})
+        except Exception:
+            pass
 
 
 class RestStreamWriter(DataSourceStreamWriter):
@@ -139,9 +150,12 @@ class RestStreamWriter(DataSourceStreamWriter):
         )
 
     def abort(self, messages: list[_PartitionResult], batchId: int) -> None:
-        self._inner._post(
-            self._inner._commit_path, {"status": "aborted", "batch_id": batchId}
-        )
+        try:
+            self._inner._post(
+                self._inner._commit_path, {"status": "aborted", "batch_id": batchId}
+            )
+        except Exception:
+            pass
 
 
 class RestBatchSink(DataSource):
@@ -158,12 +172,17 @@ class RestBatchSink(DataSource):
 
     def __init__(self, options: dict[str, Any]):
         super().__init__(options)
+        # Spark lower-cases DataSource option names before they reach
+        # Python (same normalization as spec.endpoint_config_from_options
+        # on the read side) — look credentials up by lowercase key or
+        # they are silently never sent
+        options = {str(k).lower(): v for k, v in options.items()}
         endpoint = options.get("endpoint")
         if not endpoint:
             raise ValueError("Rest_Batch_Sink: 'endpoint' option is required")
         self._config = EndpointConfig(
-            key_id=options.get(KEY_ID_OPTION, ""),
-            secret_key=options.get(SECRET_OPTION, ""),
+            key_id=str(options.get(KEY_ID_OPTION.lower()) or ""),
+            secret_key=str(options.get(SECRET_OPTION.lower()) or ""),
             endpoint=endpoint,
         )
         self._path = options.get("path", "ingest")

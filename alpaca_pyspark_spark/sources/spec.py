@@ -39,7 +39,14 @@ SECRET_OPTION = "APCA-API-SECRET-KEY"
 #: Options consumed by the endpoint layer, never forwarded as query
 #: params (the reference splits these into EndpointConfig,
 #: common.py:35-42).
-ENDPOINT_OPTIONS = (KEY_ID_OPTION, SECRET_OPTION, "endpoint", "rate_limit_delay")
+ENDPOINT_OPTIONS = (
+    KEY_ID_OPTION,
+    SECRET_OPTION,
+    "endpoint",
+    "rate_limit_delay",
+    "timeout",
+    "retries",
+)
 
 
 @dataclass(frozen=True)
@@ -77,6 +84,12 @@ class EndpointConfig:
     secret_key: str
     endpoint: str = DEFAULT_ENDPOINT
     rate_limit_delay: float = 0.0
+    #: read-timeout override in seconds (None = the 10 s/30 s default).
+    #: The reference DOCUMENTS this option but never implements it
+    #: (ref USAGE.md:65-75 vs common.py) — here it is functional.
+    timeout: float | None = None
+    #: retry-count override (None = the reference's total=3).
+    retries: int | None = None
 
     @property
     def headers(self) -> dict[str, str]:
@@ -140,6 +153,16 @@ def validate_options(
         secret_key=str(options.get(SECRET_OPTION.lower()) or ""),
         endpoint=str(options.get("endpoint", default_endpoint)),
         rate_limit_delay=float(options.get("rate_limit_delay", 0.0)),
+        timeout=(
+            float(options["timeout"])
+            if options.get("timeout") not in (None, "")
+            else None
+        ),
+        retries=(
+            int(options["retries"])
+            if options.get("retries") not in (None, "")
+            else None
+        ),
     )
 
     by_name = {s.name: s for s in specs}

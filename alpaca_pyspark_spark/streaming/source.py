@@ -48,7 +48,11 @@ class TradesStreamReader(SimpleDataSourceStreamReader):
 
     def _fetch_rows(self, lo, hi) -> list[tuple]:
         fetcher = make_fetcher(
-            self.config.endpoint, "stocks/trades", self.config.headers
+            self.config.endpoint,
+            "stocks/trades",
+            self.config.headers,
+            timeout=self.config.timeout,
+            retries=self.config.retries,
         )
         rows: list[tuple] = []
         params = {

@@ -23,15 +23,12 @@ class _CaptureHandler(BaseHTTPRequestHandler):
 
     def do_POST(self):  # noqa: N802 (http.server API)
         body = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+        rec = {"body": body, "headers": dict(self.headers), "t": time.monotonic()}
         with _CaptureHandler.lock:
             if self.path.endswith("/commit"):
-                _CaptureHandler.commits.append(
-                    {"body": body, "t": time.monotonic()}
-                )
+                _CaptureHandler.commits.append(rec)
             else:
-                _CaptureHandler.ingests.append(
-                    {"body": body, "t": time.monotonic()}
-                )
+                _CaptureHandler.ingests.append(rec)
         self.send_response(200)
         self.send_header("content-type", "application/json")
         self.end_headers()
@@ -85,6 +82,29 @@ def test_rest_sink_end_to_end(spark, capture_server):
     assert manifest["pages"] == len(_CaptureHandler.ingests)
     last_page_t = max(pg["t"] for pg in _CaptureHandler.ingests)
     assert _CaptureHandler.commits[0]["t"] >= last_page_t
+
+
+def test_rest_sink_sends_auth_headers(spark, capture_server):
+    """Spark lower-cases option names before they reach the Python
+    DataSource; the sink must still find the (uppercase-documented)
+    credential options and attach them as headers to every POST."""
+    from alpaca_pyspark_spark.sources import register_all
+    from alpaca_pyspark_spark.tables import load
+
+    register_all(spark)
+    df = load(spark, SF_DIR, "events").select("event_id").limit(5)
+    (
+        df.write.format("Rest_Batch_Sink")
+        .options(endpoint=capture_server, **CREDS)
+        .mode("append")
+        .save()
+    )
+    assert _CaptureHandler.ingests and _CaptureHandler.commits
+    for rec in _CaptureHandler.ingests + _CaptureHandler.commits:
+        # http.server headers are case-insensitive-keyed via get()
+        hdrs = {k.lower(): v for k, v in rec["headers"].items()}
+        assert hdrs.get("apca-api-key-id") == CREDS["APCA-API-KEY-ID"]
+        assert hdrs.get("apca-api-secret-key") == CREDS["APCA-API-SECRET-KEY"]
 
 
 def test_rest_sink_rejects_overwrite_and_missing_endpoint(spark, capture_server):

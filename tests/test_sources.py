@@ -141,6 +141,53 @@ def test_validate_options_enum_case_insensitive():
         validate_options({**opts, "adjustment": "bogus"}, stock_bars_specs())
 
 
+def test_timeout_retries_options_functional():
+    """``timeout``/``retries`` are documented by the reference but
+    never implemented there; here they are functional overrides that
+    reach the HTTP layer (fidelity-plus)."""
+    import warnings
+
+    from alpaca_pyspark_spark.sources.http import (
+        REQUEST_TIMEOUT,
+        make_fetcher,
+        make_session,
+    )
+
+    opts = {**BASE_OPTS, "timeframe": "1Day", "timeout": "5.5", "retries": "7"}
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # must NOT hit the unknown-option warn
+        config, _ = validate_options(opts, stock_bars_specs())
+    assert config.timeout == 5.5
+    assert config.retries == 7
+
+    captured = {}
+
+    class _FakeResp:
+        ok = True
+
+        def json(self):
+            return {}
+
+    class _FakeSession:
+        def get(self, url, headers=None, timeout=None):
+            captured["timeout"] = timeout
+            return _FakeResp()
+
+    fetch = make_fetcher("http://x", "p", {}, _FakeSession(), timeout=config.timeout)
+    fetch({})
+    # read timeout overridden, connect timeout preserved
+    assert captured["timeout"] == (REQUEST_TIMEOUT[0], 5.5)
+    # retries override lands in the mounted adapter's Retry strategy
+    sess = make_session(retries=config.retries)
+    assert sess.get_adapter("https://x").max_retries.total == 7
+    # defaults unchanged when the options are absent
+    config2, _ = validate_options(
+        {**BASE_OPTS, "timeframe": "1Day"}, stock_bars_specs()
+    )
+    assert config2.timeout is None and config2.retries is None
+    assert make_session().get_adapter("https://x").max_retries.total == 3
+
+
 def test_validate_options_start_after_end():
     opts = {**BASE_OPTS, "timeframe": "1Day",
             "start": "2021-02-01T00:00:00", "end": "2021-01-01T00:00:00"}
