@@ -30,6 +30,36 @@ from .text import normalized_fingerprint
 
 from . import spread as _spread
 
+# ------------------------------------------------- portable hash family
+#: 2^31 - 1 (Mersenne prime): universal-hash modulus.  Coefficients and
+#: hashed values stay < 2^31, so a*h + b < 2^62 — no 64-bit overflow on
+#: either engine (both Spark ANSI and DuckDB error on overflow).
+MERSENNE_P = (1 << 31) - 1
+
+
+def portable_hash60(col: Column) -> Column:
+    """60-bit integer hash computable bit-identically on Spark AND
+    DuckDB: the first 15 hex chars of md5 parsed as an integer
+    (Spark: ``conv(substring(md5(x),1,15),16,10)``; DuckDB:
+    ``('0x' || substr(md5(x),1,15))::BIGINT``).  15 hex chars = 60
+    bits, safely inside BIGINT.  ~3× slower than xxhash64 but it has
+    an exact SQL twin — the portable dedup variants trade that
+    constant for a zero-tolerance oracle."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def minhash_family_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal hash family
+    h_i(x) = (a_i·x + b_i) mod p — Lehmer-sequence constants, embedded
+    as plan literals in Spark and as SQL literals in the oracle."""
+    out = []
+    a, b = 1, 1
+    for _ in range(num_hashes):
+        a = (a * 48271) % MERSENNE_P
+        b = (b * 16807 + 12345) % MERSENNE_P
+        out.append((a or 1, b))
+    return out
+
 # ------------------------------------------------------------- exact
 def exact_duplicate_groups(
     df: DataFrame, *, id_col: str, text_col: str = "text"
@@ -86,13 +116,19 @@ def minhash_signatures(
     text_col: str = "text",
     shingle_k: int = 3,
     num_hashes: int = 64,
+    portable: bool = False,
 ) -> DataFrame:
     """(id, sig): a ``num_hashes``-long MinHash signature per document.
 
-    Hash family: each variable-length shingle string is xxhash64'd
-    ONCE into a long; family member *i* re-hashes that fixed-width
-    long with the seed (``xxhash64(h, i)``) — equivalent independence
-    to seeding the string hash directly at a fraction of the work.
+    Hash family (default): each variable-length shingle string is
+    xxhash64'd ONCE into a long; family member *i* re-hashes that
+    fixed-width long with the seed (``xxhash64(h, i)``) — equivalent
+    independence to seeding the string hash directly at a fraction of
+    the work.  With ``portable=True`` the string hash is
+    :func:`portable_hash60` (md5-derived) and members are the
+    universal family (a_i·h + b_i) mod 2^31−1 — bit-replicable in
+    DuckDB SQL, which is what makes the portable dedup query fully
+    oracle-paired instead of rows-only.
 
     Shape: explode(shingles) → hash-aggregate with ``num_hashes``
     ``min()`` columns.  Everything stays in whole-stage codegen (the
@@ -108,13 +144,21 @@ def minhash_signatures(
     shingles only for LSH candidates via :func:`shingle_sets` + a
     semi-join.)"""
     base = shingle_sets(df, id_col=id_col, text_col=text_col, shingle_k=shingle_k)
+    exploded = base.select(F.col(id_col), F.explode("shingles").alias("__s"))
+    if portable:
+        coeffs = minhash_family_coeffs(num_hashes)
+        hm = F.pmod(portable_hash60(F.col("__s")), F.lit(MERSENNE_P))
+        exploded = exploded.withColumn("__h", hm)
+        members = [
+            F.pmod(F.col("__h") * F.lit(a) + F.lit(b), F.lit(MERSENNE_P))
+            for a, b in coeffs
+        ]
+    else:
+        exploded = exploded.withColumn("__h", F.xxhash64("__s"))
+        members = [F.xxhash64("__h", F.lit(i)) for i in range(num_hashes)]
     return (
-        base.select(F.col(id_col), F.explode("shingles").alias("__s"))
-        .withColumn("__h", F.xxhash64("__s"))
-        .groupBy(id_col)
-        .agg(
-            *[F.min(F.xxhash64("__h", F.lit(i))).alias(f"__m{i}") for i in range(num_hashes)],
-        )
+        exploded.groupBy(id_col)
+        .agg(*[F.min(m).alias(f"__m{i}") for i, m in enumerate(members)])
         .select(
             F.col(id_col),
             F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("sig"),
@@ -129,6 +173,7 @@ def lsh_candidate_pairs(
     num_bands: int = 16,
     rows_per_band: int = 4,
     max_bucket_size: int = 1000,
+    exact_buckets: bool = False,
 ) -> DataFrame:
     """Banded-LSH candidate generation: hash each band of the
     signature; documents sharing any (band, hash) bucket become a
@@ -137,14 +182,24 @@ def lsh_candidate_pairs(
     ``max_bucket_size`` are dropped (standard guard — such buckets are
     boilerplate shingle-sets whose pairs explode quadratically; the
     count is exposed to callers via the drop, not silently unbounded).
-    """
+
+    ``exact_buckets=True`` keys buckets on the band's raw signature
+    TUPLE instead of its xxhash64 — no cross-tuple collision is
+    possible, so an external oracle grouping on the same tuple finds
+    the identical candidate set (the hashed key admits a ~2^-64
+    false-candidate).  Same shuffle shape; the key is 4 longs instead
+    of 1."""
+    def band_key(b: int):
+        cols = [F.col("sig").getItem(b * rows_per_band + r) for r in range(rows_per_band)]
+        if exact_buckets:
+            return F.struct(*[c.alias(f"k{r}") for r, c in enumerate(cols)])
+        return F.xxhash64(*cols)
+
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[F.col("sig").getItem(b * rows_per_band + r) for r in range(rows_per_band)]
-                ).alias("bucket"),
+                band_key(b).alias("bucket"),
             )
             for b in range(num_bands)
         ]
@@ -190,6 +245,7 @@ def minhash_near_duplicates(
     num_hashes: int = 64,
     num_bands: int = 16,
     threshold: float = 0.5,
+    portable: bool = False,
 ) -> DataFrame:
     """Full near-dup pipeline: MinHash → LSH candidates → exact-Jaccard
     verify on the shingle sets.  Returns (id_a, id_b, jaccard_sim) for
@@ -205,12 +261,21 @@ def minhash_near_duplicates(
     # reruns per consumer.  At cluster scale this is the step you'd
     # checkpoint to reliable storage.
     sigs = minhash_signatures(
-        df, id_col=id_col, text_col=text_col, shingle_k=shingle_k, num_hashes=num_hashes
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_k=shingle_k,
+        num_hashes=num_hashes,
+        portable=portable,
     ).persist()
     # persist pairs too: consumed by the candidate-id extraction AND the
     # verify join — without it the whole bucket-combination pass reruns.
     pairs = lsh_candidate_pairs(
-        sigs, id_col=id_col, num_bands=num_bands, rows_per_band=num_hashes // num_bands
+        sigs,
+        id_col=id_col,
+        num_bands=num_bands,
+        rows_per_band=num_hashes // num_bands,
+        exact_buckets=portable,
     ).persist()
     cand_ids = (
         pairs.select(F.col("id_a").alias(id_col))
@@ -238,25 +303,33 @@ def minhash_near_duplicates(
 
 # ----------------------------------------------------------- simhash
 def simhash_signatures(
-    df: DataFrame, *, id_col: str, text_col: str = "text"
+    df: DataFrame, *, id_col: str, text_col: str = "text", portable: bool = False
 ) -> DataFrame:
-    """64-bit SimHash per document: per-token xxhash64, each bit votes
-    ±1, signature bit = sign of the vote sum.  Implemented as one
-    explode + one hash-agg with 64 conditional sums (single shuffle)."""
-    toks = (
-        _spread(df.select(F.col(id_col), F.col(text_col)))
-        .select(F.col(id_col), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"))
-        .withColumn("h", F.xxhash64("tok"))
+    """SimHash per document: per-token hash, each bit votes ±1,
+    signature bit = sign of the vote sum.  Implemented as one explode
+    + one hash-agg with one conditional sum per bit (single shuffle).
+
+    Default: 64-bit via xxhash64.  ``portable=True``: 60-bit via
+    :func:`portable_hash60` — every op (md5-hex parse, shift/and,
+    conditional sum) has an exact DuckDB twin, so the portable variant
+    is fully oracle-paired."""
+    nbits = 60 if portable else 64
+    toks = _spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok")
     )
+    if portable:
+        toks = toks.withColumn("h", portable_hash60(F.col("tok")))
+    else:
+        toks = toks.withColumn("h", F.xxhash64("tok"))
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"v{i}")
-        for i in range(64)
+        for i in range(nbits)
     ]
     agg = toks.groupBy(id_col).agg(*votes)
     sim = None
-    for i in range(64):
+    for i in range(nbits):
         bit = F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, i)
         sim = term if sim is None else sim.bitwiseXOR(term)  # disjoint bits: XOR == OR == ADD
@@ -269,17 +342,25 @@ def simhash_near_duplicates(
     id_col: str,
     text_col: str = "text",
     max_hamming: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
-    Candidates must share one of four 16-bit chunks (pigeonhole: any
-    pair within Hamming 3 shares at least one untouched chunk), then
-    exact ``bit_count(xor)`` verification."""
-    sigs = simhash_signatures(df, id_col=id_col, text_col=text_col).persist()
+    Candidates must share one of four chunks (16-bit, or 15-bit in
+    the 60-bit portable variant; pigeonhole: any pair within Hamming 3
+    shares at least one untouched chunk), then exact
+    ``bit_count(xor)`` verification."""
+    chunk_bits = 15 if portable else 16
+    chunk_mask = (1 << chunk_bits) - 1
+    sigs = simhash_signatures(
+        df, id_col=id_col, text_col=text_col, portable=portable
+    ).persist()
     chunks = F.array(
         *[
             F.struct(
                 F.lit(c).alias("chunk"),
-                F.shiftright(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF)).alias("ck"),
+                F.shiftright(F.col("simhash"), chunk_bits * c)
+                .bitwiseAND(F.lit(chunk_mask))
+                .alias("ck"),
             )
             for c in range(4)
         ]

@@ -55,6 +55,149 @@ def q12_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_duplicates(docs, id_col="doc_id", text_col="text", max_hamming=3)
 
 
+def q12_text_dedup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME MinHash+LSH pipeline as q12_text_dedup but on the
+    portable md5-derived hash family — every step (string hash,
+    universal-family minima, band tuples, bucket-size guard, Jaccard
+    verify) has an exact DuckDB twin, so this variant is FULLY
+    oracle-paired: the zero-tolerance gate verifies the entire
+    approximate pipeline, not just row counts.  (The xxhash64 variant
+    stays registered as the throughput path — same plan shape, ~3×
+    cheaper hashing.)"""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    return minhash_near_duplicates(
+        docs, id_col="doc_id", text_col="text", shingle_k=3, threshold=0.2, portable=True
+    )
+
+
+def _minhash_portable_sql(num_hashes: int = 64, num_bands: int = 16) -> str:
+    from ..operators.dedup import MERSENNE_P, minhash_family_coeffs
+
+    coeffs = minhash_family_coeffs(num_hashes)
+    p = MERSENNE_P
+    mins = ",\n         ".join(
+        f"min((hm * {a} + {b}) % {p}) AS m{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    rpb = num_hashes // num_bands
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, {ks} FROM sig".format(
+            b=b,
+            ks=", ".join(f"m{b * rpb + r} AS k{r + 1}" for r in range(rpb)),
+        )
+        for b in range(num_bands)
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, len(toks) - 1),
+           i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])
+         )) AS shingles
+  FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents)
+  WHERE len(toks) >= 3
+),
+ex AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(s.s), 1, 15)) AS BIGINT) % {p} AS hm
+  FROM docs, UNNEST(shingles) AS s(s)
+),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM ex GROUP BY doc_id
+),
+bands AS (
+{band_selects}
+),
+ok AS (
+  SELECT band, k1, k2, k3, k4
+  FROM bands GROUP BY 1, 2, 3, 4, 5
+  HAVING count(*) BETWEEN 2 AND 1000
+),
+b2 AS (SELECT bands.* FROM bands SEMI JOIN ok USING (band, k1, k2, k3, k4)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM b2 a JOIN b2 b USING (band, k1, k2, k3, k4)
+  WHERE a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT id_a, id_b,
+         CASE WHEN len(list_distinct(list_concat(da.shingles, db.shingles))) = 0
+              THEN 0.0
+              ELSE CAST(len(list_intersect(da.shingles, db.shingles)) AS DOUBLE)
+                   / CAST(len(list_distinct(list_concat(da.shingles, db.shingles)))
+                          AS DOUBLE)
+         END AS jaccard_sim
+  FROM cand
+  JOIN docs da ON da.doc_id = cand.id_a
+  JOIN docs db ON db.doc_id = cand.id_b
+)
+SELECT id_a, id_b, jaccard_sim FROM verified WHERE jaccard_sim >= 0.2
+"""
+
+
+_Q12_TEXT_PORTABLE_SQL = _minhash_portable_sql()
+
+
+def q12_simhash_dedup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup (Hamming ≤ 3) on the portable 60-bit
+    md5-derived signature — fully oracle-paired: DuckDB recomputes
+    the per-bit votes, the signature, the 4×15-bit pigeonhole
+    buckets, and the bit_count verification."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    out = simhash_near_duplicates(
+        docs, id_col="doc_id", text_col="text", max_hamming=3, portable=True
+    )
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+def _simhash_portable_sql(nbits: int = 60) -> str:
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(nbits)
+    )
+    bits = "\n         + ".join(
+        f"(CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(nbits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.tok AS tok
+  FROM (SELECT doc_id, list_distinct(regexp_extract_all(text, '\\S+')) AS tk
+        FROM documents),
+       UNNEST(tk) AS t(tok)
+),
+h AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+  FROM toks
+),
+votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM h GROUP BY doc_id
+),
+sig AS (
+  SELECT doc_id,
+         {bits} AS sim
+  FROM votes
+),
+chunks AS (
+  SELECT doc_id, sim, c.chunk AS chunk, (sim >> (15 * c.chunk)) & 32767 AS ck
+  FROM sig, (VALUES (0), (1), (2), (3)) c(chunk)
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+FROM chunks a
+JOIN chunks b ON a.chunk = b.chunk AND a.ck = b.ck AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim, b.sim)) <= 3
+"""
+
+
+_Q12_SIMHASH_PORTABLE_SQL = _simhash_portable_sql()
+
+
 def q12_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-duplicate groups by normalized md5 fingerprint — the
     oracle-checkable member of the dedup family."""
@@ -732,7 +875,9 @@ FROM documents
 
 QUERIES = {
     "q12_text_dedup": q12_text_dedup,
+    "q12_text_dedup_portable": q12_text_dedup_portable,
     "q12_simhash_dedup": q12_simhash_dedup,
+    "q12_simhash_dedup_portable": q12_simhash_dedup_portable,
     "q12_exact_dedup": q12_exact_dedup,
     "q12_embedding_dedup": q12_embedding_dedup,
     "q12_embedding_dedup_lsh": q12_embedding_dedup_lsh,
@@ -755,6 +900,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q12_text_dedup_portable": _Q12_TEXT_PORTABLE_SQL,
+    "q12_simhash_dedup_portable": _Q12_SIMHASH_PORTABLE_SQL,
     "q12_exact_dedup": _Q12_EXACT_SQL,
     "q12_embedding_dedup": _Q12_EMB_SQL,
     "q12_embedding_dedup_lsh": _Q12_EMB_LSH_SQL,
