@@ -153,3 +153,59 @@ def frame_sample(media: DataFrame, *, every_n_bytes: int = 64) -> DataFrame:
     return media.filter(F.col("media_type") == "video").select(
         "doc_id", "content"
     ).mapInPandas(sample, schema)
+
+
+def audio_energy_windows(media: DataFrame, *, window_bytes: int = 32) -> DataFrame:
+    """'Audio' feature extraction stand-in: windowed signal energy over
+    the payload, the shape of any frame-level audio featurizer (RMS /
+    mel filterbank): one input row fans out to one row per fixed-size
+    sample window, computed vectorized inside an Arrow-batched
+    ``mapInPandas`` stage (numpy square-sum per window — a real
+    featurizer would drop in at exactly this point).
+
+    Exactness: samples are the raw payload bytes (0–255); per window
+    the operator emits the integer sum of squares ``ssq`` and
+    ``energy_milli = (1000·ssq) DIV n_samples`` — all-integer, so the
+    deterministic-fake decode is replicable bit-for-bit in SQL.
+    """
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("window_no", LongType()),
+            StructField("n_samples", LongType()),
+            StructField("ssq", LongType()),
+            StructField("energy_milli", LongType()),
+        ]
+    )
+
+    def featurize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, wins, ns, ssqs = [], [], [], []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                arr = np.frombuffer(content, dtype=np.uint8).astype(np.int64)
+                for w, off in enumerate(range(0, len(arr), window_bytes)):
+                    seg = arr[off : off + window_bytes]
+                    ids.append(doc_id)
+                    wins.append(w)
+                    ns.append(len(seg))
+                    ssqs.append(int((seg * seg).sum()))
+            n = np.asarray(ns, dtype=np.int64)
+            ssq = np.asarray(ssqs, dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.asarray(ids, dtype=np.int64),
+                    "window_no": np.asarray(wins, dtype=np.int64),
+                    "n_samples": n,
+                    "ssq": ssq,
+                    "energy_milli": np.where(n > 0, (1000 * ssq) // np.maximum(n, 1), 0),
+                }
+            )
+
+    from . import spread
+
+    return spread(
+        media.filter(F.col("media_type") == "audio").select("doc_id", "content")
+    ).mapInPandas(featurize, schema)

@@ -27,7 +27,7 @@ from ..operators.dedup import (
     ngram_jaccard_on_pairs,
     simhash_near_duplicates,
 )
-from ..operators.multimodal import decode_media, synthesize_media
+from ..operators.multimodal import audio_energy_windows, decode_media, synthesize_media
 from ..operators.similarity import brute_force_topk_arrow, lsh_topk
 from ..operators.text import with_fingerprint, with_lang_id, with_text_stats
 from ..functions import char_ngrams
@@ -643,6 +643,48 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------- q122
+def q122_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio plumbing: the 'audio'-typed media rows fan out
+    to one row per 32-byte sample window with integer signal-energy
+    features (sum of squares + milli-RMS²) via an Arrow-batched
+    ``mapInPandas`` featurizer — the exact stage a mel-filterbank /
+    embedding extractor would occupy at 100 TB (map-only, no shuffle;
+    the fan-out happens inside the Python worker on Arrow batches).
+
+    The fake 'waveform' is the document's utf-8 payload (pure-ASCII
+    fixture, so byte k == ``ord(char k)``), which lets the oracle
+    replicate the featurizer in SQL bit-for-bit — the honest-stub
+    pattern of q18."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    return audio_energy_windows(synthesize_media(docs), window_bytes=32)
+
+
+_Q122_SQL = """
+WITH audio AS (
+  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS L
+  FROM documents WHERE doc_id % 3 = 1
+), w AS (
+  SELECT doc_id, text, L, CAST(i AS BIGINT) AS window_no,
+         CAST(i AS BIGINT) * 32 + 1 AS st
+  FROM audio, unnest(range((L + 31) // 32)) u(i)
+), s AS (
+  SELECT doc_id, window_no,
+         CAST(least(32, L - st + 1) AS BIGINT) AS n_samples,
+         CAST(list_sum(list_transform(
+                range(st, least(st + 32, L + 1)),
+                j -> ascii(substring(text, CAST(j AS INTEGER), 1))
+                     * ascii(substring(text, CAST(j AS INTEGER), 1))
+              )) AS BIGINT) AS ssq
+  FROM w
+)
+SELECT doc_id, window_no, n_samples, ssq,
+       CAST((1000 * ssq) // n_samples AS BIGINT) AS energy_milli
+FROM s
+"""
+
+
 # ---------------------------------------------------------------- q19
 def q19_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact char-3-gram Jaccard over consecutive doc-id pairs — the
@@ -888,6 +930,7 @@ QUERIES = {
     "q16_lang_id": q16_lang_id,
     "q17_fingerprint": q17_fingerprint,
     "q18_multimodal_meta": q18_multimodal_meta,
+    "q122_audio_energy": q122_audio_energy,
     "q19_ngram_jaccard": q19_ngram_jaccard,
     "q32_corpus_curation": q32_corpus_curation,
     "q33_near_dup_components": q33_near_dup_components,
@@ -911,6 +954,7 @@ ORACLE = {
     "q16_lang_id": _Q16_SQL,
     "q17_fingerprint": _Q17_SQL,
     "q18_multimodal_meta": _Q18_SQL,
+    "q122_audio_energy": _Q122_SQL,
     "q19_ngram_jaccard": _Q19_SQL,
     "q32_corpus_curation": _Q32_SQL,
     "q33_near_dup_components": _Q33_SQL,

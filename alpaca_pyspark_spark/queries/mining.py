@@ -636,6 +636,91 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# --------------------------------------------------------------- q121
+def q121_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift change-point detection per event type: the
+    event where the cumulative deviation from the series mean peaks —
+    the classic single-change-point estimator (argmax |S_i| of the
+    centered cumulative sum), used for drift detection on metric
+    streams.
+
+    Exactness: with v in integer centi-units, N = count and
+    T = Σv per type, the centered cumsum is kept mean-free WITHOUT a
+    division by accumulating ``S_i = Σ_{j≤i} (N·v_j − T)`` — pure
+    BIGINT, order-pinned by (ts, event_id), so the argmax and its
+    tiebreak (earliest event on equal |S|) are bit-deterministic on
+    both engines.  Magnitudes: |N·v| ≤ N·max(v); the running sum stays
+    under 2^63 through ~1e8 rows/type at these value ranges, past
+    that the accumulator moves to DECIMAL(38,0) with the same plan.
+
+    Scale shape: one exchange keyed by event_type; BOTH window passes
+    (cumsum, argmax rank) and the grouped totals share that single
+    partitioning, so Spark plans exactly one shuffle and two sorts —
+    no self-join, no second scan of events."""
+    tune(spark)
+    e = load(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("v_centi"),
+    )
+    per_type = Window.partitionBy("event_type")
+    ordered = per_type.orderBy("ts", "event_id")
+    cum = e.select(
+        "event_id",
+        "ts",
+        "event_type",
+        F.count(F.lit(1)).over(per_type).alias("n_events"),
+        F.sum("v_centi").over(per_type).alias("total_centi"),
+        "v_centi",
+    ).withColumn(
+        "s_i",
+        F.sum(
+            F.col("n_events") * F.col("v_centi") - F.col("total_centi")
+        ).over(ordered.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("s_i")).desc(), F.col("ts"), F.col("event_id")
+    )
+    return (
+        cum.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("event_id").alias("cp_event_id"),
+            F.col("ts").alias("cp_ts"),
+            F.abs(F.col("s_i")).alias("max_abs_s"),
+            "n_events",
+        )
+    )
+
+
+_Q121_SQL = """
+WITH base AS (
+  SELECT event_id, ts, event_type,
+         CAST(round(value * 100) AS BIGINT) AS v_centi,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_events,
+         CAST(sum(CAST(round(value * 100) AS BIGINT))
+              OVER (PARTITION BY event_type) AS BIGINT) AS total_centi
+  FROM events
+), cum AS (
+  SELECT event_id, ts, event_type, n_events,
+         sum(n_events * v_centi - total_centi)
+           OVER (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS s_i
+  FROM base
+)
+SELECT event_type,
+       event_id AS cp_event_id,
+       ts AS cp_ts,
+       CAST(abs(s_i) AS BIGINT) AS max_abs_s,
+       n_events
+FROM cum
+QUALIFY row_number() OVER (PARTITION BY event_type
+                           ORDER BY abs(s_i) DESC, ts, event_id) = 1
+"""
+
+
 QUERIES = {
     "q77_bitmap_distinct_rollup": q77_bitmap_distinct_rollup,
     "q78_fuzzy_name_pairs": q78_fuzzy_name_pairs,
@@ -647,6 +732,7 @@ QUERIES = {
     "q102_mad_outliers": q102_mad_outliers,
     "q104_merkle_block_diff": q104_merkle_block_diff,
     "q106_weighted_median": q106_weighted_median,
+    "q121_cusum_changepoint": q121_cusum_changepoint,
 }
 
 ORACLE = {
@@ -660,4 +746,5 @@ ORACLE = {
     "q102_mad_outliers": _Q102_SQL,
     "q104_merkle_block_diff": _Q104_SQL,
     "q106_weighted_median": _Q106_SQL,
+    "q121_cusum_changepoint": _Q121_SQL,
 }

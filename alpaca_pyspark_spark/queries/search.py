@@ -424,6 +424,277 @@ ORDER BY n_docs DESC, passage
 """
 
 
+# --------------------------------------------------------------- q123
+_BPE_ROUNDS = 3
+
+
+def _bpe_merge_round(vocab: DataFrame, iteration: int) -> tuple[DataFrame, DataFrame]:
+    """One BPE training round over the (word, freq, seq) vocab table:
+    count adjacent symbol pairs weighted by word frequency, pick the
+    most frequent pair (cnt DESC, left ASC, right ASC — a total
+    order), and merge every greedy-leftmost non-overlapping occurrence
+    of it.  Greedy-leftmost selection is exact: occurrences can only
+    overlap when left == right, and then consecutive match positions
+    form an island where canonical BPE takes the 1st, 3rd, … — i.e.
+    odd ranks within (word, pos − row_number) islands.
+
+    Returns (merged vocab, one-row merge record)."""
+    from pyspark.sql import Window
+
+    tok = vocab.select(
+        "word",
+        "freq",
+        F.posexplode(F.split("seq", " ")).alias("pos", "tok"),
+    )
+    wv = Window.partitionBy("word").orderBy("pos")
+    tok = tok.withColumn("nxt", F.lead("tok").over(wv))
+    counts = (
+        tok.filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("tok").alias("merge_left"), F.col("nxt").alias("merge_right"))
+        .agg(F.sum("freq").alias("pair_freq"))
+    )
+    top1 = counts.orderBy(
+        F.col("pair_freq").desc(), "merge_left", "merge_right"
+    ).limit(1)
+    merge_row = top1.select(
+        F.lit(iteration).cast("bigint").alias("iteration"),
+        "merge_left",
+        "merge_right",
+        "pair_freq",
+    )
+    matched = tok.join(
+        F.broadcast(top1),
+        (F.col("tok") == F.col("merge_left")) & (F.col("nxt") == F.col("merge_right")),
+    ).select("word", "pos")
+    rn = F.row_number().over(wv)
+    isl = Window.partitionBy("word", F.col("pos") - F.col("rn")).orderBy("pos")
+    selected = (
+        matched.withColumn("rn", rn)
+        .withColumn("rw", F.row_number().over(isl))
+        .filter(F.col("rw") % 2 == 1)
+        .select("word", F.col("pos").alias("sel_pos"))
+    )
+    start = selected.withColumnRenamed("sel_pos", "pos")
+    absorbed = selected.select("word", (F.col("sel_pos") + 1).alias("pos"))
+    rebuilt = (
+        tok.join(start.withColumn("is_start", F.lit(True)), ["word", "pos"], "left")
+        .join(absorbed.withColumn("is_gone", F.lit(True)), ["word", "pos"], "left")
+        .filter(F.col("is_gone").isNull())
+        .select(
+            "word",
+            "freq",
+            "pos",
+            F.when(F.col("is_start"), F.concat("tok", "nxt"))
+            .otherwise(F.col("tok"))
+            .alias("new_tok"),
+        )
+    )
+    merged = rebuilt.groupBy("word", "freq").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "new_tok"))),
+                lambda x: x.new_tok,
+            ),
+            " ",
+        ).alias("seq")
+    )
+    return merged, merge_row
+
+
+def q123_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE tokenizer training, 3 merge rounds: the corpus is
+    scanned ONCE into a (word, freq, char-seq) vocab table, then every
+    round — pair counting, argmax merge selection, greedy-leftmost
+    merge application — runs on the vocab alone (canonical Sennrich'16
+    procedure: q93 is its single-round profile, this is the loop).
+
+    Scale shape: ONE corpus-scale exchange builds the vocab; each
+    round is 2 small exchanges over |vocab| rows (window per word on
+    ≤ ~25-symbol sequences, then re-aggregate), the selected pair
+    attaches by broadcast, and the vocab is persisted per round so
+    the lineage doesn't re-expand.  |vocab| is a few million words on
+    a 100 TB corpus — trivially partition-parallel, no driver loop
+    state beyond the round count.
+
+    Exactness: pair counts are integer word-frequency sums; the merge
+    choice uses the total order (count DESC, left, right); greedy-
+    leftmost occurrence selection is the island-parity window — every
+    stage has a 1:1 SQL twin, so the generated chained-CTE oracle
+    matches bit-for-bit.  Returns (iteration, merge_left, merge_right,
+    pair_freq) — the learned merge table."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            "word",
+            "freq",
+            F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("seq"),
+        )
+    )
+    merges = []
+    for i in range(1, _BPE_ROUNDS + 1):
+        vocab = vocab.persist()
+        vocab, merge_row = _bpe_merge_round(vocab, i)
+        merges.append(merge_row)
+    out = merges[0]
+    for mr in merges[1:]:
+        out = out.unionAll(mr)
+    return out
+
+
+def _bpe_oracle_sql(rounds: int = _BPE_ROUNDS) -> str:
+    """Generated chained-CTE DuckDB twin of :func:`q123_bpe_train` —
+    one tok/cnt/top/sel/v block per merge round."""
+    parts = [
+        r"""WITH v1 AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+         trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS seq
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS word
+        FROM documents)
+  GROUP BY word
+)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""", tok{i} AS (
+  SELECT word, freq, CAST(u.i AS BIGINT) AS pos,
+         toks[CAST(u.i AS INTEGER) + 1] AS tok,
+         CASE WHEN u.i + 1 < len(toks)
+              THEN toks[CAST(u.i AS INTEGER) + 2] END AS nxt
+  FROM (SELECT word, freq, string_split(seq, ' ') AS toks FROM v{i}),
+       unnest(range(len(toks))) u(i)
+), top{i} AS (
+  SELECT tok AS merge_left, nxt AS merge_right,
+         CAST(sum(freq) AS BIGINT) AS pair_freq
+  FROM tok{i} WHERE nxt IS NOT NULL
+  GROUP BY 1, 2
+  ORDER BY pair_freq DESC, merge_left, merge_right
+  LIMIT 1
+), sel{i} AS (
+  SELECT word, pos FROM (
+    SELECT word, pos,
+           row_number() OVER (PARTITION BY word, pos - rn ORDER BY pos) AS rw
+    FROM (SELECT t.word, t.pos,
+                 row_number() OVER (PARTITION BY t.word ORDER BY t.pos) AS rn
+          FROM tok{i} t, top{i} p
+          WHERE t.tok = p.merge_left AND t.nxt = p.merge_right)
+  ) WHERE rw % 2 = 1
+), v{i + 1} AS (
+  SELECT t.word, t.freq,
+         string_agg(CASE WHEN s.pos IS NOT NULL THEN t.tok || t.nxt
+                         ELSE t.tok END, ' ' ORDER BY t.pos) AS seq
+  FROM tok{i} t
+  LEFT JOIN sel{i} s ON s.word = t.word AND s.pos = t.pos
+  LEFT JOIN sel{i} d ON d.word = t.word AND d.pos = t.pos - 1
+  WHERE d.pos IS NULL
+  GROUP BY t.word, t.freq
+)"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS iteration, merge_left, merge_right,"
+        f" pair_freq FROM top{i}"
+        for i in range(1, rounds + 1)
+    )
+    return "".join(parts) + "\n" + selects
+
+
+_Q123_SQL = _bpe_oracle_sql()
+
+
+# --------------------------------------------------------------- q120
+def q120_domain_distinctive_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain distinctive vocabulary: the 5 tokens whose relative
+    frequency in a domain most exceeds their corpus-wide frequency
+    (the "lift" TF ratio behind domain-drift dashboards and mixture
+    debugging in corpus curation).
+
+    Exactness: lift = (c_d/N_d) / (c/N) = c_d·N / (c·N_d) is kept as
+    an exact integer rational — ``lift_micro = (1e6·c_d·N) DIV
+    (c·N_d)`` with an explicit (lift DESC, token ASC) tiebreak — so
+    no float ever enters the ordering and both engines agree
+    bit-for-bit.  Magnitudes: c_d·N ≤ (corpus tokens)², safe in
+    BIGINT to ~1e6-token test corpora; at 100 TB the product moves to
+    DECIMAL(38,0) with the same plan shape.
+
+    Scale shape: ONE corpus-scale exchange (explode tokens →
+    hash-agg keyed by (source, token) with map-side partials).  Every
+    downstream stage — corpus counts, domain totals, the rank window
+    — re-aggregates the already-compact vocab×domain table, and the
+    totals attach back by broadcast, so the corpus is scanned and
+    shuffled exactly once."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents").select("source", "text")
+    tok = docs.select(
+        "source", F.explode(tokens(F.lower(F.col("text")))).alias("token")
+    )
+    dom = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("dom_count"))
+    dom = dom.persist()  # feeds corpus counts, domain totals, and the join
+    corpus = dom.groupBy("token").agg(F.sum("dom_count").alias("corpus_count"))
+    dom_tot = dom.groupBy("source").agg(F.sum("dom_count").alias("dom_total"))
+    grand = dom.agg(F.sum("dom_count").alias("grand_total"))
+    lifted = (
+        dom.filter(F.col("dom_count") >= 5)
+        .join(F.broadcast(corpus), "token")
+        .join(F.broadcast(dom_tot), "source")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "source",
+            "token",
+            "dom_count",
+            "corpus_count",
+            F.expr(
+                "(1000000L * dom_count * grand_total)"
+                " DIV (corpus_count * dom_total)"
+            ).alias("lift_micro"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.col("lift_micro").desc(), F.col("token")
+    )
+    return (
+        lifted.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 5)
+    )
+
+
+_Q120_SQL = r"""
+WITH tok AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '\S+')) AS token
+  FROM documents
+), dom AS (
+  SELECT source, token, CAST(count(*) AS BIGINT) AS dom_count
+  FROM tok GROUP BY 1, 2
+), corpus AS (
+  SELECT token, CAST(sum(dom_count) AS BIGINT) AS corpus_count
+  FROM dom GROUP BY 1
+), dom_tot AS (
+  SELECT source, CAST(sum(dom_count) AS BIGINT) AS dom_total
+  FROM dom GROUP BY 1
+), grand AS (
+  SELECT CAST(sum(dom_count) AS BIGINT) AS grand_total FROM dom
+), lifted AS (
+  SELECT d.source, d.token, d.dom_count, c.corpus_count,
+         CAST((1000000 * d.dom_count * g.grand_total)
+              // (c.corpus_count * t.dom_total) AS BIGINT) AS lift_micro
+  FROM dom d
+  JOIN corpus c USING (token)
+  JOIN dom_tot t USING (source)
+  CROSS JOIN grand g
+  WHERE d.dom_count >= 5
+)
+SELECT source, token, dom_count, corpus_count, lift_micro,
+       CAST(row_number() OVER (PARTITION BY source
+                               ORDER BY lift_micro DESC, token) AS BIGINT) AS rnk
+FROM lifted
+QUALIFY rnk <= 5
+"""
+
+
 QUERIES = {
     "q89_inverted_index": q89_inverted_index,
     "q90_bm25_topk": q90_bm25_topk,
@@ -431,6 +702,8 @@ QUERIES = {
     "q92_cluster_representatives": q92_cluster_representatives,
     "q93_bpe_merge_pairs": q93_bpe_merge_pairs,
     "q114_repeated_passages": q114_repeated_passages,
+    "q120_domain_distinctive_tokens": q120_domain_distinctive_tokens,
+    "q123_bpe_train": q123_bpe_train,
 }
 
 ORACLE = {
@@ -440,4 +713,6 @@ ORACLE = {
     "q92_cluster_representatives": _Q92_SQL,
     "q93_bpe_merge_pairs": _Q93_SQL,
     "q114_repeated_passages": _Q114_SQL,
+    "q120_domain_distinctive_tokens": _Q120_SQL,
+    "q123_bpe_train": _Q123_SQL,
 }

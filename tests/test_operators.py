@@ -365,6 +365,34 @@ def test_frame_sample_fanout(spark):
         assert n == -(-src[doc_id] // 64)  # ceil(n_bytes / 64)
 
 
+def test_audio_energy_windows(spark):
+    from alpaca_pyspark_spark.operators.multimodal import audio_energy_windows
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(60)
+    media = synthesize_media(docs)
+    out = audio_energy_windows(media, window_bytes=32).collect()
+    assert out, "no audio rows featurized"
+    src = {
+        r["doc_id"]: bytes(r["text"], "utf-8")
+        for r in docs.filter(F.col("doc_id") % 3 == 1).collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(src)
+    for doc_id, rows in by_doc.items():
+        payload = src[doc_id]
+        rows.sort(key=lambda r: r["window_no"])
+        assert [r["window_no"] for r in rows] == list(range(len(rows)))
+        assert len(rows) == -(-len(payload) // 32)  # ceil fan-out
+        for r in rows:
+            seg = payload[r["window_no"] * 32 : r["window_no"] * 32 + 32]
+            ssq = sum(b * b for b in seg)
+            assert r["n_samples"] == len(seg)
+            assert r["ssq"] == ssq
+            assert r["energy_milli"] == (1000 * ssq) // len(seg)
+
+
 # ------------------------------------------------------------- misc
 def test_char_ngrams_and_jaccard(spark):
     df = spark.createDataFrame([("abcd", "bcde")], "x string, y string")
