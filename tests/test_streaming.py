@@ -121,3 +121,52 @@ def test_stream_slices_are_half_open(monkeypatch):
     reader._fetch_rows(lo, hi)
     assert captured["start"] == "2021-01-01T00:00:00+00:00"
     assert captured["end"] == "2021-01-01T11:59:59.999999+00:00"
+
+
+def test_streaming_sessions_rocksdb_state_store(spark, tmp_path):
+    """Same watermarked session query under the RocksDB state-store
+    provider — the backend a 100 TB cluster actually runs (state no
+    longer bounded by executor heap; changelog checkpointing).  The
+    provider must load and produce bit-identical results to the
+    default HDFS-backed store."""
+    events = load(spark, SF_DIR, "events").select("user_id", "ts").limit(2000)
+    src = str(tmp_path / "rdb_src")
+    events.write.parquet(src)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        sessions = streaming_session_summary(
+            stream, key="user_id", ts="ts", gap="30 minutes", watermark_delay="1 hour"
+        )
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName("rdb_sessions")
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            (r["user_id"], r["session_start"]): r["n_events"]
+            for r in spark.sql("SELECT * FROM rdb_sessions").collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    batch = session_summary(
+        spark.read.parquet(src), key="user_id", ts="ts", gap="30 minutes"
+    )
+    want = {
+        (r["user_id"], r["session_start"]): r["n_events"] for r in batch.collect()
+    }
+    assert got == want
