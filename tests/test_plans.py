@@ -408,3 +408,48 @@ def test_q100_semi_probe_broadcast(spark):
     # the EUROPE customer set probes as a broadcast semi-join (the
     # fact-fact lineitem x orders join is rightly left to SMJ/AQE)
     assert "BroadcastHashJoin LeftSemi" in plan, plan
+
+
+def test_q120_lift_single_corpus_exchange(spark):
+    df = QUERIES["q120_domain_distinctive_tokens"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    # the corpus is scanned/shuffled once into the cached vocab x
+    # domain table; corpus counts, domain totals and the grand total
+    # all attach back by broadcast; top-5-per-source uses the rank
+    # pushdown (WindowGroupLimit), not a full per-group sort+filter
+    assert plan.count("InMemoryTableScan") >= 3, plan
+    assert count_broadcasts(df) >= 3, plan
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_q121_cusum_single_shuffle(spark):
+    df = QUERIES["q121_cusum_changepoint"](spark, SF_DIR)
+    # totals window, cumsum window and argmax window all share the
+    # event_type partitioning: exactly one exchange, no self-join
+    assert count_shuffles(df) == 1, formatted_plan(df)
+    assert "Join" not in formatted_plan(df)
+
+
+def test_q122_audio_featurizer_map_only(spark):
+    df = QUERIES["q122_audio_energy"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    # Arrow-batched fan-out inside the Python worker: the only
+    # exchange is the spread() round-robin repartition (no hash
+    # shuffle, no join); featurizer runs via mapInPandas
+    assert "MapInPandas" in plan, plan
+    assert "hashpartitioning" not in plan, plan
+
+
+def test_q123_bpe_corpus_scanned_once(spark):
+    df = QUERIES["q123_bpe_train"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    # all three merge rounds run on the cached vocab (InMemoryTableScan;
+    # the parquet scan exists only inside the round-1 cache's build
+    # plan — plan rendering repeats cached subtrees, so scan-count on
+    # the string over-reports) and each round's selected pair attaches
+    # by broadcast, never a shuffle join against the one-row top pair
+    # the island-selection joins are vocab-vs-selected (tiny at any
+    # corpus size — AQE broadcasts them at runtime; the static plan
+    # still shows SMJ, so no assertion on those)
+    assert "InMemoryTableScan" in plan, plan
+    assert count_broadcasts(df) >= 3, plan
