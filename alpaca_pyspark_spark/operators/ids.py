@@ -1,0 +1,74 @@
+"""Scalable global row numbering.
+
+``row_number() OVER (ORDER BY ...)`` with no PARTITION BY is the
+classic scale trap: Spark plans a single-partition window — one task
+sorts the entire table.  The scalable equivalent is the three-step
+range-partition pattern (the same layout TeraSort uses):
+
+1. ``repartitionByRange`` + ``sortWithinPartitions`` on a TOTAL order
+   (include a unique tiebreaker column) — a distributed sort.
+2. ONE tiny aggregation — per-partition row counts (|partitions|
+   rows to the driver, independent of table size) — turned into
+   cumulative start offsets.
+3. A map-only Arrow stage adds ``offset[partition] + local_index``.
+
+The result is bit-identical to the single-partition window for any
+total order, and — because offsets correct for however the range
+boundaries fell — identical across cluster sizes, partition counts,
+and sampling differences in the range partitioner.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+
+def assign_stable_ids(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    *,
+    id_col: str = "row_id",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Add ``id_col`` = 1-based global rank of the row under
+    ``ORDER BY order_cols`` (which must be a total order — include a
+    unique key as the last column, or equal rows get an arbitrary but
+    stable relative numbering)."""
+    cols = [F.col(c) for c in order_cols]
+    parts = df.repartitionByRange(num_partitions, *cols).sortWithinPartitions(*cols)
+    parts = parts.persist()  # sorted layout feeds the count AND the map stage
+    sizes = {
+        r["pid"]: r["n"]
+        for r in parts.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in range(num_partitions):
+        offsets[pid] = acc
+        acc += sizes.get(pid, 0)
+
+    out_schema = StructType(
+        list(parts.schema.fields) + [StructField(id_col, LongType())]
+    )
+
+    def number(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from pyspark import TaskContext
+
+        start = offsets[TaskContext.get().partitionId()]
+        seen = 0
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[id_col] = range(start + seen + 1, start + seen + 1 + len(pdf))
+            seen += len(pdf)
+            yield pdf
+
+    return parts.mapInPandas(number, out_schema)

@@ -6,13 +6,16 @@ TakeOrderedAndProject — no full sort materialized); per-group top-k is
 two-phase: a local prune per scan partition, then the exact rank over
 the tiny survivor set.
 
-Why two-phase: a single ``row_number() <= k`` window shuffles EVERY
-row into #groups partitions.  With few groups (3 return flags, a
-handful of exchanges) that is the pathological case at scale — a
-billion rows sorted by 3 tasks while the rest of the cluster idles.
-The local phase keeps parallelism at the scan width regardless of
-group cardinality, and the global phase ranks ≤ partitions × groups
-× k rows.
+Why the plain window form is the right plan on Spark ≥ 3.5: a
+``row_number() <= k`` filter over a window triggers the
+WindowGroupLimit rewrite (SPARK-37099) — a PARTIAL group-limit runs
+map-side on every scan partition BEFORE the exchange, so the shuffle
+carries at most partitions × groups × k survivor rows, and the final
+rank sorts only those.  Even with 3 groups the "3 reducers" handle a
+few hundred rows, not the fact table.  (A previous revision
+hand-rolled the same prune with a per-(scan-partition, group) window;
+that form shuffles EVERY row on the synthetic (__pid, group) key —
+one extra full-table exchange that the built-in rewrite avoids.)
 """
 
 from __future__ import annotations
@@ -36,25 +39,12 @@ def top_k_per_group(
     ``order_by`` must be a total order within each group (include a
     unique tiebreaker) for deterministic results.
 
-    Phase 1 prunes to the per-(scan-partition, group) top-k — correct
-    because a group's global top-k is a subset of the union of its
-    per-subset top-ks, for ANY partitioning of the rows.  Phase 2
-    computes the exact rank on the survivors.  Same rows, same ranks
-    as the one-window form.
+    One window + one rank filter: Catalyst's WindowGroupLimit rewrite
+    prunes map-side (see module docstring); the plan test asserts the
+    Partial group-limit sits below the exchange.
     """
-    # __pid is projected in the map stage, BEFORE the exchange the
-    # local window induces — so the local shuffle spreads by
-    # (scan partition × group), keeping sort parallelism at scan
-    # width even when group_by has 3 distinct values.
-    local = Window.partitionBy("__pid", *group_by).orderBy(*order_by)
-    pruned = (
-        df.withColumn("__pid", F.spark_partition_id())
-        .withColumn("__lrn", F.row_number().over(local))
-        .filter(F.col("__lrn") <= k)
-        .drop("__pid", "__lrn")
-    )
     w = Window.partitionBy(*group_by).orderBy(*order_by)
     return (
-        pruned.withColumn(rank_col, F.row_number().over(w).cast("long"))
+        df.withColumn(rank_col, F.row_number().over(w).cast("long"))
         .filter(F.col(rank_col) <= k)
     )

@@ -1096,7 +1096,107 @@ ORDER BY user_id
 """
 
 
+# --------------------------------------------------------------- q129
+def q129_cuped_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation analytics: CUPED variance-reduced A/B readout
+    (Deng et al., WSDM'13 — the standard trick for shrinking metric
+    variance with a pre-period covariate).  Variant = user_id parity;
+    Y = user's post-period value sum (Jan 16+), X = pre-period sum;
+    θ = cov(X, Y)/var(X) over all users, and the per-variant CUPED
+    mean uses the algebraic identity
+    mean(Y − θ·(X − E[X])) = mean(Y) − θ·(mean_v(X) − E[X]) — so no
+    per-user float ever exists, let alone a float sum.
+
+    Exactness: per-user X/Y are integer centi-sums; cov/var come from
+    integer Σx, Σy, Σxy, Σx² (≲2^58 at bench scale; DECIMAL(38,0) at
+    100 TB, same plan); θ and the means are a fixed sequence of
+    scalar double ops — bit-identical on both engines.
+
+    Scale shape: ONE exchange on user_id builds the per-user X/Y
+    table (conditional partial aggs); the moment row is a second
+    single-row aggregate broadcast back over the 2-row variant
+    aggregate."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+    v_centi = F.round(F.col("value") * 100).cast("bigint")
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("ts") < cutoff, v_centi).otherwise(F.lit(0))).alias("x"),
+            F.sum(F.when(F.col("ts") >= cutoff, v_centi).otherwise(F.lit(0))).alias("y"),
+        )
+        .withColumn("variant", (F.col("user_id") % 2).cast("bigint"))
+    ).persist()
+    moments = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    by_variant = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("x").alias("vx"),
+        F.sum("y").alias("vy"),
+    )
+    # theta = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2); all-integer operands,
+    # one double division; the CUPED mean is three more scalar ops.
+    return (
+        by_variant.crossJoin(F.broadcast(moments))
+        .select(
+            "variant",
+            "n_users",
+            (F.col("vy") / (100.0 * F.col("n_users"))).alias("mean_y"),
+            (
+                F.col("vy") / (100.0 * F.col("n_users"))
+                - (
+                    (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                    / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                )
+                * (
+                    F.col("vx") / (100.0 * F.col("n_users"))
+                    - F.col("sx") / (100.0 * F.col("n"))
+                )
+            ).alias("mean_y_cuped"),
+        )
+    )
+
+
+_Q129_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                       THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                       THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS y
+  FROM events GROUP BY user_id
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM per_user
+), v AS (
+  SELECT user_id % 2 AS variant, CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(x) AS BIGINT) AS vx, CAST(sum(y) AS BIGINT) AS vy
+  FROM per_user GROUP BY 1
+)
+SELECT variant, n_users,
+       CAST(vy AS DOUBLE) / (100.0 * n_users) AS mean_y,
+       CAST(vy AS DOUBLE) / (100.0 * n_users)
+         - (CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE)
+            / CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE))
+           * (CAST(vx AS DOUBLE) / (100.0 * n_users)
+              - CAST(m.sx AS DOUBLE) / (100.0 * m.n)) AS mean_y_cuped
+FROM v CROSS JOIN m
+"""
+
+
 QUERIES = {
+    "q129_cuped_experiment_readout": q129_cuped_experiment_readout,
     "q66_order_count_distribution": q66_order_count_distribution,
     "q67_interval_coalesce": q67_interval_coalesce,
     "q68_funnel": q68_funnel,
@@ -1120,6 +1220,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q129_cuped_experiment_readout": _Q129_SQL,
     "q66_order_count_distribution": _Q66_SQL,
     "q67_interval_coalesce": _Q67_SQL,
     "q68_funnel": _Q68_SQL,

@@ -884,6 +884,73 @@ FROM E
 """
 
 
+# --------------------------------------------------------------- q124
+_JL_IN_DIM = 64
+_JL_OUT_DIM = 16
+
+
+def _jl_signs(out_dim: int = _JL_OUT_DIM, in_dim: int = _JL_IN_DIM) -> list[list[int]]:
+    """Deterministic Rademacher (±1) projection matrix via a Lehmer
+    sequence — embedded as plan literals in Spark and SQL literals in
+    the oracle, the same shared-constants pattern as the q13 LSH
+    hyperplanes."""
+    x, rows = 1, []
+    for _ in range(out_dim):
+        row = []
+        for _ in range(in_dim):
+            x = (x * 48271) % ((1 << 31) - 1)
+            row.append(1 if x & 1 else -1)
+        rows.append(row)
+    return rows
+
+
+def q124_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction: 64-dim vectors
+    projected to 16 dims with a fixed Rademacher ±1 matrix — the
+    standard cheap shrink before ANN indexing / clustering at corpus
+    scale (distance-preserving w.h.p., no training pass, no data
+    shuffle: the projection is map-only, the matrix lives in the
+    plan).
+
+    Exactness: each output component is a left-associated chain of
+    ±CAST(e[k] AS DOUBLE) additions — identical operand order and
+    IEEE double ops in both engines, so the projected vectors match
+    bit-for-bit with no tolerance.
+
+    The whole 16×64-term projection is ONE generated SQL expression
+    (Spark array indexing is 0-based vs DuckDB's 1-based — only the
+    subscripts differ from the oracle text).  Building it as 2048
+    chained Column objects costs a py4j round-trip per operator
+    (~13 s of driver time before any data moves); one ``F.expr``
+    parse is milliseconds — the same plan, constructed sanely."""
+    tune(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    comps = ", ".join(
+        " + ".join(
+            f"CAST(embedding[{k}] AS DOUBLE) * CAST({s} AS DOUBLE)"
+            for k, s in enumerate(row)
+        )
+        for row in _jl_signs()
+    )
+    return emb.select("vec_id", F.expr(f"array({comps})").alias("proj"))
+
+
+def _jl_oracle_sql() -> str:
+    comps = []
+    for row in _jl_signs():
+        comps.append(
+            " + ".join(
+                f"CAST(embedding[{k + 1}] AS DOUBLE) * CAST({s} AS DOUBLE)"
+                for k, s in enumerate(row)
+            )
+        )
+    arr = ",\n  ".join(comps)
+    return f"SELECT vec_id, [\n  {arr}\n] AS proj\nFROM embeddings"
+
+
+_Q124_SQL = _jl_oracle_sql()
+
+
 # ---------------------------------------------------------------- q43
 def q43_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-training data-quality audit of the corpus in ONE pass: row
@@ -939,6 +1006,7 @@ QUERIES = {
     "q38_sequence_packing": q38_sequence_packing,
     "q39_decontaminate": q39_decontaminate,
     "q42_embedding_ops": q42_embedding_ops,
+    "q124_random_projection": q124_random_projection,
     "q43_data_profile": q43_data_profile,
 }
 
@@ -963,5 +1031,6 @@ ORACLE = {
     "q38_sequence_packing": _Q38_SQL,
     "q39_decontaminate": _Q39_SQL,
     "q42_embedding_ops": _Q42_SQL,
+    "q124_random_projection": _Q124_SQL,
     "q43_data_profile": _Q43_SQL,
 }

@@ -636,6 +636,75 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# --------------------------------------------------------------- q125
+def q125_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics: triangle counting on the co-order part graph
+    (parts are connected when ordered together at least twice — the
+    support-2 floor is the standard market-basket noise gate and the
+    scale guard: it prunes the one-off pair tail before any join).
+
+    Classic edge-ordered algorithm: undirected edges stored once as
+    (a < b); wedges come from E ⋈ E on the middle node (a<b<c holds by
+    construction, so every triangle is generated exactly once); a
+    final semi-shaped join against E closes (a, c).  No node ever
+    sees a direction-doubled edge list and no pair is counted twice —
+    at 100 TB-scale graphs the remaining skew risk is high-degree
+    middle nodes, which the support floor bounds here (the general
+    fix is degree-ordered orientation: orient each edge from the
+    lower-degree endpoint, which caps wedge fan-out at O(sqrt(|E|))
+    per node).
+
+    All counts are integers; output is one row (n_edges, n_wedges,
+    n_triangles)."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    lp = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = lp.alias("a"), lp.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("pa", "pb")
+        .persist()
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    wedges = e1.join(e2, F.col("e1.pb") == F.col("e2.pa")).select(
+        F.col("e1.pa").alias("x"), F.col("e1.pb").alias("y"), F.col("e2.pb").alias("z")
+    )
+    triangles = wedges.join(
+        e3, (F.col("x") == F.col("e3.pa")) & (F.col("z") == F.col("e3.pb"))
+    )
+    return (
+        edges.agg(F.count(F.lit(1)).alias("n_edges"))
+        .crossJoin(wedges.agg(F.count(F.lit(1)).alias("n_wedges")))
+        .crossJoin(triangles.agg(F.count(F.lit(1)).alias("n_triangles")))
+    )
+
+
+_Q125_SQL = """
+WITH lp AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), e AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lp a JOIN lp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+), w AS (
+  SELECT e1.pa AS x, e1.pb AS y, e2.pb AS z
+  FROM e e1 JOIN e e2 ON e1.pb = e2.pa
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+       (SELECT CAST(count(*) AS BIGINT) FROM w) AS n_wedges,
+       (SELECT CAST(count(*) AS BIGINT)
+        FROM w JOIN e ON w.x = e.pa AND w.z = e.pb) AS n_triangles
+"""
+
+
 # --------------------------------------------------------------- q121
 def q121_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM mean-shift change-point detection per event type: the
@@ -733,6 +802,7 @@ QUERIES = {
     "q104_merkle_block_diff": q104_merkle_block_diff,
     "q106_weighted_median": q106_weighted_median,
     "q121_cusum_changepoint": q121_cusum_changepoint,
+    "q125_triangle_count": q125_triangle_count,
 }
 
 ORACLE = {
@@ -747,4 +817,5 @@ ORACLE = {
     "q104_merkle_block_diff": _Q104_SQL,
     "q106_weighted_median": _Q106_SQL,
     "q121_cusum_changepoint": _Q121_SQL,
+    "q125_triangle_count": _Q125_SQL,
 }

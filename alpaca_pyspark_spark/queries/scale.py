@@ -195,8 +195,33 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------- q128
+def q128_stable_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global row numbering WITHOUT the single-partition window:
+    documents ranked by (n_chars, doc_id) via the range-partition +
+    per-partition-offset pattern (``operators/ids.py``).  A bare
+    ``row_number() OVER (ORDER BY ...)`` funnels the whole table
+    through ONE task; this shape is a distributed sort plus a
+    |partitions|-row driver exchange, and produces the bit-identical
+    numbering (the oracle IS the single-partition window, which DuckDB
+    can afford at test scale)."""
+    tune(spark)
+    from ..operators.ids import assign_stable_ids
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return assign_stable_ids(docs, ["n_chars", "doc_id"], id_col="row_id")
+
+
+_Q128_SQL = """
+SELECT doc_id, n_chars,
+       CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS row_id
+FROM documents
+"""
+
+
 QUERIES = {
     "q34_salted_heavy_hitters": q34_salted_heavy_hitters,
+    "q128_stable_row_ids": q128_stable_row_ids,
     "q35_pivot": q35_pivot,
     "q36_unpivot": q36_unpivot,
     "q40_range_join_no_key": q40_range_join_no_key,
@@ -204,6 +229,7 @@ QUERIES = {
 
 ORACLE = {
     "q34_salted_heavy_hitters": _Q34_SQL,
+    "q128_stable_row_ids": _Q128_SQL,
     "q35_pivot": _Q35_SQL,
     "q36_unpivot": _Q36_SQL,
     "q40_range_join_no_key": _Q40_SQL,

@@ -524,8 +524,13 @@ def q123_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair_freq) — the learned merge table."""
     tune(spark)
     docs = load(spark, sf_dir, "documents")
+    return bpe_train(docs, text_col="text", rounds=_BPE_ROUNDS)
+
+
+def bpe_train(docs: DataFrame, *, text_col: str = "text", rounds: int = 3) -> DataFrame:
+    """Corpus → learned BPE merge table (see :func:`q123_bpe_train`)."""
     vocab = (
-        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("word"))
+        docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
         .select(
@@ -535,7 +540,7 @@ def q123_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     merges = []
-    for i in range(1, _BPE_ROUNDS + 1):
+    for i in range(1, rounds + 1):
         vocab = vocab.persist()
         vocab, merge_row = _bpe_merge_round(vocab, i)
         merges.append(merge_row)

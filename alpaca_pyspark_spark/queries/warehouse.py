@@ -291,7 +291,87 @@ ORDER BY c_mktsegment
 """
 
 
+# --------------------------------------------------------------- q127
+def q127_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse QA: referential-integrity audit across every FK edge
+    of the schema in one result — orphan keys (fact references a
+    missing dimension row) and childless keys (dimension row no fact
+    ever references).
+
+    Scale shape: each fact table collapses to its DISTINCT key set
+    FIRST (one partial-aggregated exchange carrying |keys| rows, not
+    fact rows); orphans/childless are then key-set anti-join counts on
+    those compact sets — the audit never joins fact-sized data.  At
+    100 TB this is the difference between a constraint check and a
+    second copy of the warehouse."""
+    tune(spark)
+
+    def keyset(table: str, col: str):
+        return load(spark, sf_dir, table).select(F.col(col).alias("k")).distinct()
+
+    edges = [
+        ("orders->customer", keyset("orders", "o_custkey"), keyset("customer", "c_custkey")),
+        ("lineitem->orders", keyset("lineitem", "l_orderkey"), keyset("orders", "o_orderkey")),
+        ("lineitem->part", keyset("lineitem", "l_partkey"), keyset("part", "p_partkey")),
+        ("lineitem->supplier", keyset("lineitem", "l_suppkey"), keyset("supplier", "s_suppkey")),
+    ]
+    out = None
+    for name, fact_keys, dim_keys in edges:
+        orphan = fact_keys.join(dim_keys, "k", "left_anti").agg(
+            F.count(F.lit(1)).alias("n_orphan_keys")
+        )
+        childless = dim_keys.join(fact_keys, "k", "left_anti").agg(
+            F.count(F.lit(1)).alias("n_childless_keys")
+        )
+        row = (
+            orphan.crossJoin(childless)
+            .select(
+                F.lit(name).alias("relationship"),
+                "n_orphan_keys",
+                "n_childless_keys",
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+_Q127_SQL = """
+SELECT 'orders->customer' AS relationship,
+       (SELECT CAST(count(*) AS BIGINT) FROM
+         (SELECT DISTINCT o_custkey AS k FROM orders) f
+        WHERE k NOT IN (SELECT c_custkey FROM customer)) AS n_orphan_keys,
+       (SELECT CAST(count(*) AS BIGINT) FROM
+         (SELECT DISTINCT c_custkey AS k FROM customer) d
+        WHERE k NOT IN (SELECT o_custkey FROM orders)) AS n_childless_keys
+UNION ALL
+SELECT 'lineitem->orders',
+       (SELECT CAST(count(*) AS BIGINT) FROM
+         (SELECT DISTINCT l_orderkey AS k FROM lineitem) f
+        WHERE k NOT IN (SELECT o_orderkey FROM orders)),
+       (SELECT CAST(count(*) AS BIGINT) FROM
+         (SELECT DISTINCT o_orderkey AS k FROM orders) d
+        WHERE k NOT IN (SELECT l_orderkey FROM lineitem))
+UNION ALL
+SELECT 'lineitem->part',
+       (SELECT CAST(count(*) AS BIGINT) FROM
+         (SELECT DISTINCT l_partkey AS k FROM lineitem) f
+        WHERE k NOT IN (SELECT p_partkey FROM part)),
+       (SELECT CAST(count(*) AS BIGINT) FROM
+         (SELECT DISTINCT p_partkey AS k FROM part) d
+        WHERE k NOT IN (SELECT l_partkey FROM lineitem))
+UNION ALL
+SELECT 'lineitem->supplier',
+       (SELECT CAST(count(*) AS BIGINT) FROM
+         (SELECT DISTINCT l_suppkey AS k FROM lineitem) f
+        WHERE k NOT IN (SELECT s_suppkey FROM supplier)),
+       (SELECT CAST(count(*) AS BIGINT) FROM
+         (SELECT DISTINCT s_suppkey AS k FROM supplier) d
+        WHERE k NOT IN (SELECT l_suppkey FROM lineitem))
+"""
+
+
 QUERIES = {
+    "q127_referential_integrity": q127_referential_integrity,
     "q84_pricing_summary": q84_pricing_summary,
     "q85_large_volume_orders": q85_large_volume_orders,
     "q86_disjunctive_predicate_join": q86_disjunctive_predicate_join,
@@ -300,6 +380,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q127_referential_integrity": _Q127_SQL,
     "q84_pricing_summary": _Q84_SQL,
     "q85_large_volume_orders": _Q85_SQL,
     "q86_disjunctive_predicate_join": _Q86_SQL,

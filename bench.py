@@ -52,10 +52,18 @@ def main() -> None:
         spark.catalog.clearCache()
         fn(spark, sf_dir).count()
         spark.catalog.clearCache()
+        # drop py-side plan references so the JVM ContextCleaner can
+        # reclaim the previous queries' broadcasts/accumulators — 138
+        # queries in one JVM otherwise accumulate heap pressure that
+        # shows up as multi-x noise on individual timings
+        import gc
+
+        gc.collect()
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         n = df.count()
         dt = time.perf_counter() - t0
+        del df
         timings[qid] = round(dt, 3)
         total += dt
         print(f"# {qid}: {n} rows in {dt:.3f}s", file=sys.stderr)
@@ -82,10 +90,26 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "n_queries": len(timings),
+                # stable cross-round trend number: the round-1-era
+                # query ids (numeric id <= 63) — the registry grows
+                # every round, so the headline total alone can't show
+                # whether existing queries got faster or slower
+                "core_subtotal": round(
+                    sum(t for q, t in timings.items() if _qnum(q) <= 63), 3
+                ),
                 "sf": detail["sf"],
             }
         )
     )
+
+
+def _qnum(qid: str) -> int:
+    digits = ""
+    for ch in qid[1:]:
+        if not ch.isdigit():
+            break
+        digits += ch
+    return int(digits) if digits else 10**9
 
 
 if __name__ == "__main__":

@@ -750,3 +750,32 @@ def test_arrow_cosine_kernel_bit_equals_fold(spark):
         for r in brute_force_topk_arrow(emb, queries, **kw).collect()
     }
     assert fold == arrow  # exact equality, including the doubles
+
+
+# ------------------------------------------------------------- ids
+def test_assign_stable_ids_partition_count_independent(spark):
+    """The range-partition numbering must equal the single-partition
+    window for ANY partition count — offsets correct for wherever the
+    range boundaries fall."""
+    from alpaca_pyspark_spark.operators.ids import assign_stable_ids
+
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    want = {
+        r["doc_id"]: r["rn"]
+        for r in docs.select(
+            "doc_id",
+            F.row_number().over(Window.orderBy("n_chars", "doc_id")).alias("rn"),
+        ).collect()
+    }
+    for n_parts in (3, 32):
+        got = {
+            r["doc_id"]: r["row_id"]
+            for r in assign_stable_ids(
+                docs, ["n_chars", "doc_id"], num_partitions=n_parts
+            ).collect()
+        }
+        assert got == want, f"numbering diverged at num_partitions={n_parts}"

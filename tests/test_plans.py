@@ -92,11 +92,14 @@ def test_q30_rollup_reaggregates_bars_not_ticks(spark):
     assert count_shuffles(df) == 2, formatted_plan(df)
 
 
-def test_q04_topk_two_bounded_phases(spark):
+def test_q04_topk_partial_group_limit_before_exchange(spark):
     df = QUERIES["q04_sort_limit_topk"](spark, SF_DIR)
-    # local prune + global rank = exactly two exchanges; the second
-    # only carries partitions*groups*k survivors
-    assert count_shuffles(df) == 2, formatted_plan(df)
+    plan = formatted_plan(df)
+    # WindowGroupLimit rewrite: map-side Partial prune -> ONE exchange
+    # carrying <= partitions*groups*k survivors -> Final rank
+    assert count_shuffles(df) == 1, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "Partial" in plan, plan
 
 
 def test_q31_token_count_no_shuffle(spark):

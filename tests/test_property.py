@@ -385,3 +385,57 @@ def test_asof_tolerance_matches_pandas_merge_asof(spark, probes, states, tol):
         for r in want_df.itertuples()
     }
     assert got == want
+
+
+@pytest.mark.slow
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=5),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=1, max_value=3),
+)
+def test_bpe_train_matches_python_reference(spark, words, rounds):
+    """q123's island-parity merge must equal canonical greedy-leftmost
+    BPE (Sennrich'16) — including the a==b overlap case ('aaa' merges
+    positions 0 and skips 1) that the string-replace shortcut gets
+    wrong.  Reference implementation is 20 lines of pure Python."""
+    from collections import Counter
+
+    from alpaca_pyspark_spark.queries.search import bpe_train
+
+    # --- pure-python canonical BPE on the same corpus
+    freq = Counter(w.lower() for w in words)
+    vocab = {w: list(w) for w in freq}
+    want = []
+    for it in range(1, rounds + 1):
+        pairs: Counter = Counter()
+        for w, f in freq.items():
+            seq = vocab[w]
+            for a, b in zip(seq, seq[1:]):
+                pairs[(a, b)] += f
+        if not pairs:
+            break
+        (l, r), c = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        want.append((it, l, r, c))
+        for w, seq in vocab.items():
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == l and seq[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            vocab[w] = out
+
+    docs = spark.createDataFrame([(" ".join(words),)], "text string")
+    got = [
+        (r["iteration"], r["merge_left"], r["merge_right"], r["pair_freq"])
+        for r in bpe_train(docs, rounds=rounds).collect()
+    ]
+    assert sorted(got) == sorted(want)
