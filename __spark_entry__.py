@@ -41,7 +41,7 @@ _SHOWCASE_ORDER = [
     "q01_scan_filter_project", "q02_bars_tumbling", "q03_interval_join_agg",
     "q04_sort_limit_topk", "q05_groupby_rollup", "q06_asof_join",
     "q07_adjustment", "q09_scalar_funcs", "q10_semi_anti",
-    "q14_stream_session",
+    "q130_streaming_sessions_executed",
     # LLM dedup / similarity
     "q12_exact_dedup", "q12_text_dedup_portable", "q12_simhash_dedup_portable",
     "q12_embedding_dedup_lsh", "q33_near_dup_components_lsh",

@@ -542,6 +542,77 @@ def q14_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_summary(e.select("user_id", "ts"), key="user_id", ts="ts", gap="30 minutes")
 
 
+# --------------------------------------------------------------- q130
+def q130_streaming_sessions_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL streaming engine under the correctness gate: events are
+    file-streamed through a watermarked ``session_window`` aggregation
+    (micro-batch execution, state store, watermark advancement — not a
+    batch rewrite), run to completion, and the memory-sink table is
+    returned for the zero-tolerance oracle compare.  The oracle is the
+    gaps-and-islands twin with session_window's end semantics
+    (end = last event + gap).
+
+    The only batch step is staging the normalized events to a temp dir
+    (a file stream needs a directory source); everything after
+    ``readStream`` is the streaming engine's own plan."""
+    import tempfile
+    import uuid
+
+    from ..streaming.sessions import streaming_session_summary
+
+    tune(spark)
+    e = load(spark, sf_dir, "events").select("user_id", "ts")
+    src = tempfile.mkdtemp(prefix="q130_src_")
+    e.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    sessions = streaming_session_summary(
+        stream, key="user_id", ts="ts", gap="30 minutes", watermark_delay="1 hour"
+    )
+    name = "q130_" + uuid.uuid4().hex[:8]
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        "user_id",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )
+
+
+_Q130_SQL = """
+WITH x AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+), y AS (
+  SELECT user_id, ts,
+         CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM x
+), z AS (
+  SELECT user_id, ts,
+         CAST(sum(new_s) OVER (
+           PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+         ) AS BIGINT) AS session_id
+  FROM y
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM z
+GROUP BY user_id, session_id
+"""
+
+
 _Q14_SQL = """
 WITH x AS (
   SELECT user_id, ts,
@@ -624,6 +695,7 @@ QUERIES = {
     "q11_exact_distinct": q11_exact_distinct,
     "q11_approx_distinct": q11_approx_distinct,
     "q14_stream_session": q14_stream_session,
+    "q130_streaming_sessions_executed": q130_streaming_sessions_executed,
     "q103_asof_tolerance": q103_asof_tolerance,
 }
 
@@ -642,5 +714,6 @@ ORACLE = {
     "q10_semi_anti": _Q10_SQL,
     "q11_exact_distinct": _Q11_SQL,
     "q14_stream_session": _Q14_SQL,
+    "q130_streaming_sessions_executed": _Q130_SQL,
     "q103_asof_tolerance": _Q103_SQL,
 }

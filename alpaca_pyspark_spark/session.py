@@ -32,6 +32,10 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.parquet.inferTimestampNTZ.enabled": "true",
     # Arrow for any pandas-UDF paths (similarity/multimodal operators).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Catalyst filter pushdown into Python DataSources (Spark 4.1):
+    # lets df.filter on symbol/time narrow the REST readers' partition
+    # grid and fetch windows (sources/alpaca.py pushFilters).
+    "spark.sql.python.filterPushdown.enabled": "true",
     # ObjectHashAggregate (collect_list/collect_set aggs) falls back to
     # SORT-BASED aggregation after only 128 distinct keys per partition
     # — a full sort of the exploded input (2× on the minhash signature

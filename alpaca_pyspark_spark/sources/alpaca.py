@@ -14,10 +14,14 @@ package instead of an inheritance chain:
   fill it from the public v1beta3 API shape: pair symbols (``BTC/USD``),
   a ``loc`` path segment, fractional volumes/sizes, auth optional.
 
-Catalyst cannot push filters into a Python DataSource, so — exactly
-like the reference — the *options* are the pushdown surface (symbols /
-start / end / limit / sort / types / ... become API query params) and
-``partitions()`` is the partition pruning (SURVEY.md §4).
+Like the reference, the *options* are the primary pushdown surface
+(symbols / start / end / limit / sort / types / ... become API query
+params) and ``partitions()`` is the partition pruning (SURVEY.md §4).
+Beyond the reference: Spark 4.1's Python-DataSource filter pushdown
+(``PaginatedRestReader.pushFilters``) ALSO narrows the symbol grid
+and fetch windows straight from ``df.filter(...)`` — with every
+filter kept residual, so pushdown can only reduce IO, never change
+results.
 """
 
 from __future__ import annotations
@@ -179,7 +183,12 @@ def crypto_trades_specs() -> list[ParamSpec]:
 class PaginatedRestReader(DataSourceReader):
     """Generic reader: one task per (symbol, time-slice); each task
     pages through the REST endpoint and yields one Arrow RecordBatch
-    per page (the scan itself never shuffles)."""
+    per page (the scan itself never shuffles).
+
+    Implements ``pushFilters`` (requires the session conf
+    ``spark.sql.python.filterPushdown.enabled=true`` — set by
+    ``session.get_spark``/``tune``; Spark refuses to plan a
+    pushFilters-capable reader with it off)."""
 
     def __init__(
         self,
@@ -196,12 +205,78 @@ class PaginatedRestReader(DataSourceReader):
         self.path = path
         self.adaptive_timeframe = adaptive_timeframe
 
+    def pushFilters(self, filters):
+        """Catalyst filter pushdown (Spark 4.1 Python DataSource API):
+        ``symbol = / IN`` narrows the partition grid's symbol list and
+        ``time`` bounds narrow the fetch window — so a plain
+        ``df.filter(...)`` saves API calls without the user threading
+        the constraint through options (the reference can only push
+        down via options; this is the Spark-native twin of §2D D1/D2).
+
+        ALL filters are returned as residual: Spark re-applies them
+        post-scan, so API boundary semantics (inclusive ends, server
+        clock skew) can never change results — pushdown narrows IO,
+        the residual filter guarantees exactness."""
+        from datetime import datetime, timezone
+
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        from .spec import parse_iso_datetime
+
+        def as_dt(v):
+            if isinstance(v, datetime):
+                return v if v.tzinfo else v.replace(tzinfo=timezone.utc)
+            if isinstance(v, str):
+                try:
+                    return parse_iso_datetime(v, "filter")
+                except Exception:
+                    return None
+            return None
+
+        for f in filters:
+            col = f.attribute[0] if len(getattr(f, "attribute", ())) == 1 else None
+            if col == self.table.symbol_field:
+                keep = None
+                if isinstance(f, EqualTo) and isinstance(f.value, str):
+                    keep = {f.value}
+                elif isinstance(f, In):
+                    keep = {v for v in f.value if isinstance(v, str)}
+                if keep is not None:
+                    current = self.params["symbols"].split(",")
+                    self.params["symbols"] = ",".join(
+                        s for s in current if s in keep
+                    )
+            elif col == "time":
+                v = as_dt(getattr(f, "value", None))
+                if v is None:
+                    continue
+                if isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                    cur = parse_iso_datetime(self.params["start"], "start")
+                    if v > cur:
+                        self.params["start"] = v.isoformat()
+                elif isinstance(f, (LessThan, LessThanOrEqual)):
+                    cur = parse_iso_datetime(self.params["end"], "end")
+                    if v < cur:
+                        self.params["end"] = v.isoformat()
+        return filters
+
     def partitions(self):
         from .spec import parse_iso_datetime
 
-        symbols = self.params["symbols"].split(",")
+        symbols = [s for s in self.params["symbols"].split(",") if s]
+        if not symbols:
+            return []  # pushdown eliminated every symbol
         start = parse_iso_datetime(self.params["start"], "start")
         end = parse_iso_datetime(self.params["end"], "end")
+        if start >= end:
+            return []  # pushdown narrowed the window to nothing
         timeframe = (
             parse_timeframe(self.params["timeframe"]) if self.adaptive_timeframe else None
         )

@@ -461,3 +461,88 @@ def test_invalid_options_fail_on_driver(spark, mock_api):
             .options(**_opts(mock_api))  # no timeframe
             .load()
         )
+
+
+# ------------------------------------------------- filter pushdown
+def _bars_reader(**extra):
+    from alpaca_pyspark_spark.sources.alpaca import StockBarsDataSource
+
+    src = StockBarsDataSource(
+        _opts("https://example.test/v2", symbols="AAPL,MSFT,GOOG",
+              timeframe="1Hour", **extra)
+    )
+    return src.reader(None)
+
+
+def test_push_filters_narrows_symbols_and_window():
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, In, LessThan
+
+    r = _bars_reader()
+    residual = r.pushFilters(
+        [
+            In(("symbol",), ("MSFT", "GOOG", "TSLA")),
+            GreaterThanOrEqual(("time",), "2021-01-01T06:00:00+00:00"),
+            LessThan(("time",), "2021-01-01T12:00:00+00:00"),
+        ]
+    )
+    # every filter is residual: Spark re-applies post-scan
+    assert len(list(residual)) == 3
+    parts = r.partitions()
+    assert {p.symbol for p in parts} == {"MSFT", "GOOG"}
+    assert min(p.start for p in parts).isoformat() == "2021-01-01T06:00:00+00:00"
+    assert max(p.end for p in parts).isoformat() == "2021-01-01T12:00:00+00:00"
+
+    # equality narrows further; unknown symbol -> zero partitions
+    r2 = _bars_reader()
+    r2.pushFilters([EqualTo(("symbol",), "TSLA")])
+    assert r2.partitions() == []
+
+
+def test_push_filters_never_widens():
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThanOrEqual
+
+    r = _bars_reader()
+    r.pushFilters(
+        [
+            GreaterThanOrEqual(("time",), "2020-01-01T00:00:00+00:00"),  # looser
+            LessThanOrEqual(("time",), "2022-01-01T00:00:00+00:00"),  # looser
+        ]
+    )
+    parts = r.partitions()
+    assert min(p.start for p in parts).isoformat() == "2021-01-01T00:00:00+00:00"
+    assert max(p.end for p in parts).isoformat() == "2021-01-01T23:59:59+00:00"
+
+
+def test_push_filters_unsupported_shapes_ignored():
+    from pyspark.sql.datasource import EqualTo, IsNotNull
+
+    r = _bars_reader()
+    before = dict(r.params)
+    r.pushFilters(
+        [
+            IsNotNull(("close",)),          # non-pushable column
+            EqualTo(("symbol", "x"), "A"),  # nested path — not ours
+            EqualTo(("time",), 123),        # non-datetime value
+        ]
+    )
+    assert r.params == before
+
+
+def test_bars_filter_pushdown_end_to_end(spark, mock_api):
+    """df.filter on symbol/time must narrow what the source fetches
+    while returning the same rows as the option-driven query."""
+    from pyspark.sql import functions as F
+
+    from alpaca_pyspark_spark.sources import register_all
+
+    register_all(spark)
+    base = (
+        spark.read.format("Alpaca_Stocks_Bars")
+        .options(**_opts(mock_api, timeframe="1Hour"))
+        .load()
+    )
+    filtered = base.filter(F.col("symbol") == "AAPL").filter(
+        F.col("time") >= "2021-01-01 00:00:00"
+    )
+    rows = filtered.collect()
+    assert len(rows) == 4 and {r["symbol"] for r in rows} == {"AAPL"}
