@@ -587,6 +587,58 @@ def q130_streaming_sessions_executed(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+# --------------------------------------------------------------- q131
+def q131_streaming_dedup_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once semantics over an at-least-once stream, executed
+    for real and oracle-gated: the events table is staged to the file
+    source TWICE (a full replay — the failure mode every ingest
+    pipeline has), streamed through
+    ``dropDuplicatesWithinWatermark(event_id)``, and the sink must
+    contain exactly the original table.  Duplicate rows are identical
+    copies, so which arrival is kept cannot change the result — the
+    output is deterministic and the oracle is simply ``SELECT * FROM
+    events``."""
+    import tempfile
+    import uuid
+
+    from ..streaming.dedup import dedup_stream
+
+    tune(spark)
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src = tempfile.mkdtemp(prefix="q131_src_")
+    e.write.mode("overwrite").parquet(src)
+    e.write.mode("append").parquet(src)  # the replay
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    deduped = dedup_stream(
+        stream, keys=["event_id"], ts="ts", watermark_delay="45 days"
+    )
+    name = "q131_" + uuid.uuid4().hex[:8]
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        "event_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
+_Q131_SQL = """
+SELECT event_id, ts, user_id, event_type, value FROM events
+"""
+
+
 _Q130_SQL = """
 WITH x AS (
   SELECT user_id, ts,
@@ -696,6 +748,7 @@ QUERIES = {
     "q11_approx_distinct": q11_approx_distinct,
     "q14_stream_session": q14_stream_session,
     "q130_streaming_sessions_executed": q130_streaming_sessions_executed,
+    "q131_streaming_dedup_executed": q131_streaming_dedup_executed,
     "q103_asof_tolerance": q103_asof_tolerance,
 }
 
@@ -715,5 +768,6 @@ ORACLE = {
     "q11_exact_distinct": _Q11_SQL,
     "q14_stream_session": _Q14_SQL,
     "q130_streaming_sessions_executed": _Q130_SQL,
+    "q131_streaming_dedup_executed": _Q131_SQL,
     "q103_asof_tolerance": _Q103_SQL,
 }

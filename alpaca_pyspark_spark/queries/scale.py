@@ -219,9 +219,50 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------- q132
+def q132_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-path fidelity under the zero-tolerance gate: orders are
+    written as hive-partitioned parquet (partitionBy order priority —
+    the engine's standard sink layout), read back from disk, and
+    aggregated; the oracle aggregates the SOURCE directly.  Any row
+    loss, duplication, type drift, or partition-key corruption in the
+    write→read cycle breaks the exact compare.
+
+    At scale this is the nightly-compaction invariant: a relayout
+    (partitioned write) must be bit-neutral to every downstream
+    aggregate."""
+    import tempfile
+
+    tune(spark)
+    o = load(spark, sf_dir, "orders")
+    dest = tempfile.mkdtemp(prefix="q132_sink_")
+    o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(dest)
+    back = spark.read.parquet(dest)
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum(cents) / 100.0).alias("total_price"),
+        F.min("o_orderkey").alias("min_orderkey"),
+        F.max("o_orderkey").alias("max_orderkey"),
+    )
+
+
+_Q132_SQL = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_price,
+       min(o_orderkey) AS min_orderkey,
+       max(o_orderkey) AS max_orderkey
+FROM orders
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "q34_salted_heavy_hitters": q34_salted_heavy_hitters,
     "q128_stable_row_ids": q128_stable_row_ids,
+    "q132_sink_roundtrip": q132_sink_roundtrip,
     "q35_pivot": q35_pivot,
     "q36_unpivot": q36_unpivot,
     "q40_range_join_no_key": q40_range_join_no_key,
@@ -230,6 +271,7 @@ QUERIES = {
 ORACLE = {
     "q34_salted_heavy_hitters": _Q34_SQL,
     "q128_stable_row_ids": _Q128_SQL,
+    "q132_sink_roundtrip": _Q132_SQL,
     "q35_pivot": _Q35_SQL,
     "q36_unpivot": _Q36_SQL,
     "q40_range_join_no_key": _Q40_SQL,
