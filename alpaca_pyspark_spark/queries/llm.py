@@ -30,7 +30,7 @@ from ..operators.dedup import (
 from ..operators.multimodal import audio_energy_windows, decode_media, synthesize_media
 from ..operators.similarity import brute_force_topk_arrow, lsh_topk
 from ..operators.text import with_fingerprint, with_lang_id, with_text_stats
-from ..functions import char_ngrams
+from ..functions import char_ngrams, tokens
 from ..session import tune
 from ..tables import load
 
@@ -884,6 +884,134 @@ FROM E
 """
 
 
+# --------------------------------------------------------------- q133
+def q133_token_rarity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-rarity quality profile — the log-free exact
+    sibling of LM-surprisal scoring (transcendental ``ln`` is NOT
+    bit-identical across engines' libm, so the profile sticks to
+    integer statistics of each token's corpus frequency): rarest-token
+    count, lower-median token frequency (explicit sorted-array
+    selection, deterministic), and the rare-token fraction (corpus
+    frequency < 10) as the usual one-division rational.  Low median /
+    high rare fraction flags gibberish and boilerplate-free outliers
+    exactly like high surprisal does.
+
+    Scale shape: ONE corpus exchange builds the vocab counts; the
+    vocab broadcasts back onto the exploded token stream; the per-doc
+    aggregate is the only other exchange."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens(F.lower(F.col("text")))).alias("pos", "token")
+    )
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    per_doc = (
+        tok.join(F.broadcast(vocab), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.min("tf").alias("min_tf"),
+            F.sort_array(F.collect_list("tf")).alias("__tfs"),
+            F.sum((F.col("tf") < 10).cast("bigint")).alias("n_rare"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "min_tf",
+        F.element_at(
+            F.col("__tfs"),
+            F.floor((F.col("n_tokens") + 1) / 2).cast("int"),
+        ).alias("median_tf"),
+        "n_rare",
+        (F.col("n_rare") / F.col("n_tokens").cast("double")).alias("rare_frac"),
+    )
+
+
+_Q133_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS token
+  FROM documents
+), vocab AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1
+), j AS (
+  SELECT t.doc_id, v.tf FROM tok t JOIN vocab v USING (token)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       min(tf) AS min_tf,
+       (list_sort(list(tf)))[CAST((count(*) + 1) // 2 AS INTEGER)] AS median_tf,
+       CAST(sum(CASE WHEN tf < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+       CAST(sum(CASE WHEN tf < 10 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS rare_frac
+FROM j
+GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------- q134
+def q134_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training data prep: for each query vector, the 5
+    most-similar vectors with a DIFFERENT label — the "hard negatives"
+    that make embedding models learn (easy negatives are random; hard
+    ones are the near-misses).  The label filter runs BEFORE the rank
+    window, and the 8-query side broadcasts, so the corpus never
+    shuffles for the scoring; the WindowGroupLimit prune bounds the
+    rank exchange at queries × 5.
+
+    Exactness: the cosine fold is the engine's sequential-order kernel
+    (bit-identical to DuckDB's ``list_cosine_similarity`` — same
+    IEEE accumulation, verified by q13), tiebreak on vec_id."""
+    from pyspark.sql import Window
+
+    from ..functions import cosine_similarity
+
+    tune(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        v.alias("qv"),
+    )
+    c = emb.select("vec_id", "label", v.alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("label") != F.col("q_label"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_similarity(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+    )
+
+
+_Q134_SQL = """
+WITH E AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+P AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         list_cosine_similarity(q.v, c.v) AS cos_sim
+  FROM E q JOIN E c ON c.label <> q.label
+  WHERE q.vec_id < 8
+),
+R AS (
+  SELECT query_id, vec_id, cos_sim,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY cos_sim DESC, vec_id
+         ) AS BIGINT) AS rank
+  FROM P
+)
+SELECT query_id, vec_id, rank, cos_sim FROM R WHERE rank <= 5
+"""
+
+
 # --------------------------------------------------------------- q124
 _JL_IN_DIM = 64
 _JL_OUT_DIM = 16
@@ -1007,6 +1135,8 @@ QUERIES = {
     "q39_decontaminate": q39_decontaminate,
     "q42_embedding_ops": q42_embedding_ops,
     "q124_random_projection": q124_random_projection,
+    "q134_hard_negative_mining": q134_hard_negative_mining,
+    "q133_token_rarity_profile": q133_token_rarity_profile,
     "q43_data_profile": q43_data_profile,
 }
 
@@ -1032,5 +1162,7 @@ ORACLE = {
     "q39_decontaminate": _Q39_SQL,
     "q42_embedding_ops": _Q42_SQL,
     "q124_random_projection": _Q124_SQL,
+    "q134_hard_negative_mining": _Q134_SQL,
+    "q133_token_rarity_profile": _Q133_SQL,
     "q43_data_profile": _Q43_SQL,
 }
