@@ -399,3 +399,76 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def _nearest_cells_expr(vec: Column, centroids: list[list[float]], topn: int) -> Column:
+    """``array<int>`` of the ``topn`` nearest cell indices by cosine,
+    tie-broken by cell index — built from plan literals so the whole
+    assignment runs inside whole-stage codegen (no Python worker) and
+    reproduces bit-exactly in any engine with the same sequential
+    cosine fold (DuckDB's ``list_cosine_similarity``)."""
+    ranked = F.array_sort(
+        F.array(*[
+            F.struct(
+                (-cosine_similarity(vec, F.array(*[F.lit(x) for x in c]))).alias("neg"),
+                F.lit(j).cast("int").alias("cell"),
+            )
+            for j, c in enumerate(centroids)
+        ])
+    )
+    return F.slice(ranked, 1, topn).getField("cell")
+
+
+def ivf_topk_det(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    k: int = 10,
+    num_cells: int = 16,
+    nprobe: int = 4,
+    include_self: bool = False,
+) -> DataFrame:
+    """IVF top-k with a DETERMINISTIC coarse quantizer: the centroids
+    are the embeddings of the ``num_cells`` smallest ids (a fixed
+    random-sample init with zero k-means iterations — a legitimate IVF
+    quantizer, just not data-adaptive).  Unlike ``ivf_topk`` this
+    variant is exactly replicable in SQL, so the ENTIRE approximation
+    — cell assignment, nprobe probing, exact re-rank — sits under the
+    oracle hash gate.
+
+    Plan shape is identical to the k-means path and survives scale the
+    same way: centroid collect is O(num_cells) regardless of corpus
+    size, assignment is map-only codegen (no shuffle, no Python), and
+    the candidate join touches ~nprobe/num_cells of the corpus.
+    """
+    seed_rows = (
+        corpus.select(F.col(id_col).alias("__sid"), F.col(vec_col).cast("array<double>").alias("__sv"))
+        .orderBy("__sid")
+        .limit(num_cells)
+        .collect()
+    )
+    centroids = [list(r["__sv"]) for r in seed_rows]
+
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    ).withColumn("__cell", _nearest_cells_expr(F.col("__cv"), centroids, 1).getItem(0))
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    ).withColumn("__cells", _nearest_cells_expr(F.col("__qv"), centroids, nprobe))
+    q_probed = q.select("query_id", "__qv", F.explode("__cells").alias("__cell"))
+    cand = c.join(F.broadcast(q_probed), "__cell")
+    if not include_self:
+        cand = cand.filter(F.col("vec_id") != F.col("query_id"))
+    scored = cand.select(
+        "query_id", "vec_id", cosine_similarity(F.col("__qv"), F.col("__cv")).alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

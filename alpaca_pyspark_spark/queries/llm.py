@@ -467,6 +467,70 @@ def q13_embedding_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q13_embedding_sim_ivf_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe structure under the EXACT oracle gate: deterministic
+    centroids (embeddings of the 16 smallest ids — random-sample init,
+    zero k-means iterations) make cell assignment, nprobe probing, and
+    the cosine re-rank all SQL-replicable, so DuckDB verifies the
+    approximation itself, not just row counts.  Complements
+    ``q13_embedding_sim_ivf`` (data-adaptive k-means, rows-only +
+    recall unit tests) — same plan shape, same scale story."""
+    from ..operators.similarity import ivf_topk_det
+
+    tune(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk_det(
+        emb, queries, id_col="vec_id", vec_col="embedding", query_id="query_id",
+        k=10, num_cells=16, nprobe=4,
+    )
+
+
+_Q13_IVF_DET_SQL = """
+WITH E AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+C AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v AS cv
+  FROM (SELECT vec_id, v FROM E ORDER BY vec_id LIMIT 16)
+),
+A AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell
+           ) AS rn
+    FROM E e CROSS JOIN C c
+  ) WHERE rn = 1
+),
+Q AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT e.vec_id AS query_id, e.v AS qv, c.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell
+           ) AS rn
+    FROM E e CROSS JOIN C c WHERE e.vec_id < 8
+  ) WHERE rn <= 4
+),
+S AS (
+  SELECT q.query_id, a.vec_id,
+         list_cosine_similarity(q.qv, a.v) AS cos_sim
+  FROM Q q JOIN A a USING (cell)
+  WHERE a.vec_id <> q.query_id
+),
+R AS (
+  SELECT query_id, vec_id, cos_sim,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY cos_sim DESC, vec_id
+         ) AS BIGINT) AS rank
+  FROM S
+)
+SELECT query_id, vec_id, rank, cos_sim FROM R WHERE rank <= 10
+"""
+
+
 # ---------------------------------------------------------------- q15
 def q15_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + quality scoring over documents."""
@@ -1121,6 +1185,7 @@ QUERIES = {
     "q13_embedding_sim": q13_embedding_sim,
     "q13_embedding_sim_ann": q13_embedding_sim_ann,
     "q13_embedding_sim_ivf": q13_embedding_sim_ivf,
+    "q13_embedding_sim_ivf_det": q13_embedding_sim_ivf_det,
     "q15_text_stats": q15_text_stats,
     "q16_lang_id": q16_lang_id,
     "q17_fingerprint": q17_fingerprint,
@@ -1148,6 +1213,7 @@ ORACLE = {
     "q12_embedding_dedup_lsh": _Q12_EMB_LSH_SQL,
     "q13_embedding_sim": _Q13_SQL,
     "q13_embedding_sim_ann": _Q13_ANN_SQL,
+    "q13_embedding_sim_ivf_det": _Q13_IVF_DET_SQL,
     "q15_text_stats": _Q15_SQL,
     "q16_lang_id": _Q16_SQL,
     "q17_fingerprint": _Q17_SQL,

@@ -315,6 +315,32 @@ def test_ivf_topk_recall_and_determinism(spark):
     assert (c1 == c2).all()
 
 
+def test_ivf_topk_det_recall_and_jvm_only_assignment(spark):
+    from alpaca_pyspark_spark.operators.similarity import ivf_topk_det
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, k=5)
+    approx = ivf_topk_det(emb, queries, k=5, num_cells=16, nprobe=4)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # random-sample centroids (no k-means refinement) give rougher
+    # cells than the trained quantizer, but 4/16 probes must still
+    # recover a usable fraction on uniform vectors
+    assert recall >= 0.2, f"IVF-det recall collapsed: {recall}"
+    ex = {(r["query_id"], r["vec_id"]): r["cos_sim"] for r in exact.collect()}
+    ap = {(r["query_id"], r["vec_id"]): r["cos_sim"] for r in approx.collect()}
+    for kk in e & a:
+        assert ex[kk] == ap[kk]
+    # cell assignment is plan literals + codegen: NO Python workers
+    # anywhere in the det plan (the k-means path uses an Arrow UDF)
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan, "IVF-det assignment left the JVM"
+
+
 def test_embedding_dedup_lsh_subset_of_exact(spark):
     from alpaca_pyspark_spark.operators.dedup import embedding_near_duplicates
 
