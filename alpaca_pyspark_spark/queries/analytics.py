@@ -1195,8 +1195,119 @@ FROM v CROSS JOIN m
 """
 
 
+# --------------------------------------------------------------- q138
+def q138_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) per brand over (price ↓, size ↓): a
+    part survives iff no same-brand part is ≤ on both dimensions and
+    strictly < on one.  The quadratic NOT-EXISTS definition is
+    rewritten as two linear window passes — min size AT each price
+    level and the running min size over STRICTLY cheaper parts (an
+    integer-keyed RANGE frame ending at -1 excludes price ties
+    exactly) — so the whole skyline costs ONE exchange on the brand
+    and a sorted scan, regardless of how many parts a brand has.
+    Prices compare as exact integer cents (repo-wide convention:
+    float money never enters an ordering)."""
+    tune(spark)
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("__cents"),
+        "p_size",
+    )
+    w_at = Window.partitionBy("p_brand", "__cents")
+    w_prior = (
+        Window.partitionBy("p_brand")
+        .orderBy(F.col("__cents"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    m = p.select(
+        "*",
+        F.min("p_size").over(w_at).alias("__min_at"),
+        F.min("p_size").over(w_prior).alias("__prior_min"),
+    )
+    return m.filter(
+        (F.col("p_size") == F.col("__min_at"))
+        & (F.col("__prior_min").isNull() | (F.col("p_size") < F.col("__prior_min")))
+    ).select(
+        "p_partkey",
+        "p_brand",
+        (F.col("__cents") / F.lit(100.0)).alias("price"),
+        "p_size",
+    )
+
+
+_Q138_SQL = """
+WITH P AS (
+  SELECT p_partkey, p_brand,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS cents, p_size
+  FROM part
+), M AS (
+  SELECT *,
+         min(p_size) OVER (PARTITION BY p_brand, cents) AS min_at,
+         min(p_size) OVER (PARTITION BY p_brand ORDER BY cents
+             RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_min
+  FROM P
+)
+SELECT p_partkey, p_brand, cents / 100.0 AS price, p_size
+FROM M
+WHERE p_size = min_at AND (prior_min IS NULL OR p_size < prior_min)
+"""
+
+
+# --------------------------------------------------------------- q142
+def q142_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase is credited to
+    the user's most recent click no older than 30 minutes (NULL when
+    none) — as-of semantics on an event stream, distinct from the
+    funnel (q68: did the sequence happen) and path mining (q107: what
+    sequences happen).  Clicks collapse to one row per (user, ts)
+    first (max event id — removes the only nondeterminism an as-of
+    sort can have), then the tolerance-bounded as-of join is the
+    engine's single-shuffle union+window rewrite: no range self-join,
+    no per-row subquery."""
+    from ..operators.asof import asof_join
+
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        probe_ts="ts",
+        state_ts="ts",
+        value_cols=["click_id"],
+        tolerance="30 MINUTE",
+    )
+
+
+_Q142_SQL = """
+WITH P AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+), C AS (
+  SELECT user_id, ts, max(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+)
+SELECT p.event_id, p.user_id, p.ts, p.value,
+       (SELECT c.click_id FROM C c
+         WHERE c.user_id = p.user_id AND c.ts <= p.ts
+           AND c.ts >= p.ts - INTERVAL 30 MINUTE
+         ORDER BY c.ts DESC LIMIT 1) AS click_id
+FROM P p
+"""
+
+
 QUERIES = {
     "q129_cuped_experiment_readout": q129_cuped_experiment_readout,
+    "q138_pareto_frontier": q138_pareto_frontier,
+    "q142_last_touch_attribution": q142_last_touch_attribution,
     "q66_order_count_distribution": q66_order_count_distribution,
     "q67_interval_coalesce": q67_interval_coalesce,
     "q68_funnel": q68_funnel,
@@ -1221,6 +1332,8 @@ QUERIES = {
 
 ORACLE = {
     "q129_cuped_experiment_readout": _Q129_SQL,
+    "q138_pareto_frontier": _Q138_SQL,
+    "q142_last_touch_attribution": _Q142_SQL,
     "q66_order_count_distribution": _Q66_SQL,
     "q67_interval_coalesce": _Q67_SQL,
     "q68_funnel": _Q68_SQL,

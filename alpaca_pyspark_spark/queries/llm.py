@@ -1174,6 +1174,199 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------- q135
+def q135_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric per-vector quantization audit — the storage
+    transform a 100 TB embedding store actually ships (4× smaller than
+    float32, 8× than float64): per vector, the scale (max |x|), the
+    max absolute reconstruction error after round-trip, and the count
+    of clipped lanes.  Every per-lane op (divide, scale, ``floor(x +
+    0.5)`` half-up, clamp, dequantize, subtract, abs) is a fixed IEEE
+    sequence, and the per-vector reductions are max/count — order-
+    independent, so the whole audit is engine-exact with no float-sum
+    caveats.  Map-only: zero shuffles, pure codegen over the array
+    column."""
+    tune(spark)
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("__v")
+    )
+    scale = F.array_max(F.transform(F.col("__v"), lambda x: F.abs(x)))
+    emb = emb.withColumn("__s", scale)
+    raw_q = lambda x: F.floor(x / F.col("__s") * F.lit(127.0) + F.lit(0.5))  # noqa: E731
+    deq = lambda x: (  # noqa: E731
+        F.greatest(F.least(raw_q(x), F.lit(127.0)), F.lit(-127.0))
+        * F.col("__s")
+        / F.lit(127.0)
+    )
+    return emb.select(
+        "vec_id",
+        F.col("__s").alias("scale"),
+        F.when(F.col("__s") == 0, F.lit(0.0))
+        .otherwise(
+            F.array_max(F.transform(F.col("__v"), lambda x: F.abs(x - deq(x))))
+        )
+        .alias("max_abs_err"),
+        F.when(F.col("__s") == 0, F.lit(0).cast("bigint"))
+        .otherwise(
+            F.size(F.filter(F.col("__v"), lambda x: F.abs(raw_q(x)) > 127.0)).cast(
+                "bigint"
+            )
+        )
+        .alias("n_clipped"),
+    )
+
+
+_Q135_SQL = """
+WITH E AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), S AS (
+  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale FROM E
+)
+SELECT vec_id, scale,
+       CASE WHEN scale = 0 THEN 0.0 ELSE
+         list_max(list_transform(v, x -> abs(x -
+           greatest(least(floor(x / scale * 127.0 + 0.5), 127.0), -127.0)
+             * scale / 127.0)))
+       END AS max_abs_err,
+       CASE WHEN scale = 0 THEN 0 ELSE
+         CAST(len(list_filter(v, x ->
+           abs(floor(x / scale * 127.0 + 0.5)) > 127.0)) AS BIGINT)
+       END AS n_clipped
+FROM S
+"""
+
+
+# --------------------------------------------------------------- q136
+def q136_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/validation split with a leakage audit — the check every
+    training pipeline needs before it trusts its eval numbers: docs
+    are split 80/20 by a PORTABLE deterministic hash of the id (md5-
+    derived, no RNG state, identical in any engine), then each val doc
+    is scored by how many of its distinct 5-grams also occur anywhere
+    in the train split.  A val doc with high overlap is a leaked
+    near-copy that inflates eval.
+
+    Scale shape: the val side is the small side (20%) — its exploded
+    grams broadcast into a semi-join against the train gram stream
+    would be backwards; instead BOTH sides explode once and meet in
+    one hash join on the gram (train grams deduped first), then one
+    per-doc aggregate.  No all-pairs anything."""
+    from ..functions import tokens, word_shingles
+    from ..operators.dedup import portable_hash60
+
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    split = docs.withColumn(
+        "__is_val", portable_hash60(F.col("doc_id").cast("string")) % 10 >= 8
+    )
+    grams = F.array_distinct(word_shingles(tokens(F.col("text")), 5))
+    # generator rides alone (q61's CollapseProject lesson)
+    val_grams = split.filter(F.col("__is_val")).select(
+        "doc_id", F.explode(grams).alias("g")
+    )
+    train_grams = (
+        split.filter(~F.col("__is_val")).select(F.explode(grams).alias("g")).distinct()
+    )
+    hits = (
+        val_grams.join(train_grams, "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_leaked"))
+    )
+    per_doc = split.filter(F.col("__is_val")).select(
+        "doc_id", F.size(grams).cast("bigint").alias("n_grams")
+    )
+    return per_doc.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce("n_leaked", F.lit(0)).cast("bigint").alias("n_leaked"),
+        F.when(F.col("n_grams") == 0, F.lit(0.0))
+        .otherwise(
+            F.coalesce("n_leaked", F.lit(0)).cast("double")
+            / F.col("n_grams").cast("double")
+        )
+        .alias("leak_frac"),
+    )
+
+
+_Q136_SQL = r"""
+WITH D AS (
+  SELECT doc_id, text,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 >= 8
+           AS is_val
+  FROM documents
+), T AS (
+  SELECT doc_id, is_val, regexp_extract_all(trim(text), '\S+') AS toks FROM D
+), G AS (
+  SELECT doc_id, is_val,
+         CASE WHEN len(toks) >= 5 THEN
+           list_distinct([array_to_string(toks[i:i+4], ' ')
+                          FOR i IN range(1, len(toks) - 3)])
+         ELSE [] END AS grams
+  FROM T
+), V AS (
+  SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS g FROM G WHERE is_val
+), TR AS (
+  SELECT DISTINCT unnest(grams) AS g FROM G WHERE NOT is_val
+)
+SELECT v.doc_id,
+       CAST(any_value(v.n_grams) AS BIGINT) AS n_grams,
+       CAST(count(tr.g) AS BIGINT) AS n_leaked,
+       CASE WHEN any_value(v.n_grams) = 0 THEN 0.0
+            ELSE CAST(count(tr.g) AS DOUBLE)
+                   / CAST(any_value(v.n_grams) AS DOUBLE) END AS leak_frac
+FROM V v LEFT JOIN TR tr USING (g)
+GROUP BY v.doc_id
+UNION ALL
+SELECT doc_id, 0, 0, 0.0 FROM G WHERE is_val AND len(grams) = 0
+"""
+
+
+# --------------------------------------------------------------- q141
+def q141_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair contamination matrix: for every pair of sources,
+    the count of distinct normalized 5-grams they share — the
+    provenance audit that finds mirror sites, scraped re-posts, and
+    licensing leaks BETWEEN corpus components (q61 audits docs against
+    one benchmark; this audits every source against every other).
+
+    Scale shape: grams collapse to (gram, source) DISTINCT pairs
+    first (one exchange); the per-gram source list is tiny (bounded
+    by #sources, not corpus size), so the pair fan-out per gram is
+    ≤ C(#sources,2) — the matrix side, never the corpus side."""
+    from ..functions import tokens, word_shingles
+
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    grams = F.array_distinct(word_shingles(tokens(F.col("text")), 5))
+    gs = (
+        docs.select("source", F.explode(grams).alias("g"))
+        .distinct()
+    )
+    a = gs.alias("a")
+    b = gs.alias("b")
+    pairs = a.join(b, on="g").filter(F.col("a.source") < F.col("b.source"))
+    return pairs.groupBy(
+        F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+    ).agg(F.count(F.lit(1)).alias("shared_grams"))
+
+
+_Q141_SQL = r"""
+WITH T AS (
+  SELECT source, regexp_extract_all(trim(text), '\S+') AS toks FROM documents
+), G AS (
+  SELECT DISTINCT source,
+         unnest([array_to_string(toks[i:i+4], ' ')
+                 FOR i IN range(1, len(toks) - 3)]) AS g
+  FROM T WHERE len(toks) >= 5
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS shared_grams
+FROM G a JOIN G b USING (g)
+WHERE a.source < b.source
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q12_text_dedup": q12_text_dedup,
     "q12_text_dedup_portable": q12_text_dedup_portable,
@@ -1202,6 +1395,9 @@ QUERIES = {
     "q124_random_projection": q124_random_projection,
     "q134_hard_negative_mining": q134_hard_negative_mining,
     "q133_token_rarity_profile": q133_token_rarity_profile,
+    "q135_embedding_quantization": q135_embedding_quantization,
+    "q136_split_leakage_audit": q136_split_leakage_audit,
+    "q141_cross_source_overlap": q141_cross_source_overlap,
     "q43_data_profile": q43_data_profile,
 }
 
@@ -1214,6 +1410,9 @@ ORACLE = {
     "q13_embedding_sim": _Q13_SQL,
     "q13_embedding_sim_ann": _Q13_ANN_SQL,
     "q13_embedding_sim_ivf_det": _Q13_IVF_DET_SQL,
+    "q135_embedding_quantization": _Q135_SQL,
+    "q136_split_leakage_audit": _Q136_SQL,
+    "q141_cross_source_overlap": _Q141_SQL,
     "q15_text_stats": _Q15_SQL,
     "q16_lang_id": _Q16_SQL,
     "q17_fingerprint": _Q17_SQL,

@@ -700,8 +700,83 @@ QUALIFY rnk <= 5
 """
 
 
+# --------------------------------------------------------------- q137
+def q137_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-pair collocations by document-level lift — the log-free
+    exact sibling of PMI (ln diverges across libm builds; lift = the
+    same ranking since log is monotone): for token pairs co-occurring
+    in ≥5 documents, lift = P(a,b)/(P(a)·P(b)) computed as ONE
+    division of exact integer products (c_ab·N / df_a·df_b).
+
+    Scale shape: documents collapse to DISTINCT tokens before any
+    pairing, the pair generation is a doc-keyed self-join (fan-out
+    u²/2 per doc where u = distinct tokens — bounded by vocabulary
+    per doc, not corpus size; at 100 TB you'd band u with a per-doc
+    top-N-by-rarity cap first), the ≥5 support filter runs inside the
+    pair aggregate, and the doc-frequency dimension broadcasts back
+    onto the surviving pairs."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokens(F.lower(F.col("text"))))).alias("t"),
+    )
+    df_t = tok.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    a, b = tok.alias("a"), tok.alias("b")
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("a.t") < F.col("b.t"))
+        .groupBy(F.col("a.t").alias("token_a"), F.col("b.t").alias("token_b"))
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= 5)
+    )
+    da = df_t.select(F.col("t").alias("token_a"), F.col("df").alias("__dfa"))
+    db = df_t.select(F.col("t").alias("token_b"), F.col("df").alias("__dfb"))
+    return (
+        pairs.join(F.broadcast(da), "token_a")
+        .join(F.broadcast(db), "token_b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "token_a",
+            "token_b",
+            "c_ab",
+            (
+                (F.col("c_ab") * F.col("n_docs")).cast("double")
+                / (F.col("__dfa") * F.col("__dfb")).cast("double")
+            ).alias("lift"),
+        )
+    )
+
+
+_Q137_SQL = r"""
+WITH T AS (
+  SELECT doc_id,
+         unnest(list_distinct(regexp_extract_all(lower(text), '\S+'))) AS t
+  FROM documents
+), DF AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS df FROM T GROUP BY 1
+), N AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+), PAIRS AS (
+  SELECT a.t AS token_a, b.t AS token_b, CAST(count(*) AS BIGINT) AS c_ab
+  FROM T a JOIN T b USING (doc_id)
+  WHERE a.t < b.t
+  GROUP BY 1, 2
+  HAVING count(*) >= 5
+)
+SELECT token_a, token_b, c_ab,
+       CAST(c_ab * n_docs AS DOUBLE) / CAST(da.df * db.df AS DOUBLE) AS lift
+FROM PAIRS
+JOIN DF da ON da.t = token_a
+JOIN DF db ON db.t = token_b
+CROSS JOIN N
+"""
+
+
 QUERIES = {
     "q89_inverted_index": q89_inverted_index,
+    "q137_collocation_lift": q137_collocation_lift,
     "q90_bm25_topk": q90_bm25_topk,
     "q91_pagerank_suppliers": q91_pagerank_suppliers,
     "q92_cluster_representatives": q92_cluster_representatives,
@@ -713,6 +788,7 @@ QUERIES = {
 
 ORACLE = {
     "q89_inverted_index": _Q89_SQL,
+    "q137_collocation_lift": _Q137_SQL,
     "q90_bm25_topk": _Q90_SQL,
     "q91_pagerank_suppliers": _Q91_SQL,
     "q92_cluster_representatives": _Q92_SQL,

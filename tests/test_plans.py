@@ -456,3 +456,53 @@ def test_q123_bpe_corpus_scanned_once(spark):
     # still shows SMJ, so no assertion on those)
     assert "InMemoryTableScan" in plan, plan
     assert count_broadcasts(df) >= 3, plan
+
+
+def test_q135_quantization_map_only(spark):
+    df = QUERIES["q135_embedding_quantization"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    # the int8 round-trip audit is pure per-row codegen: no exchange,
+    # no Python workers anywhere
+    assert count_shuffles(df) == 0, plan
+    assert "EvalPython" not in plan, plan
+    assert has_whole_stage_codegen(df)
+
+
+def test_q136_split_audit_train_grams_build_one_side(spark):
+    df = QUERIES["q136_split_leakage_audit"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    # the leak probe is a LeftSemi on the gram (train side deduped
+    # first); the per-doc ratio re-attach is a small LEFT join
+    assert "LeftSemi" in plan, plan
+
+
+def test_q137_collocation_df_dimension_broadcasts(spark):
+    df = QUERIES["q137_collocation_lift"](spark, SF_DIR)
+    # df_t and n_docs attach to surviving pairs by broadcast — the
+    # pair aggregate's output never re-shuffles for the dimensions
+    assert count_broadcasts(df) >= 3, formatted_plan(df)
+
+
+def test_q138_pareto_single_exchange(spark):
+    df = QUERIES["q138_pareto_frontier"](spark, SF_DIR)
+    # both windows (min-at-price, strict-prior running min) share the
+    # brand hash partitioning: ONE exchange total, no self-join
+    assert count_shuffles(df) == 1, formatted_plan(df)
+    assert "Join" not in formatted_plan(df), "skyline must not self-join"
+
+
+def test_q142_attribution_single_exchange_no_range_join(spark):
+    df = QUERIES["q142_last_touch_attribution"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    # click-collapse agg + as-of union/window share the user_id
+    # partitioning; a correlated/range-join rewrite would show a Join
+    assert count_shuffles(df) <= 2, plan
+    assert "SortMergeJoin" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q141_overlap_pairs_fan_out_on_gram_sources(spark):
+    df = QUERIES["q141_cross_source_overlap"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    # the pair join runs on (gram)-keyed DISTINCT (gram, source) rows —
+    # the matrix never sees raw corpus rows
+    assert "HashAggregate" in plan, plan
