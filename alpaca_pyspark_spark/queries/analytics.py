@@ -1304,10 +1304,124 @@ FROM P p
 """
 
 
+# --------------------------------------------------------------- q139
+def q139_exact_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group quantiles (p25/p50/p75/p95) by distributed
+    selection — the audit-grade twin of ``approx_percentile`` (q24):
+    values order as exact integer cents, every group is sorted ONCE
+    (row_number + count share the partition), and each quantile is
+    the value AT position floor((n-1)·p)+1 — lower-value selection,
+    no interpolation, so ties and floats cannot diverge between
+    engines.  One exchange on the group key; the sort is linear per
+    group and never global."""
+    tune(spark)
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("__c")
+    )
+    w = Window.partitionBy("event_type").orderBy("__c")
+    wn = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "__c",
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(wn).alias("__n"),
+    )
+
+    def at(p: float) -> F.Column:
+        pos = F.floor((F.col("__n") - 1) * F.lit(p)) + 1
+        return F.max(F.when(F.col("__rn") == pos, F.col("__c"))) / 100.0
+
+    return r.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        at(0.25).alias("p25"),
+        at(0.50).alias("p50"),
+        at(0.75).alias("p75"),
+        at(0.95).alias("p95"),
+    )
+
+
+_Q139_SQL = """
+WITH C AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events
+), R AS (
+  SELECT event_type, c,
+         row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM C
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       max(CASE WHEN rn = floor((n - 1) * 0.25) + 1 THEN c END) / 100.0 AS p25,
+       max(CASE WHEN rn = floor((n - 1) * 0.50) + 1 THEN c END) / 100.0 AS p50,
+       max(CASE WHEN rn = floor((n - 1) * 0.75) + 1 THEN c END) / 100.0 AS p75,
+       max(CASE WHEN rn = floor((n - 1) * 0.95) + 1 THEN c END) / 100.0 AS p95
+FROM R
+GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------- q143
+def q143_seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-quality readout for the seasonal-naive baseline
+    (ŷ(t) = y(t − 24 h)): per event type, the hourly-total series is
+    compared against itself shifted one day — MAE and mean bias over
+    the matched hours.  The \"shift\" is a self-join on the shifted
+    hour key (NOT a lag window: missing hours would silently misalign
+    a row-offset lag), co-partitioned with the hourly aggregate on
+    the same (type, hour) key.  Error sums accumulate as exact
+    integer cents; the two means are final one-shot divisions."""
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("h"),
+            F.round(F.col("value") * 100).cast("bigint").alias("__c"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.sum("__c").alias("tot"))
+    )
+    prior = hourly.select(
+        "event_type",
+        (F.col("h") + F.expr("INTERVAL 24 HOURS")).alias("h"),
+        F.col("tot").alias("prior_tot"),
+    )
+    j = hourly.join(prior, ["event_type", "h"])
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        (
+            F.sum(F.abs(F.col("tot") - F.col("prior_tot")))
+            / (F.lit(100.0) * F.count(F.lit(1)))
+        ).alias("mae"),
+        (
+            F.sum(F.col("tot") - F.col("prior_tot"))
+            / (F.lit(100.0) * F.count(F.lit(1)))
+        ).alias("mean_bias"),
+    )
+
+
+_Q143_SQL = """
+WITH H AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         sum(CAST(round(value * 100) AS BIGINT)) AS tot
+  FROM events GROUP BY 1, 2
+)
+SELECT a.event_type,
+       CAST(count(*) AS BIGINT) AS n_hours,
+       CAST(sum(abs(a.tot - b.tot)) AS DOUBLE) / (100.0 * count(*)) AS mae,
+       CAST(sum(a.tot - b.tot) AS DOUBLE) / (100.0 * count(*)) AS mean_bias
+FROM H a JOIN H b
+  ON a.event_type = b.event_type AND b.h + INTERVAL 24 HOUR = a.h
+GROUP BY a.event_type
+"""
+
+
 QUERIES = {
     "q129_cuped_experiment_readout": q129_cuped_experiment_readout,
     "q138_pareto_frontier": q138_pareto_frontier,
+    "q139_exact_group_quantiles": q139_exact_group_quantiles,
     "q142_last_touch_attribution": q142_last_touch_attribution,
+    "q143_seasonal_naive_error": q143_seasonal_naive_error,
     "q66_order_count_distribution": q66_order_count_distribution,
     "q67_interval_coalesce": q67_interval_coalesce,
     "q68_funnel": q68_funnel,
@@ -1333,7 +1447,9 @@ QUERIES = {
 ORACLE = {
     "q129_cuped_experiment_readout": _Q129_SQL,
     "q138_pareto_frontier": _Q138_SQL,
+    "q139_exact_group_quantiles": _Q139_SQL,
     "q142_last_touch_attribution": _Q142_SQL,
+    "q143_seasonal_naive_error": _Q143_SQL,
     "q66_order_count_distribution": _Q66_SQL,
     "q67_interval_coalesce": _Q67_SQL,
     "q68_funnel": _Q68_SQL,

@@ -17,7 +17,7 @@ Oracle-design notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
@@ -1321,6 +1321,119 @@ SELECT doc_id, 0, 0, 0.0 FROM G WHERE is_val AND len(grams) = 0
 """
 
 
+# --------------------------------------------------------------- q140
+def q140_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification over the embedding store: each held-out
+    query vector (id < 20) is labeled by majority vote of its 10
+    nearest corpus neighbors (id ≥ 20) — the zero-training baseline
+    every embedding-quality eval starts from.  Reuses the exact
+    brute-force top-k (corpus never shuffles, queries ride the Arrow
+    closure); the vote argmax is a deterministic (votes ↓, label ↑)
+    window pick, and the label dimension attaches by broadcast."""
+    tune(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 20)
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    topk = brute_force_topk_arrow(
+        corpus, queries, id_col="vec_id", vec_col="embedding",
+        query_id="query_id", k=10,
+    )
+    labels = emb.select("vec_id", "label")
+    votes = (
+        topk.join(F.broadcast(labels), "vec_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("label").asc()
+    )
+    pred = votes.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") == 1
+    )
+    truth = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return pred.join(F.broadcast(truth), "query_id").select(
+        "query_id", "true_label", F.col("label").alias("pred_label"), "votes"
+    )
+
+
+_Q140_SQL = """
+WITH E AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+P AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id, c.label,
+         list_cosine_similarity(q.v, c.v) AS cos_sim
+  FROM E q JOIN E c ON c.vec_id >= 20
+  WHERE q.vec_id < 20
+),
+R AS (
+  SELECT query_id, vec_id, label,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY cos_sim DESC, vec_id
+         ) AS rank
+  FROM P
+),
+V AS (
+  SELECT query_id, label, CAST(count(*) AS BIGINT) AS votes
+  FROM R WHERE rank <= 10 GROUP BY 1, 2
+),
+W AS (
+  SELECT query_id, label, votes,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY votes DESC, label
+         ) AS rn
+  FROM V
+)
+SELECT w.query_id, e.label AS true_label, w.label AS pred_label, w.votes
+FROM W w JOIN E e ON e.vec_id = w.query_id
+WHERE w.rn = 1
+"""
+
+
+# --------------------------------------------------------------- q144
+def q144_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with EXACT per-stratum quotas: every source
+    contributes ceil(20%) of its documents, chosen by the portable
+    md5-derived hash order (rerun-stable, partition-independent, no
+    RNG) — the corpus-mixture building block when a rate-based keep
+    (q37) would leave small strata under-represented.  One exchange on
+    the stratum; rank and stratum size share the partition."""
+    from ..operators.dedup import portable_hash60
+
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    h = portable_hash60(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(h, F.col("doc_id"))
+    wn = Window.partitionBy("source")
+    r = docs.select(
+        "doc_id",
+        "source",
+        F.row_number().over(w).cast("bigint").alias("sample_rank"),
+        F.count(F.lit(1)).over(wn).alias("__n"),
+    )
+    return r.filter(
+        F.col("sample_rank") <= F.ceil(F.col("__n") * 0.2)
+    ).select("doc_id", "source", "sample_rank")
+
+
+_Q144_SQL = """
+WITH R AS (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                    doc_id
+         ) AS BIGINT) AS sample_rank,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT doc_id, source, sample_rank
+FROM R WHERE sample_rank <= ceil(n * 0.2)
+"""
+
+
 # --------------------------------------------------------------- q141
 def q141_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-pair contamination matrix: for every pair of sources,
@@ -1397,7 +1510,9 @@ QUERIES = {
     "q133_token_rarity_profile": q133_token_rarity_profile,
     "q135_embedding_quantization": q135_embedding_quantization,
     "q136_split_leakage_audit": q136_split_leakage_audit,
+    "q140_knn_label_vote": q140_knn_label_vote,
     "q141_cross_source_overlap": q141_cross_source_overlap,
+    "q144_stratified_sample": q144_stratified_sample,
     "q43_data_profile": q43_data_profile,
 }
 
@@ -1412,7 +1527,9 @@ ORACLE = {
     "q13_embedding_sim_ivf_det": _Q13_IVF_DET_SQL,
     "q135_embedding_quantization": _Q135_SQL,
     "q136_split_leakage_audit": _Q136_SQL,
+    "q140_knn_label_vote": _Q140_SQL,
     "q141_cross_source_overlap": _Q141_SQL,
+    "q144_stratified_sample": _Q144_SQL,
     "q15_text_stats": _Q15_SQL,
     "q16_lang_id": _Q16_SQL,
     "q17_fingerprint": _Q17_SQL,

@@ -506,3 +506,33 @@ def test_q141_overlap_pairs_fan_out_on_gram_sources(spark):
     # the pair join runs on (gram)-keyed DISTINCT (gram, source) rows —
     # the matrix never sees raw corpus rows
     assert "HashAggregate" in plan, plan
+
+
+def test_q139_quantiles_single_exchange(spark):
+    df = QUERIES["q139_exact_group_quantiles"](spark, SF_DIR)
+    # rank window, count window, and the final agg all share the
+    # event_type hash partitioning: one exchange, one sort, no join
+    assert count_shuffles(df) == 1, formatted_plan(df)
+
+
+def test_q140_knn_corpus_never_shuffles(spark):
+    df = QUERIES["q140_knn_label_vote"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    # scoring is the Arrow closure kernel (queries ride inside it);
+    # labels and truth attach by broadcast
+    assert "MapInPandas" in plan, plan
+    assert count_broadcasts(df) >= 2, plan
+
+
+def test_q143_seasonal_join_stays_on_hour_key(spark):
+    df = QUERIES["q143_seasonal_naive_error"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    # equi-join on (type, shifted hour) — never a range/NLJ shape
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert count_shuffles(df) <= 4, plan
+
+
+def test_q144_stratified_single_exchange(spark):
+    df = QUERIES["q144_stratified_sample"](spark, SF_DIR)
+    # rank and stratum-size windows share the source partitioning
+    assert count_shuffles(df) == 1, formatted_plan(df)
