@@ -401,22 +401,28 @@ def ivf_topk(
     )
 
 
-def _nearest_cells_expr(vec: Column, centroids: list[list[float]], topn: int) -> Column:
-    """``array<int>`` of the ``topn`` nearest cell indices by cosine,
-    tie-broken by cell index — built from plan literals so the whole
-    assignment runs inside whole-stage codegen (no Python worker) and
-    reproduces bit-exactly in any engine with the same sequential
-    cosine fold (DuckDB's ``list_cosine_similarity``)."""
-    ranked = F.array_sort(
-        F.array(*[
-            F.struct(
-                (-cosine_similarity(vec, F.array(*[F.lit(x) for x in c]))).alias("neg"),
-                F.lit(j).cast("int").alias("cell"),
-            )
-            for j, c in enumerate(centroids)
-        ])
-    )
-    return F.slice(ranked, 1, topn).getField("cell")
+def _det_cell_assigner(centroids: list[list[float]], topn: int):
+    """Pandas UDF: vector → its ``topn`` nearest cells by cosine,
+    tie-broken by cell index, computed with the sequential-order
+    kernel — every double is bit-identical to the engine's scalar
+    ``aggregate`` fold AND to DuckDB's ``list_cosine_similarity``
+    (dot / (‖v‖·‖c‖), one IEEE accumulate per dimension), so the
+    assignment is exactly replicable in the oracle.  An earlier
+    all-literal ``aggregate``-fold expression had the same doubles but
+    ran interpreted per row (higher-order functions don't codegen):
+    48 folds/row ≈ 6 s at sf0.1 vs ~0.3 s for this Arrow batch."""
+    C = np.asarray(centroids, dtype=np.float64)
+    nc = _seq_norms(C)
+
+    @F.pandas_udf("array<int>")
+    def cells(v: pd.Series) -> pd.Series:
+        M = np.stack(v.to_numpy()).astype(np.float64, copy=False)
+        sims = _seq_dot_block(M, C) / (_seq_norms(M)[:, None] * nc[None, :])
+        # stable argsort on -sims: equal keys keep cell-index order
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :topn]
+        return pd.Series([row.tolist() for row in order])
+
+    return cells
 
 
 def ivf_topk_det(
@@ -441,8 +447,8 @@ def ivf_topk_det(
 
     Plan shape is identical to the k-means path and survives scale the
     same way: centroid collect is O(num_cells) regardless of corpus
-    size, assignment is map-only codegen (no shuffle, no Python), and
-    the candidate join touches ~nprobe/num_cells of the corpus.
+    size, assignment is a map-only Arrow batch (no shuffle), and the
+    candidate join touches ~nprobe/num_cells of the corpus.
     """
     seed_rows = (
         corpus.select(F.col(id_col).alias("__sid"), F.col(vec_col).cast("array<double>").alias("__sv"))
@@ -451,15 +457,18 @@ def ivf_topk_det(
         .collect()
     )
     centroids = [list(r["__sv"]) for r in seed_rows]
+    from . import spread
 
-    c = corpus.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).cast("array<double>").alias("__cv"),
-    ).withColumn("__cell", _nearest_cells_expr(F.col("__cv"), centroids, 1).getItem(0))
+    c = spread(
+        corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("__cv"),
+        )
+    ).withColumn("__cell", _det_cell_assigner(centroids, 1)(F.col("__cv")).getItem(0))
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("__qv"),
-    ).withColumn("__cells", _nearest_cells_expr(F.col("__qv"), centroids, nprobe))
+    ).withColumn("__cells", _det_cell_assigner(centroids, nprobe)(F.col("__qv")))
     q_probed = q.select("query_id", "__qv", F.explode("__cells").alias("__cell"))
     cand = c.join(F.broadcast(q_probed), "__cell")
     if not include_self:

@@ -1442,25 +1442,37 @@ def q141_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     licensing leaks BETWEEN corpus components (q61 audits docs against
     one benchmark; this audits every source against every other).
 
-    Scale shape: grams collapse to (gram, source) DISTINCT pairs
-    first (one exchange); the per-gram source list is tiny (bounded
-    by #sources, not corpus size), so the pair fan-out per gram is
-    ≤ C(#sources,2) — the matrix side, never the corpus side."""
+    Scale shape: ONE corpus pass — grams collapse to (gram, source)
+    DISTINCT pairs, each gram folds its sources into a sorted set
+    (bounded by #sources, not corpus size), and the pair fan-out is
+    the in-array combination expansion: ≤ C(#sources,2) rows per gram,
+    never a corpus-sized self-join (a two-branch join would scan,
+    tokenize, and explode the corpus twice)."""
     from ..functions import tokens, word_shingles
 
     tune(spark)
     docs = load(spark, sf_dir, "documents")
     grams = F.array_distinct(word_shingles(tokens(F.col("text")), 5))
-    gs = (
-        docs.select("source", F.explode(grams).alias("g"))
-        .distinct()
+    gs = docs.select("source", F.explode(grams).alias("g")).distinct()
+    by_gram = (
+        gs.groupBy("g")
+        .agg(F.sort_array(F.collect_set("source")).alias("__ss"))
+        .filter(F.size("__ss") >= 2)
     )
-    a = gs.alias("a")
-    b = gs.alias("b")
-    pairs = a.join(b, on="g").filter(F.col("a.source") < F.col("b.source"))
-    return pairs.groupBy(
-        F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
-    ).agg(F.count(F.lit(1)).alias("shared_grams"))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("__ss"),
+            lambda x, i: F.transform(
+                F.slice(F.col("__ss"), i + 2, F.size(F.col("__ss"))),
+                lambda y: F.struct(x.alias("source_a"), y.alias("source_b")),
+            ),
+        )
+    )
+    return (
+        by_gram.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.source_a").alias("source_a"), F.col("p.source_b").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+    )
 
 
 _Q141_SQL = r"""

