@@ -639,6 +639,168 @@ SELECT event_id, ts, user_id, event_type, value FROM events
 """
 
 
+# --------------------------------------------------------------- q145
+def q145_streaming_outer_join_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join, EXECUTED and
+    oracle-gated: clicks stream ⟕ purchases stream (same user, within
+    30 minutes after the click).  Outer rows are the hard part — the
+    engine may emit a NULL-padded click only once the watermark PROVES
+    no match can still arrive, so each source carries a far-future
+    sentinel row that drives both watermarks past every real row and
+    finalizes the whole outer side (the sentinels' own join row is
+    filtered out inside the streaming plan).  State stays bounded by
+    rate × window either way — the property that matters unbounded."""
+    import datetime
+    import tempfile
+    import uuid
+
+    from ..streaming.joins import interval_join_stream
+
+    tune(spark)
+    e = load(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
+    max_ts = e.agg(F.max("ts")).collect()[0][0]  # driver scalar: 1 row
+
+    def sentinel(days):
+        return spark.createDataFrame(
+            [(-1, max_ts + datetime.timedelta(days=days), -1)],
+            "event_id long, ts timestamp_ntz, user_id long",
+        )
+
+    def stage(df, tag):
+        src = tempfile.mkdtemp(prefix=f"q145_{tag}_")
+        df.unionByName(sentinel(100)).write.mode("overwrite").parquet(src)
+        return src, spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+
+    clicks = e.filter(F.col("event_type") == "click").drop("event_type")
+    buys = e.filter(F.col("event_type") == "purchase").drop("event_type")
+    src_l, stream_l = stage(clicks, "l")
+    src_r, stream_r = stage(buys, "r")
+    joined = interval_join_stream(
+        stream_l,
+        stream_r,
+        key="user_id",
+        ts="ts",
+        window="30 minutes",
+        watermark_delay="1 hour",
+        how="left_outer",
+    )
+    # NOTE: the sentinel filter must NOT live in the streaming plan —
+    # predicate pushdown moves it below the EventTimeWatermark node,
+    # silently dropping the sentinels before the event-time stats (the
+    # watermark then never advances past the real data and the outer
+    # tail stays withheld).  Filter after the sink instead.
+    name = "q145_" + uuid.uuid4().hex[:8]
+    q = joined.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try:
+        q.processAllAvailable()
+        # Outer-side finalization: watermark advancement from the first
+        # sentinel takes effect in the NEXT batch, and the engine's
+        # no-data batch races processAllAvailable — so feed one more,
+        # even-later sentinel per side and wait again; the withheld
+        # NULL-padded rows flush inside that (waited-on) data batch.
+        for src in (src_l, src_r):
+            sentinel(200).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .filter(F.col("l_user_id") >= 0)
+        .select(
+            "l_event_id",
+            F.col("l_user_id").alias("user_id"),
+            F.col("l_ts").cast("timestamp_ntz").alias("l_ts"),
+            "r_event_id",
+            F.col("r_ts").cast("timestamp_ntz").alias("r_ts"),
+        )
+    )
+
+
+_Q145_SQL = """
+WITH C AS (
+  SELECT event_id AS l_event_id, user_id, ts AS l_ts
+  FROM events WHERE event_type = 'click'
+), P AS (
+  SELECT event_id AS r_event_id, user_id, ts AS r_ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.l_event_id, c.user_id, c.l_ts, p.r_event_id, p.r_ts
+FROM C c LEFT JOIN P p
+  ON p.user_id = c.user_id
+ AND p.r_ts >= c.l_ts
+ AND p.r_ts < c.l_ts + INTERVAL 30 MINUTE
+"""
+
+
+# --------------------------------------------------------------- q146
+def q146_streaming_hourly_windows_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-FINALIZED tumbling windows, executed in APPEND mode:
+    hourly per-type event counts where each row is emitted exactly
+    once, only after the watermark proves its hour closed (q130's
+    session query used complete mode — this is the other, more
+    scale-relevant emission discipline: append-mode state is dropped
+    as windows finalize, so state holds only open hours regardless of
+    stream length).  A far-future sentinel advances the watermark past
+    every real hour; its own (still-open) window never emits."""
+    import datetime
+    import tempfile
+    import uuid
+
+    tune(spark)
+    e = load(spark, sf_dir, "events").select("ts", "event_type")
+    max_ts = e.agg(F.max("ts")).collect()[0][0]
+
+    def sentinel(days):
+        return spark.createDataFrame(
+            [(max_ts + datetime.timedelta(days=days), "__sentinel")],
+            "ts timestamp_ntz, event_type string",
+        )
+
+    src = tempfile.mkdtemp(prefix="q146_src_")
+    e.unionByName(sentinel(100)).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+    )
+    # no sentinel filter inside the streaming plan: pushdown would sink
+    # it below the watermark node and the sentinels would never reach
+    # the event-time stats (see q145).  Their windows stay open and
+    # unemitted; the post-sink filter is belt-and-suspenders.
+    agg = stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    name = "q146_" + uuid.uuid4().hex[:8]
+    q = agg.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try:
+        q.processAllAvailable()
+        # same two-sentinel protocol as q145: the first sentinel's
+        # watermark applies in the NEXT batch, so feed a later one and
+        # wait again — the last open hours finalize in that batch.
+        sentinel(200).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .filter(F.col("event_type") != "__sentinel")
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("hour_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+_Q146_SQL = """
+SELECT date_trunc('hour', ts) AS hour_start, event_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY 1, 2
+"""
+
+
 _Q130_SQL = """
 WITH x AS (
   SELECT user_id, ts,
@@ -749,6 +911,8 @@ QUERIES = {
     "q14_stream_session": q14_stream_session,
     "q130_streaming_sessions_executed": q130_streaming_sessions_executed,
     "q131_streaming_dedup_executed": q131_streaming_dedup_executed,
+    "q145_streaming_outer_join_executed": q145_streaming_outer_join_executed,
+    "q146_streaming_hourly_windows_executed": q146_streaming_hourly_windows_executed,
     "q103_asof_tolerance": q103_asof_tolerance,
 }
 
@@ -769,5 +933,7 @@ ORACLE = {
     "q14_stream_session": _Q14_SQL,
     "q130_streaming_sessions_executed": _Q130_SQL,
     "q131_streaming_dedup_executed": _Q131_SQL,
+    "q145_streaming_outer_join_executed": _Q145_SQL,
+    "q146_streaming_hourly_windows_executed": _Q146_SQL,
     "q103_asof_tolerance": _Q103_SQL,
 }
