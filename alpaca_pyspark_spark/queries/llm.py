@@ -1434,6 +1434,39 @@ FROM R WHERE sample_rank <= ceil(n * 0.2)
 """
 
 
+# --------------------------------------------------------------- q148
+def q148_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame extraction plumbing, oracle-gated: the 'video'
+    subset of the synthetic media table fans out into per-frame rows
+    (64-byte slices standing in for decoded frames) through a
+    generator ``mapInPandas`` — the 1→N Arrow batch shape real frame
+    extraction has.  The fake decode is deterministic byte slicing, so
+    DuckDB replicates every frame boundary and payload byte and the
+    gate hash-verifies the full fan-out, not just row counts.  (Real
+    codecs are honestly stubbed — see ``decode_media``; the Spark-side
+    contract is the deliverable.)"""
+    from ..operators.multimodal import frame_sample
+
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    media = synthesize_media(docs)
+    return frame_sample(media, every_n_bytes=64)
+
+
+# DuckDB 1.0 has no BLOB substring; the corpus is verified single-byte
+# (octet_length(encode(text)) = length(text) for every row), so char
+# slicing before encode() yields the identical frame bytes.
+_Q148_SQL = """
+SELECT d.doc_id,
+       CAST(t.i AS BIGINT) AS frame_no,
+       encode(substr(d.text, CAST(t.i * 64 + 1 AS INT), 64)) AS frame
+FROM documents d,
+     UNNEST(range(0, CAST(ceil(octet_length(encode(d.text)) / 64.0) AS BIGINT)))
+       AS t(i)
+WHERE d.doc_id % 3 = 2
+"""
+
+
 # --------------------------------------------------------------- q141
 def q141_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-pair contamination matrix: for every pair of sources,
@@ -1525,6 +1558,7 @@ QUERIES = {
     "q140_knn_label_vote": q140_knn_label_vote,
     "q141_cross_source_overlap": q141_cross_source_overlap,
     "q144_stratified_sample": q144_stratified_sample,
+    "q148_frame_sampling": q148_frame_sampling,
     "q43_data_profile": q43_data_profile,
 }
 
@@ -1542,6 +1576,7 @@ ORACLE = {
     "q140_knn_label_vote": _Q140_SQL,
     "q141_cross_source_overlap": _Q141_SQL,
     "q144_stratified_sample": _Q144_SQL,
+    "q148_frame_sampling": _Q148_SQL,
     "q15_text_stats": _Q15_SQL,
     "q16_lang_id": _Q16_SQL,
     "q17_fingerprint": _Q17_SQL,

@@ -790,8 +790,98 @@ QUALIFY row_number() OVER (PARTITION BY event_type
 """
 
 
+# --------------------------------------------------------------- q147
+def q147_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient on q125's co-order part
+    graph: cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) — how tightly each
+    part's neighborhood interlocks (the node-level community signal
+    where q125's one-row census is global).  Triangles enumerate once
+    under the a<b<c orientation, then fan out to their three corners
+    for the per-node tally; degree streams both endpoints of the
+    once-stored edge list.  Integer counts, one final division; the
+    support-2 edge floor is the same scale guard as q125."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    lp = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = lp.alias("a"), lp.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("pa", "pb")
+        .persist()
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    wedges = e1.join(e2, F.col("e1.pb") == F.col("e2.pa")).select(
+        F.col("e1.pa").alias("x"), F.col("e1.pb").alias("y"), F.col("e2.pb").alias("z")
+    )
+    triangles = wedges.join(
+        e3, (F.col("x") == F.col("e3.pa")) & (F.col("z") == F.col("e3.pb"))
+    ).select("x", "y", "z")
+    tri_per_node = (
+        triangles.select(
+            F.explode(F.array(F.col("x"), F.col("y"), F.col("z"))).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    deg = (
+        edges.select(F.col("pa").alias("node"))
+        .unionAll(edges.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.filter(F.col("degree") >= 2)
+        .join(tri_per_node, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("n_tri", F.lit(0)).cast("bigint").alias("n_tri"),
+            (
+                (F.lit(2) * F.coalesce("n_tri", F.lit(0))).cast("double")
+                / (F.col("degree") * (F.col("degree") - 1)).cast("double")
+            ).alias("cc"),
+        )
+    )
+
+
+_Q147_SQL = """
+WITH lp AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), e AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lp a JOIN lp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+), t AS (
+  SELECT w.x, w.y, w.z
+  FROM (SELECT e1.pa AS x, e1.pb AS y, e2.pb AS z
+        FROM e e1 JOIN e e2 ON e1.pb = e2.pa) w
+  JOIN e ON w.x = e.pa AND w.z = e.pb
+), tn AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+  FROM (SELECT unnest([x, y, z]) AS node FROM t)
+  GROUP BY 1
+), d AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree
+  FROM (SELECT pa AS node FROM e UNION ALL SELECT pb FROM e)
+  GROUP BY 1
+)
+SELECT d.node, d.degree, COALESCE(tn.n_tri, 0) AS n_tri,
+       CAST(2 * COALESCE(tn.n_tri, 0) AS DOUBLE)
+         / CAST(d.degree * (d.degree - 1) AS DOUBLE) AS cc
+FROM d LEFT JOIN tn USING (node)
+WHERE d.degree >= 2
+"""
+
+
 QUERIES = {
     "q77_bitmap_distinct_rollup": q77_bitmap_distinct_rollup,
+    "q147_clustering_coefficient": q147_clustering_coefficient,
     "q78_fuzzy_name_pairs": q78_fuzzy_name_pairs,
     "q79_transition_matrix": q79_transition_matrix,
     "q80_brand_skyline": q80_brand_skyline,
@@ -807,6 +897,7 @@ QUERIES = {
 
 ORACLE = {
     "q77_bitmap_distinct_rollup": _Q77_SQL,
+    "q147_clustering_coefficient": _Q147_SQL,
     "q78_fuzzy_name_pairs": _Q78_SQL,
     "q79_transition_matrix": _Q79_SQL,
     "q80_brand_skyline": _Q80_SQL,

@@ -536,3 +536,20 @@ def test_q144_stratified_single_exchange(spark):
     df = QUERIES["q144_stratified_sample"](spark, SF_DIR)
     # rank and stratum-size windows share the source partitioning
     assert count_shuffles(df) == 1, formatted_plan(df)
+
+
+def test_q147_cc_edges_built_once(spark):
+    df = QUERIES["q147_clustering_coefficient"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    # the edge list persists and feeds wedge/close/degree consumers
+    # from memory — the co-order self-join runs once
+    assert "InMemoryTableScan" in plan, plan
+
+
+def test_q148_frame_fanout_is_arrow_generator(spark):
+    df = QUERIES["q148_frame_sampling"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    # 1->N frame expansion happens inside mapInPandas (Arrow batches),
+    # never a per-row Python UDF, and nothing shuffles
+    assert "MapInPandas" in plan, plan
+    assert count_shuffles(df) == 0, plan
