@@ -801,6 +801,66 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------- q149
+def q149_stream_static_enrich_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment, executed: the click stream picks up
+    each user's (batch-computed) purchase profile through a broadcast
+    join — the standard dimension-attach shape for streams.  Stateless,
+    so no watermark and no withheld tail: every micro-batch emits
+    complete rows, and the dim side is re-read per batch (on a real
+    pipeline that is what makes slowly-changing dims visible
+    mid-stream).  The stream side never shuffles."""
+    import tempfile
+    import uuid
+
+    from ..streaming.enrich import enrich_stream
+
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    profile = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("__cents"),
+        )
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id"
+    )
+    src = tempfile.mkdtemp(prefix="q149_src_")
+    clicks.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    enriched = enrich_stream(stream, profile, on="user_id", how="left")
+    name = "q149_" + uuid.uuid4().hex[:8]
+    q = enriched.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        "event_id",
+        "user_id",
+        F.coalesce("n_purchases", F.lit(0)).cast("bigint").alias("n_purchases"),
+        (F.coalesce("__cents", F.lit(0)) / 100.0).alias("purchase_total"),
+    )
+
+
+_Q149_SQL = """
+WITH P AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_purchases,
+         sum(CAST(round(value * 100) AS BIGINT)) AS cents
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT c.event_id, c.user_id,
+       COALESCE(p.n_purchases, 0) AS n_purchases,
+       COALESCE(p.cents, 0) / 100.0 AS purchase_total
+FROM events c LEFT JOIN P p USING (user_id)
+WHERE c.event_type = 'click'
+"""
+
+
 _Q130_SQL = """
 WITH x AS (
   SELECT user_id, ts,
@@ -913,6 +973,7 @@ QUERIES = {
     "q131_streaming_dedup_executed": q131_streaming_dedup_executed,
     "q145_streaming_outer_join_executed": q145_streaming_outer_join_executed,
     "q146_streaming_hourly_windows_executed": q146_streaming_hourly_windows_executed,
+    "q149_stream_static_enrich_executed": q149_stream_static_enrich_executed,
     "q103_asof_tolerance": q103_asof_tolerance,
 }
 
@@ -935,5 +996,6 @@ ORACLE = {
     "q131_streaming_dedup_executed": _Q131_SQL,
     "q145_streaming_outer_join_executed": _Q145_SQL,
     "q146_streaming_hourly_windows_executed": _Q146_SQL,
+    "q149_stream_static_enrich_executed": _Q149_SQL,
     "q103_asof_tolerance": _Q103_SQL,
 }

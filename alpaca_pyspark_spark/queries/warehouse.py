@@ -370,8 +370,44 @@ SELECT 'lineitem->supplier',
 """
 
 
+# --------------------------------------------------------------- q150
+def q150_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned parquet write → partition-PRUNED read, under
+    the hash gate: events land partitioned by type, the read-back
+    filter resolves to a partition-directory prune (the scan lists one
+    directory out of five — at 100 TB the difference between touching
+    20 TB and 100 TB before the first row is read), and the daily
+    revenue rollup must equal the straight-SQL answer.  Doubles
+    survive the parquet round-trip bit-exactly; money still
+    accumulates as integer cents."""
+    import tempfile
+
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="q150_store_")
+    e.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("event_type") == "purchase")
+    return back.groupBy(F.to_date(F.col("ts")).alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0
+        ).alias("revenue"),
+    )
+
+
+_Q150_SQL = """
+SELECT CAST(ts AS DATE) AS day,
+       CAST(count(*) AS BIGINT) AS n,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS revenue
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "q127_referential_integrity": q127_referential_integrity,
+    "q150_partitioned_roundtrip": q150_partitioned_roundtrip,
     "q84_pricing_summary": q84_pricing_summary,
     "q85_large_volume_orders": q85_large_volume_orders,
     "q86_disjunctive_predicate_join": q86_disjunctive_predicate_join,
@@ -381,6 +417,7 @@ QUERIES = {
 
 ORACLE = {
     "q127_referential_integrity": _Q127_SQL,
+    "q150_partitioned_roundtrip": _Q150_SQL,
     "q84_pricing_summary": _Q84_SQL,
     "q85_large_volume_orders": _Q85_SQL,
     "q86_disjunctive_predicate_join": _Q86_SQL,

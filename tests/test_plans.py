@@ -553,3 +553,32 @@ def test_q148_frame_fanout_is_arrow_generator(spark):
     # never a per-row Python UDF, and nothing shuffles
     assert "MapInPandas" in plan, plan
     assert count_shuffles(df) == 0, plan
+
+
+def test_q149_stream_static_dim_broadcasts(spark):
+    df = QUERIES["q149_stream_static_enrich_executed"](spark, SF_DIR)
+    # executed query returns the sink table; the broadcast property is
+    # pinned on the streaming plan's batch twin instead
+    from alpaca_pyspark_spark.streaming.enrich import enrich_stream
+    from alpaca_pyspark_spark.tables import load
+
+    e = load(spark, SF_DIR, "events")
+    dim = e.groupBy("user_id").count()
+    plan = formatted_plan(enrich_stream(e, dim, on="user_id"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert df.count() >= 0
+
+
+def test_q150_partition_pruning_reaches_scan(spark):
+    import tempfile
+
+    from alpaca_pyspark_spark.tables import load
+
+    e = load(spark, SF_DIR, "events")
+    out = tempfile.mkdtemp(prefix="prune_probe_")
+    e.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("event_type") == "purchase")
+    plan = formatted_plan(back.groupBy().count())
+    # the type filter must resolve as a partition-directory prune, not
+    # a data filter evaluated after reading every row
+    assert "PartitionFilters: [isnotnull(event_type" in plan or "event_type#" in plan.split("PartitionFilters")[1][:200], plan
