@@ -1195,6 +1195,31 @@ FROM v CROSS JOIN m
 """
 
 
+def pareto_min_min(
+    df: DataFrame, *, group: str, x: str, y: str
+) -> DataFrame:
+    """Rows not dominated within their group when minimizing BOTH
+    ``x`` and ``y`` (dominated = another row ≤ on both, < on one).
+    Two linear windows on one group exchange — see q138 for the
+    derivation; exact for integer-comparable columns, duplicates of a
+    frontier point all survive."""
+    w_at = Window.partitionBy(group, x)
+    w_prior = (
+        Window.partitionBy(group)
+        .orderBy(F.col(x))
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    m = df.select(
+        "*",
+        F.min(y).over(w_at).alias("__min_at"),
+        F.min(y).over(w_prior).alias("__prior_min"),
+    )
+    return m.filter(
+        (F.col(y) == F.col("__min_at"))
+        & (F.col("__prior_min").isNull() | (F.col(y) < F.col("__prior_min")))
+    ).drop("__min_at", "__prior_min")
+
+
 # --------------------------------------------------------------- q138
 def q138_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skyline (Pareto frontier) per brand over (price ↓, size ↓): a
@@ -1214,21 +1239,7 @@ def q138_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("p_retailprice") * 100).cast("bigint").alias("__cents"),
         "p_size",
     )
-    w_at = Window.partitionBy("p_brand", "__cents")
-    w_prior = (
-        Window.partitionBy("p_brand")
-        .orderBy(F.col("__cents"))
-        .rangeBetween(Window.unboundedPreceding, -1)
-    )
-    m = p.select(
-        "*",
-        F.min("p_size").over(w_at).alias("__min_at"),
-        F.min("p_size").over(w_prior).alias("__prior_min"),
-    )
-    return m.filter(
-        (F.col("p_size") == F.col("__min_at"))
-        & (F.col("__prior_min").isNull() | (F.col("p_size") < F.col("__prior_min")))
-    ).select(
+    return pareto_min_min(p, group="p_brand", x="__cents", y="p_size").select(
         "p_partkey",
         "p_brand",
         (F.col("__cents") / F.lit(100.0)).alias("price"),

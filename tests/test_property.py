@@ -439,3 +439,132 @@ def test_bpe_train_matches_python_reference(spark, words, rounds):
         for r in bpe_train(docs, rounds=rounds).collect()
     ]
     assert sorted(got) == sorted(want)
+
+
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),   # group
+            st.integers(min_value=0, max_value=20),  # x
+            st.integers(min_value=0, max_value=20),  # y
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_pareto_min_min_matches_quadratic_domination(spark, rows):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from alpaca_pyspark_spark.queries.analytics import pareto_min_min
+
+    df = spark.createDataFrame(
+        [(i, g, x, y) for i, (g, x, y) in enumerate(rows)],
+        "rid long, g long, x long, y long",
+    )
+    got = {r["rid"] for r in pareto_min_min(df, group="g", x="x", y="y").collect()}
+    want = set()
+    for i, (g, x, y) in enumerate(rows):
+        dominated = any(
+            g2 == g and x2 <= x and y2 <= y and (x2 < x or y2 < y)
+            for j, (g2, x2, y2) in enumerate(rows)
+            if j != i
+        )
+        if not dominated:
+            want.add(i)
+    assert got == want
+
+
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+)
+@given(
+    st.lists(st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=80)
+)
+def test_exact_quantile_selection_matches_numpy_lower(spark, vals):
+    """The floor((n-1)p)+1 selection rule == numpy's 'lower'
+    interpolation on the sorted values."""
+    import numpy as np
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(v,) for v in vals], "c long")
+    w = W.orderBy("c")
+    r = df.select(
+        "c",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    out = r.groupBy().agg(
+        *[
+            F.max(
+                F.when(
+                    F.col("rn") == F.floor((F.col("n") - 1) * F.lit(p)) + 1, F.col("c")
+                )
+            ).alias(f"p{int(p*100)}")
+            for p in (0.25, 0.5, 0.75, 0.95)
+        ]
+    ).collect()[0]
+    for p in (0.25, 0.5, 0.75, 0.95):
+        expect = int(np.percentile(np.array(vals), p * 100, method="lower"))
+        assert out[f"p{int(p*100)}"] == expect, (p, vals)
+
+
+@settings(
+    max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=10**6), st.integers(min_value=0, max_value=3)),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=8),
+)
+def test_stratified_quota_exact_and_partition_independent(spark, rows, nparts):
+    """ceil(20%) per stratum, identical members regardless of input
+    partitioning (the reproducibility property q144 sells)."""
+    import math
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from alpaca_pyspark_spark.operators.dedup import portable_hash60
+
+    df = spark.createDataFrame(rows, "doc_id long, src long").repartition(nparts)
+    h = portable_hash60(F.col("doc_id").cast("string"))
+    w = W.partitionBy("src").orderBy(h, F.col("doc_id"))
+    wn = W.partitionBy("src")
+    picked = (
+        df.select(
+            "doc_id",
+            "src",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        .filter(F.col("rn") <= F.ceil(F.col("n") * 0.2))
+    )
+    got = {(r["src"], r["doc_id"]) for r in picked.collect()}
+    sizes = {}
+    for _, s in rows:
+        sizes[s] = sizes.get(s, 0) + 1
+    per_stratum = {}
+    for s, d in got:
+        per_stratum[s] = per_stratum.get(s, 0) + 1
+    for s, n in sizes.items():
+        assert per_stratum.get(s, 0) == math.ceil(n * 0.2), (s, n, per_stratum)
+    # rerun on a different partitioning -> identical member set
+    df2 = spark.createDataFrame(rows, "doc_id long, src long").repartition(1)
+    picked2 = (
+        df2.select(
+            "doc_id",
+            "src",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        .filter(F.col("rn") <= F.ceil(F.col("n") * 0.2))
+    )
+    assert {(r["src"], r["doc_id"]) for r in picked2.collect()} == got
