@@ -1427,9 +1427,182 @@ GROUP BY a.event_type
 """
 
 
+# --------------------------------------------------------------- q151
+def q151_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per purchasing user, recency (days
+    since last purchase, anchored at the corpus max timestamp),
+    frequency (purchase count) and monetary (integer cents) fold into
+    explicit quintile codes — floor((rank−1)·5/n)+1 with a user-id
+    tiebreak, NOT ``ntile`` (engines disagree on ntile's remainder
+    distribution).  The ranking windows run over the USER-level
+    aggregate — dimension-sized, not fact-sized — which is why the
+    global sort is acceptable here and would not be on the raw event
+    stream.  Lower quintile = better (recent/frequent/big-spending)."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    anchor = e.agg(F.max(F.to_date("ts")).alias("__anchor"))
+    per_user = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.to_date("ts")).alias("__last"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("__cents"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.datediff("__anchor", "__last").cast("bigint").alias("recency_days"),
+            "frequency",
+            "__cents",
+        )
+    )
+    n = F.count(F.lit(1)).over(Window.partitionBy())
+
+    def quintile(order_cols):
+        rank = F.row_number().over(Window.orderBy(*order_cols))
+        return (F.floor((rank - 1) * 5 / n) + 1).cast("bigint")
+
+    out = per_user.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        (F.col("__cents") / 100.0).alias("monetary"),
+        quintile([F.col("recency_days").asc(), F.col("user_id").asc()]).alias("r_q"),
+        quintile([F.col("frequency").desc(), F.col("user_id").asc()]).alias("f_q"),
+        quintile([F.col("__cents").desc(), F.col("user_id").asc()]).alias("m_q"),
+    )
+    return out.withColumn(
+        "rfm", (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q")).cast("bigint")
+    )
+
+
+_Q151_SQL = """
+WITH A AS (
+  SELECT max(CAST(ts AS DATE)) AS anchor FROM events
+), U AS (
+  SELECT user_id,
+         date_diff('day', max(CAST(ts AS DATE)), (SELECT anchor FROM A))
+           AS recency_days,
+         CAST(count(*) AS BIGINT) AS frequency,
+         sum(CAST(round(value * 100) AS BIGINT)) AS cents
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+), R AS (
+  SELECT *,
+         CAST(count(*) OVER () AS BIGINT) AS n,
+         row_number() OVER (ORDER BY recency_days, user_id) AS rr,
+         row_number() OVER (ORDER BY frequency DESC, user_id) AS rf,
+         row_number() OVER (ORDER BY cents DESC, user_id) AS rm
+  FROM U
+)
+SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days, frequency,
+       cents / 100.0 AS monetary,
+       CAST(floor((rr - 1) * 5 / n) + 1 AS BIGINT) AS r_q,
+       CAST(floor((rf - 1) * 5 / n) + 1 AS BIGINT) AS f_q,
+       CAST(floor((rm - 1) * 5 / n) + 1 AS BIGINT) AS m_q,
+       CAST((floor((rr - 1) * 5 / n) + 1) * 100
+          + (floor((rf - 1) * 5 / n) + 1) * 10
+          + (floor((rm - 1) * 5 / n) + 1) AS BIGINT) AS rfm
+FROM R
+"""
+
+
+# --------------------------------------------------------------- q152
+def q152_conversion_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase conversion-delay distribution per day: each
+    purchase attributes to the user's latest click within 30 minutes
+    (q142's as-of), the delay accumulates as EXACT integer
+    microseconds, and the daily median/p95 come from the q139
+    selection rule — partitioned by day, so the quantile sort is
+    distributed, never global.  The final seconds conversion is one
+    division per output row."""
+    from ..operators.asof import asof_join
+
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    att = asof_join(
+        purchases,
+        clicks.select("user_id", "ts", "click_id"),
+        on=["user_id"],
+        probe_ts="ts",
+        state_ts="ts",
+        value_cols=["click_id"],
+        tolerance="30 MINUTE",
+    ).filter(F.col("click_id").isNotNull())
+    c_ts = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("__cts")
+    )
+    delays = att.join(c_ts, "click_id").select(
+        F.to_date("ts").alias("day"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) -
+         F.unix_micros(F.col("__cts").cast("timestamp"))).alias("__us"),
+    )
+    w = Window.partitionBy("day").orderBy("__us")
+    wn = Window.partitionBy("day")
+    r = delays.select(
+        "day",
+        "__us",
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(wn).alias("__n"),
+    )
+
+    def at(p: float) -> F.Column:
+        pos = F.floor((F.col("__n") - 1) * F.lit(p)) + 1
+        return F.max(F.when(F.col("__rn") == pos, F.col("__us"))) / 1000000.0
+
+    return r.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        at(0.5).alias("p50_delay_s"),
+        at(0.95).alias("p95_delay_s"),
+    )
+
+
+_Q152_SQL = """
+WITH C AS (
+  SELECT user_id, ts, max(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+), A AS (
+  SELECT p.event_id, p.ts,
+         (SELECT c.click_id FROM C c
+           WHERE c.user_id = p.user_id AND c.ts <= p.ts
+             AND c.ts >= p.ts - INTERVAL 30 MINUTE
+           ORDER BY c.ts DESC LIMIT 1) AS click_id
+  FROM events p WHERE p.event_type = 'purchase'
+), D AS (
+  SELECT CAST(a.ts AS DATE) AS day,
+         epoch_us(a.ts) - epoch_us(e.ts) AS us
+  FROM A a JOIN events e ON e.event_id = a.click_id
+  WHERE a.click_id IS NOT NULL
+), R AS (
+  SELECT day, us,
+         row_number() OVER (PARTITION BY day ORDER BY us) AS rn,
+         count(*) OVER (PARTITION BY day) AS n
+  FROM D
+)
+SELECT day,
+       CAST(count(*) AS BIGINT) AS n_conversions,
+       max(CASE WHEN rn = floor((n - 1) * 0.5) + 1 THEN us END) / 1000000.0
+         AS p50_delay_s,
+       max(CASE WHEN rn = floor((n - 1) * 0.95) + 1 THEN us END) / 1000000.0
+         AS p95_delay_s
+FROM R
+GROUP BY day
+"""
+
+
 QUERIES = {
     "q129_cuped_experiment_readout": q129_cuped_experiment_readout,
     "q138_pareto_frontier": q138_pareto_frontier,
+    "q151_rfm_segments": q151_rfm_segments,
+    "q152_conversion_delay": q152_conversion_delay,
     "q139_exact_group_quantiles": q139_exact_group_quantiles,
     "q142_last_touch_attribution": q142_last_touch_attribution,
     "q143_seasonal_naive_error": q143_seasonal_naive_error,
@@ -1461,6 +1634,8 @@ ORACLE = {
     "q139_exact_group_quantiles": _Q139_SQL,
     "q142_last_touch_attribution": _Q142_SQL,
     "q143_seasonal_naive_error": _Q143_SQL,
+    "q151_rfm_segments": _Q151_SQL,
+    "q152_conversion_delay": _Q152_SQL,
     "q66_order_count_distribution": _Q66_SQL,
     "q67_interval_coalesce": _Q67_SQL,
     "q68_funnel": _Q68_SQL,

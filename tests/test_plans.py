@@ -582,3 +582,25 @@ def test_q150_partition_pruning_reaches_scan(spark):
     # the type filter must resolve as a partition-directory prune, not
     # a data filter evaluated after reading every row
     assert "PartitionFilters: [isnotnull(event_type" in plan or "event_type#" in plan.split("PartitionFilters")[1][:200], plan
+
+
+def test_q151_rfm_ranks_run_on_user_aggregate(spark):
+    df = QUERIES["q151_rfm_segments"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    # the quintile windows sort the per-user AGGREGATE, so the global
+    # sort touches |users| rows, never raw events.  Formatted plans
+    # number nodes bottom-up: every upstream HashAggregate must carry
+    # a smaller node id than every Window.
+    import re
+
+    aggs = [int(m) for m in re.findall(r"\((\d+)\) HashAggregate", plan)]
+    wins = [int(m) for m in re.findall(r"\((\d+)\) Window", plan)]
+    assert aggs and wins and max(aggs) < min(wins), plan
+
+
+def test_q152_delay_quantiles_partition_by_day(spark):
+    df = QUERIES["q152_conversion_delay"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    # the selection windows hash-partition on the day key — the
+    # quantile sort is distributed, no single-partition global window
+    assert "partitioning: [day" in plan or "hashpartitioning(day" in plan, plan
