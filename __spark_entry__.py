@@ -40,15 +40,16 @@ _SHOWCASE_ORDER = [
     # core connector semantics
     "q01_scan_filter_project", "q02_bars_tumbling", "q03_interval_join_agg",
     "q04_sort_limit_topk", "q05_groupby_rollup", "q06_asof_join",
-    "q07_adjustment", "q09_scalar_funcs", "q10_semi_anti",
-    "q130_streaming_sessions_executed",
+    "q07_adjustment", "q10_semi_anti",
+    # executed streaming (real micro-batch engine under the hash gate)
+    "q130_streaming_sessions_executed", "q145_streaming_outer_join_executed",
     # LLM dedup / similarity
     "q12_exact_dedup", "q12_text_dedup_portable", "q12_simhash_dedup_portable",
     "q12_embedding_dedup_lsh", "q33_near_dup_components_lsh",
-    "q13_embedding_sim", "q13_embedding_sim_ann", "q122_audio_energy",
+    "q13_embedding_sim", "q13_embedding_sim_ann", "q13_embedding_sim_ivf_det",
+    "q122_audio_energy",
     # text curation
-    "q15_text_stats", "q17_fingerprint", "q32_corpus_curation",
-    "q61_contamination_overlap",
+    "q15_text_stats", "q32_corpus_curation", "q61_contamination_overlap",
     # reproducible sampling / packing
     "q37_deterministic_sample", "q38_sequence_packing",
     # search / graph
@@ -57,18 +58,19 @@ _SHOWCASE_ORDER = [
     "q114_repeated_passages", "q120_domain_distinctive_tokens",
     # mining
     "q78_fuzzy_name_pairs", "q79_transition_matrix", "q102_mad_outliers",
-    "q104_merkle_block_diff", "q121_cusum_changepoint",
+    "q121_cusum_changepoint",
     # TPC-H shapes
     "q84_pricing_summary", "q82_sole_late_shipper",
     "q110_cheapest_supplier", "q100_market_share",
     # advanced analytics
     "q105_lambda_serving", "q116_incremental_view_update",
     "q118_chi_square_independence", "q107_session_paths",
-    "q44_recursive_calendar_gapfill", "q45_variant_extract",
+    "q139_exact_group_quantiles", "q45_variant_extract",
     # warehouse / scale
-    "q60_scd2_history", "q34_salted_heavy_hitters", "q40_range_join_no_key",
+    "q60_scd2_history", "q34_salted_heavy_hitters",
+    "q150_partitioned_roundtrip",
     # multimodal
-    "q18_multimodal_meta",
+    "q18_multimodal_meta", "q148_frame_sampling",
 ]
 
 
