@@ -801,6 +801,87 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------- q153
+def q153_stateful_sessions_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful streaming under the hash gate:
+    ``applyInPandasWithState`` event-terminated sessions (an 'error'
+    event closes the user's session; silence past the event-time
+    timeout flushes it) — the operator class Spark has no built-in
+    for, executed in the real engine with per-key state rows and
+    event-time timeouts.  The batch twin is the gaps-and-islands
+    split-after-marker rewrite, so every emitted session (boundaries,
+    counts, how it ended) is value-verified.  Two-sentinel watermark
+    protocol as q145/q146; the sentinel key is filtered post-sink."""
+    import datetime
+    import tempfile
+    import uuid
+
+    from ..streaming.stateful import event_terminated_sessions
+
+    tune(spark)
+    e = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    max_ts = e.agg(F.max("ts")).collect()[0][0]
+
+    def sentinel(days):
+        return spark.createDataFrame(
+            [(-1, max_ts + datetime.timedelta(days=days), "view")],
+            "user_id long, ts timestamp_ntz, event_type string",
+        )
+
+    src = tempfile.mkdtemp(prefix="q153_src_")
+    e.unionByName(sentinel(100)).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    sessions = event_terminated_sessions(
+        stream,
+        key="user_id",
+        ts="ts",
+        end_marker=F.col("event_type") == "error",
+        watermark_delay="1 hour",
+        timeout_ms=60 * 60 * 1000,
+    )
+    name = "q153_" + uuid.uuid4().hex[:8]
+    q = sessions.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try:
+        q.processAllAvailable()
+        sentinel(200).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .filter(F.col("key") >= 0)
+        .select(
+            "key",
+            F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+            F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+            "ended_by",
+        )
+    )
+
+
+_Q153_SQL = """
+WITH X AS (
+  SELECT user_id, ts,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_end
+  FROM events
+), S AS (
+  SELECT user_id, ts, is_end,
+         COALESCE(sum(is_end) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sid
+  FROM X
+)
+SELECT user_id AS key,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(is_end) AS BIGINT) AS ended_by
+FROM S
+GROUP BY user_id, sid
+"""
+
+
 # --------------------------------------------------------------- q149
 def q149_stream_static_enrich_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment, executed: the click stream picks up
@@ -974,6 +1055,7 @@ QUERIES = {
     "q145_streaming_outer_join_executed": q145_streaming_outer_join_executed,
     "q146_streaming_hourly_windows_executed": q146_streaming_hourly_windows_executed,
     "q149_stream_static_enrich_executed": q149_stream_static_enrich_executed,
+    "q153_stateful_sessions_executed": q153_stateful_sessions_executed,
     "q103_asof_tolerance": q103_asof_tolerance,
 }
 
@@ -997,5 +1079,6 @@ ORACLE = {
     "q145_streaming_outer_join_executed": _Q145_SQL,
     "q146_streaming_hourly_windows_executed": _Q146_SQL,
     "q149_stream_static_enrich_executed": _Q149_SQL,
+    "q153_stateful_sessions_executed": _Q153_SQL,
     "q103_asof_tolerance": _Q103_SQL,
 }
