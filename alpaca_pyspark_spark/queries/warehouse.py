@@ -405,9 +405,55 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------- q154
+def q154_backfill_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent backfill via DYNAMIC partition overwrite, verified
+    end-to-end: events land day-partitioned, then one bad day is
+    re-landed corrected (its error rows dropped) with
+    ``partitionOverwriteMode=dynamic`` — ONLY that day's directory is
+    replaced, the other 29 days' files are untouched (the difference
+    between rewriting 3 TB and 100 TB on every correction), and a
+    replayed backfill converges to the same state instead of
+    appending duplicates.  The read-back daily rollup must equal the
+    corrected table."""
+    import tempfile
+
+    tune(spark)
+    e = load(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    out = tempfile.mkdtemp(prefix="q154_store_")
+    e.write.mode("overwrite").partitionBy("day").parquet(out)
+    bad_day = "2024-01-15"
+    fixed = e.filter(
+        (F.col("day") == F.lit(bad_day).cast("date"))
+        & (F.col("event_type") != "error")
+    )
+    (
+        fixed.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return back.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("event_type").cast("bigint").alias("n_types"),
+    )
+
+
+_Q154_SQL = """
+SELECT CAST(ts AS DATE) AS day,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+FROM events
+WHERE NOT (CAST(ts AS DATE) = DATE '2024-01-15' AND event_type = 'error')
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "q127_referential_integrity": q127_referential_integrity,
     "q150_partitioned_roundtrip": q150_partitioned_roundtrip,
+    "q154_backfill_overwrite": q154_backfill_overwrite,
     "q84_pricing_summary": q84_pricing_summary,
     "q85_large_volume_orders": q85_large_volume_orders,
     "q86_disjunctive_predicate_join": q86_disjunctive_predicate_join,
@@ -418,6 +464,7 @@ QUERIES = {
 ORACLE = {
     "q127_referential_integrity": _Q127_SQL,
     "q150_partitioned_roundtrip": _Q150_SQL,
+    "q154_backfill_overwrite": _Q154_SQL,
     "q84_pricing_summary": _Q84_SQL,
     "q85_large_volume_orders": _Q85_SQL,
     "q86_disjunctive_predicate_join": _Q86_SQL,
