@@ -561,6 +561,7 @@ def q130_streaming_sessions_executed(spark: SparkSession, sf_dir: str) -> DataFr
     from ..streaming.sessions import streaming_session_summary
 
     tune(spark)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")  # state dial; next tune() restores
     e = load(spark, sf_dir, "events").select("user_id", "ts")
     src = tempfile.mkdtemp(prefix="q130_src_")
     e.write.mode("overwrite").parquet(src)
@@ -604,6 +605,7 @@ def q131_streaming_dedup_executed(spark: SparkSession, sf_dir: str) -> DataFrame
     from ..streaming.dedup import dedup_stream
 
     tune(spark)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")  # state dial; next tune() restores
     e = load(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
@@ -657,6 +659,12 @@ def q145_streaming_outer_join_executed(spark: SparkSession, sf_dir: str) -> Data
     from ..streaming.joins import interval_join_stream
 
     tune(spark)
+    # State-store partitions are fixed at stream start from
+    # spark.sql.shuffle.partitions; per-batch overhead scales with
+    # partitions × stateful operators × micro-batches.  8 is the local
+    # throughput-matched setting (a real deployment sizes this dial to
+    # stream rate); the next query's tune() restores the default.
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     e = load(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
     max_ts = e.agg(F.max("ts")).collect()[0][0]  # driver scalar: 1 row
 
@@ -668,7 +676,7 @@ def q145_streaming_outer_join_executed(spark: SparkSession, sf_dir: str) -> Data
 
     def stage(df, tag):
         src = tempfile.mkdtemp(prefix=f"q145_{tag}_")
-        df.unionByName(sentinel(100)).write.mode("overwrite").parquet(src)
+        df.coalesce(2).unionByName(sentinel(100)).write.mode("overwrite").parquet(src)
         return src, spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
 
     clicks = e.filter(F.col("event_type") == "click").drop("event_type")
@@ -747,6 +755,7 @@ def q146_streaming_hourly_windows_executed(spark: SparkSession, sf_dir: str) -> 
     import uuid
 
     tune(spark)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")  # state dial; next tune() restores
     e = load(spark, sf_dir, "events").select("ts", "event_type")
     max_ts = e.agg(F.max("ts")).collect()[0][0]
 
@@ -819,6 +828,7 @@ def q153_stateful_sessions_executed(spark: SparkSession, sf_dir: str) -> DataFra
     from ..streaming.stateful import event_terminated_sessions
 
     tune(spark)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")  # state dial; next tune() restores
     e = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
     max_ts = e.agg(F.max("ts")).collect()[0][0]
 
