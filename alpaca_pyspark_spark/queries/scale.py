@@ -66,6 +66,51 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------- q155
+def q155_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof JOIN (q34 is the salted AGGREGATE): lineitem joins a
+    per-returnflag dimension on a 3-value key — maximal skew, every
+    row is a hot key.  ``salted_join`` replicates the build side
+    ``salt_parts`` times and scatters each hot probe key across
+    reducers by a deterministic salt from non-key columns, so no
+    single reducer owns a whole key.  (A 3-row dim would normally
+    broadcast — AQE does that here at runtime; the operator is for
+    build sides too big to broadcast but small enough to replicate,
+    and this query pins its correctness under the exact gate.)
+    Result == the plain join by construction."""
+    from ..operators.salted import salted_join
+
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    dim = (
+        li.select("l_returnflag")
+        .distinct()
+        .withColumn("flag_label", F.concat(F.lit("flag_"), F.col("l_returnflag")))
+    )
+    joined = salted_join(
+        li.select("l_returnflag", "l_orderkey", "l_extendedprice", "l_discount"),
+        dim,
+        on=["l_returnflag"],
+        salt_on=["l_orderkey"],
+        salt_parts=8,
+    )
+    rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return joined.groupBy("flag_label").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        (F.sum(rev) / 100.0).alias("revenue"),
+    )
+
+
+_Q155_SQL = """
+SELECT 'flag_' || l_returnflag AS flag_label,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+            AS DOUBLE) / 100.0 AS revenue
+FROM lineitem
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------- q35
 def q35_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long->wide reshape: shipped quantity per ship-year pivoted over
@@ -261,6 +306,7 @@ GROUP BY 1
 
 QUERIES = {
     "q34_salted_heavy_hitters": q34_salted_heavy_hitters,
+    "q155_salted_skew_join": q155_salted_skew_join,
     "q128_stable_row_ids": q128_stable_row_ids,
     "q132_sink_roundtrip": q132_sink_roundtrip,
     "q35_pivot": q35_pivot,
@@ -270,6 +316,7 @@ QUERIES = {
 
 ORACLE = {
     "q34_salted_heavy_hitters": _Q34_SQL,
+    "q155_salted_skew_join": _Q155_SQL,
     "q128_stable_row_ids": _Q128_SQL,
     "q132_sink_roundtrip": _Q132_SQL,
     "q35_pivot": _Q35_SQL,
