@@ -609,8 +609,50 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------- q156
+def q156_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equality join (``<=>`` / IS NOT DISTINCT FROM): the
+    join semantic plain ``=`` silently breaks — NULL keys never match
+    themselves, so NULL-bucketed rows vanish from an equi-join.  Users
+    get a NULL cohort bucket (``nullif(user_id % 7, 3)``), the cohort
+    dimension carries a NULL-keyed row, and the null-safe join must
+    route the NULL cohort to it rather than dropping ~1/7 of the
+    table.  Still hash-joinable (null-safe equality remains an
+    equi-join key for Spark — no nested-loop fallback)."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    ev = e.select(
+        "event_id", F.nullif(F.col("user_id") % 7, F.lit(3)).alias("cohort")
+    )
+    dim = (
+        ev.select("cohort")
+        .distinct()
+        .withColumn(
+            "cohort_label",
+            F.coalesce(F.concat(F.lit("c"), F.col("cohort")), F.lit("c_null")),
+        )
+    )
+    joined = ev.join(F.broadcast(dim), ev["cohort"].eqNullSafe(dim["cohort"]), "inner")
+    return joined.groupBy("cohort_label").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+_Q156_SQL = """
+WITH ev AS (
+  SELECT event_id, nullif(user_id % 7, 3) AS cohort FROM events
+), dim AS (
+  SELECT cohort,
+         COALESCE('c' || cohort, 'c_null') AS cohort_label
+  FROM (SELECT DISTINCT cohort FROM ev)
+)
+SELECT d.cohort_label, CAST(count(*) AS BIGINT) AS n_events
+FROM ev e JOIN dim d ON e.cohort IS NOT DISTINCT FROM d.cohort
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "q20_window_funcs": q20_window_funcs,
+    "q156_null_safe_join": q156_null_safe_join,
     "q21_grouping_sets": q21_grouping_sets,
     "q22_cube": q22_cube,
     "q23_star_join": q23_star_join,
@@ -631,6 +673,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q156_null_safe_join": _Q156_SQL,
     "q20_window_funcs": _Q20_SQL,
     "q21_grouping_sets": _Q21_SQL,
     "q22_cube": _Q22_SQL,

@@ -774,9 +774,30 @@ CROSS JOIN N
 """
 
 
+# --------------------------------------------------------------- q157
+def q157_frequent_tokens_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-memory heavy hitters: distributed Misra–Gries over the
+    token stream (capacity 64 counters per partition — the shuffle
+    carries ≤ capacity×partitions rows no matter how large the
+    vocabulary), survivors exact-verified with one semi-joined
+    re-count.  Rows-only in the gate (which items the sketch retains
+    beyond the guaranteed set depends on partitioning); the GUARANTEE
+    — every token above the 2n/(capacity+1) frequency floor present,
+    estimates never exceeding truth — is pinned by unit tests."""
+    from ..operators.sketches import frequent_items
+
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("token"))
+    return frequent_items(
+        tok, item_col="token", capacity=64, min_share=0.01, verify=True
+    )
+
+
 QUERIES = {
     "q89_inverted_index": q89_inverted_index,
     "q137_collocation_lift": q137_collocation_lift,
+    "q157_frequent_tokens_sketch": q157_frequent_tokens_sketch,
     "q90_bm25_topk": q90_bm25_topk,
     "q91_pagerank_suppliers": q91_pagerank_suppliers,
     "q92_cluster_representatives": q92_cluster_representatives,

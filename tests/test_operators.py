@@ -805,3 +805,32 @@ def test_assign_stable_ids_partition_count_independent(spark):
             ).collect()
         }
         assert got == want, f"numbering diverged at num_partitions={n_parts}"
+
+
+def test_frequent_items_mg_guarantees(spark):
+    from alpaca_pyspark_spark.operators.sketches import frequent_items
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    tok = docs.select(F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("t")).filter(
+        F.col("t") != ""
+    )
+    exact = {r["t"]: r["c"] for r in tok.groupBy("t").agg(F.count(F.lit(1)).alias("c")).collect()}
+    n = sum(exact.values())
+    cap = 64
+    sk = frequent_items(tok, item_col="t", capacity=cap, verify=True)
+    rows = {r["item"]: r for r in sk.collect()}
+    # (1) superset guarantee: every item above the 2n/(cap+1) floor
+    # survives the per-partition sketches and the merge
+    floor = 2 * n / (cap + 1)
+    for item, c in exact.items():
+        if c > floor:
+            assert item in rows, f"heavy hitter lost: {item} ({c} > {floor})"
+    # (2) estimates never exceed the truth (MG only undercounts)
+    for item, r in rows.items():
+        assert r["est_count"] <= exact[item], (item, r["est_count"], exact[item])
+        # (3) verify=True re-counts exactly
+        assert r["true_count"] == exact[item]
+        # (4) undercount bounded by n/(cap+1) summed over partitions is
+        # loose; the end-to-end merged bound is n/(cap+1) per partition
+        # — assert the global floor instead: est >= true - n/(cap+1)*parts
+    assert rows, "sketch returned nothing"
