@@ -1434,6 +1434,49 @@ FROM R WHERE sample_rank <= ceil(n * 0.2)
 """
 
 
+# --------------------------------------------------------------- q158
+def q158_source_language_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixture diversity per source: language counts and the
+    Gini impurity 1 − Σ(cᵢ/n)² — the log-free exact sibling of
+    Shannon entropy (ln is not bit-portable across libm builds;
+    impurity ranks mixtures the same way).  Expressed as the single
+    rational (n² − Σcᵢ²)/n²: integer numerator and denominator, ONE
+    division.  Two partial-aggregated exchanges: (source, lang)
+    counts, then the per-source fold."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    by_lang = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    per_source = by_lang.groupBy("source").agg(
+        F.sum("c").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_langs"),
+        F.sum(F.col("c") * F.col("c")).alias("__ssq"),
+    )
+    return per_source.select(
+        "source",
+        "n_docs",
+        "n_langs",
+        (
+            (F.col("n_docs") * F.col("n_docs") - F.col("__ssq")).cast("double")
+            / (F.col("n_docs") * F.col("n_docs")).cast("double")
+        ).alias("lang_gini"),
+    )
+
+
+_Q158_SQL = """
+WITH BL AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+)
+SELECT source,
+       CAST(sum(c) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_langs,
+       CAST(sum(c) * sum(c) - sum(c * c) AS DOUBLE)
+         / CAST(sum(c) * sum(c) AS DOUBLE) AS lang_gini
+FROM BL
+GROUP BY source
+"""
+
+
 # --------------------------------------------------------------- q148
 def q148_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame extraction plumbing, oracle-gated: the 'video'
@@ -1559,6 +1602,7 @@ QUERIES = {
     "q141_cross_source_overlap": q141_cross_source_overlap,
     "q144_stratified_sample": q144_stratified_sample,
     "q148_frame_sampling": q148_frame_sampling,
+    "q158_source_language_gini": q158_source_language_gini,
     "q43_data_profile": q43_data_profile,
 }
 
@@ -1577,6 +1621,7 @@ ORACLE = {
     "q141_cross_source_overlap": _Q141_SQL,
     "q144_stratified_sample": _Q144_SQL,
     "q148_frame_sampling": _Q148_SQL,
+    "q158_source_language_gini": _Q158_SQL,
     "q15_text_stats": _Q15_SQL,
     "q16_lang_id": _Q16_SQL,
     "q17_fingerprint": _Q17_SQL,

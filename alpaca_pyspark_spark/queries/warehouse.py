@@ -450,10 +450,106 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------- q159
+def q159_csv_ingest_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw CSV ingest with corrupt-record quarantine, end-to-end under
+    the hash gate: documents are re-serialized as CSV with every
+    ``doc_id % 11 == 0`` row deliberately type-corrupted, read back
+    PERMISSIVE with an explicit schema, and forked into clean /
+    quarantine streams (``split_corrupt`` owns the SPARK-21610 cache
+    barrier).  Clean counts per source plus the quarantine total must
+    equal the deterministic corruption pattern — bad rows are COUNTED,
+    never silently dropped or crashed on, which is the ingest contract
+    at 100 TB where some malformed lines are a statistical certainty."""
+    import tempfile
+
+    from ..sources.files import read_csv, split_corrupt
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    lines = docs.select(
+        F.concat_ws(
+            ",",
+            F.col("doc_id"),
+            F.col("source"),
+            F.when(F.col("doc_id") % 11 == 0, F.lit("xx")).otherwise(
+                F.col("n_chars").cast("string")
+            ),
+        ).alias("value")
+    )
+    src = tempfile.mkdtemp(prefix="q159_csv_")
+    lines.write.mode("overwrite").text(src)
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    raw = read_csv(spark, src, schema, header=False)
+    clean, quarantine = split_corrupt(raw)
+    good = clean.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    bad = quarantine.agg(
+        F.lit("__quarantine__").alias("source"), F.count(F.lit(1)).alias("n")
+    )
+    return good.unionByName(bad)
+
+
+_Q159_SQL = """
+SELECT source, CAST(count(*) AS BIGINT) AS n
+FROM documents WHERE doc_id % 11 <> 0 GROUP BY 1
+UNION ALL
+SELECT '__quarantine__', CAST(count(*) AS BIGINT)
+FROM documents WHERE doc_id % 11 = 0
+"""
+
+
+# --------------------------------------------------------------- q160
+def q160_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction as a maintenance op under the gate: the
+    events table is first landed as 64 shards (the small-file problem
+    every streaming ingest creates), compacted to size-targeted files
+    (round-robin ``repartition`` — NOT ``coalesce``, which would
+    collapse upstream parallelism into the merged tasks), and the
+    re-read rollup must be byte-for-byte the original answer: layout
+    changes, content never."""
+    import tempfile
+
+    from ..sources.files import compact_to_target_files
+
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    shards = tempfile.mkdtemp(prefix="q160_shards_")
+    e.repartition(64).write.mode("overwrite").parquet(shards)
+    compacted = tempfile.mkdtemp(prefix="q160_compact_")
+    compact_to_target_files(
+        spark.read.parquet(shards), compacted, target_file_bytes=8 * 1024 * 1024
+    )
+    back = spark.read.parquet(compacted)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        (F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0).alias("total"),
+    )
+
+
+_Q160_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total
+FROM events
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "q127_referential_integrity": q127_referential_integrity,
     "q150_partitioned_roundtrip": q150_partitioned_roundtrip,
     "q154_backfill_overwrite": q154_backfill_overwrite,
+    "q159_csv_ingest_quarantine": q159_csv_ingest_quarantine,
+    "q160_compaction_roundtrip": q160_compaction_roundtrip,
     "q84_pricing_summary": q84_pricing_summary,
     "q85_large_volume_orders": q85_large_volume_orders,
     "q86_disjunctive_predicate_join": q86_disjunctive_predicate_join,
@@ -465,6 +561,8 @@ ORACLE = {
     "q127_referential_integrity": _Q127_SQL,
     "q150_partitioned_roundtrip": _Q150_SQL,
     "q154_backfill_overwrite": _Q154_SQL,
+    "q159_csv_ingest_quarantine": _Q159_SQL,
+    "q160_compaction_roundtrip": _Q160_SQL,
     "q84_pricing_summary": _Q84_SQL,
     "q85_large_volume_orders": _Q85_SQL,
     "q86_disjunctive_predicate_join": _Q86_SQL,
