@@ -450,6 +450,71 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------- q161
+def q161_cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (CDC apply) without a table format: a base
+    snapshot (per-user purchase totals over the first 20 days) absorbs
+    a changelog derived from the tail 10 days — ``purchase`` rows are
+    upserts that ADD to the balance, a trailing ``error`` row is a
+    tombstone that deletes the user.  Resolution order: aggregate the
+    changelog per key first (one exchange, latest-op wins via max-ts
+    tombstone check), then ONE full-outer join against the base —
+    never a per-change row lookup, which is the difference between a
+    merge that scales and row-at-a-time CDC.  Tombstoned users vanish
+    even if they exist only in the changelog."""
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    cut = F.lit("2024-01-21 00:00:00").cast("timestamp_ntz")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    base = (
+        e.filter((F.col("ts") < cut) & (F.col("event_type") == "purchase"))
+        .groupBy("user_id")
+        .agg(F.sum(cents).alias("__base_c"))
+    )
+    tail = e.filter(F.col("ts") >= cut)
+    changes = tail.filter(F.col("event_type").isin("purchase", "error")).groupBy(
+        "user_id"
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", cents)).alias("__delta_c"),
+        # tombstone iff the LATEST change op for the key is an error
+        F.max_by(F.col("event_type") == "error", F.col("ts")).alias("__dead"),
+    )
+    merged = base.join(changes, "user_id", "full_outer")
+    return (
+        merged.filter(~F.coalesce(F.col("__dead"), F.lit(False)))
+        .select(
+            "user_id",
+            (
+                (F.coalesce("__base_c", F.lit(0)) + F.coalesce("__delta_c", F.lit(0)))
+                / 100.0
+            ).alias("balance"),
+        )
+    )
+
+
+_Q161_SQL = """
+WITH base AS (
+  SELECT user_id, sum(CAST(round(value * 100) AS BIGINT)) AS base_c
+  FROM events
+  WHERE ts < TIMESTAMP '2024-01-21 00:00:00' AND event_type = 'purchase'
+  GROUP BY 1
+), changes AS (
+  SELECT user_id,
+         sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100) AS BIGINT) END) AS delta_c,
+         arg_max(event_type = 'error', ts) AS dead
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-21 00:00:00'
+    AND event_type IN ('purchase', 'error')
+  GROUP BY 1
+)
+SELECT COALESCE(b.user_id, c.user_id) AS user_id,
+       (COALESCE(b.base_c, 0) + COALESCE(c.delta_c, 0)) / 100.0 AS balance
+FROM base b FULL OUTER JOIN changes c USING (user_id)
+WHERE NOT COALESCE(c.dead, false)
+"""
+
+
 # --------------------------------------------------------------- q159
 def q159_csv_ingest_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw CSV ingest with corrupt-record quarantine, end-to-end under
@@ -550,6 +615,7 @@ QUERIES = {
     "q154_backfill_overwrite": q154_backfill_overwrite,
     "q159_csv_ingest_quarantine": q159_csv_ingest_quarantine,
     "q160_compaction_roundtrip": q160_compaction_roundtrip,
+    "q161_cdc_merge_upsert": q161_cdc_merge_upsert,
     "q84_pricing_summary": q84_pricing_summary,
     "q85_large_volume_orders": q85_large_volume_orders,
     "q86_disjunctive_predicate_join": q86_disjunctive_predicate_join,
@@ -563,6 +629,7 @@ ORACLE = {
     "q154_backfill_overwrite": _Q154_SQL,
     "q159_csv_ingest_quarantine": _Q159_SQL,
     "q160_compaction_roundtrip": _Q160_SQL,
+    "q161_cdc_merge_upsert": _Q161_SQL,
     "q84_pricing_summary": _Q84_SQL,
     "q85_large_volume_orders": _Q85_SQL,
     "q86_disjunctive_predicate_join": _Q86_SQL,
