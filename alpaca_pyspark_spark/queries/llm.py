@@ -1434,6 +1434,36 @@ FROM R WHERE sample_rank <= ceil(n * 0.2)
 """
 
 
+# --------------------------------------------------------------- q162
+def q162_cross_validation_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible k-fold assignment (k=5) by the portable hash —
+    every document lands in exactly one fold, assignment is
+    partition-independent and rerun-stable (no RNG), and the audit
+    rolls up per (fold, source) so stratification skew is visible
+    before any training run burns compute on a bad split.  Map-only
+    assignment; one partial-agg exchange for the audit."""
+    from ..operators.dedup import portable_hash60
+
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    fold = (portable_hash60(F.col("doc_id").cast("string")) % 5).alias("fold")
+    assigned = docs.select(fold, "source", "n_chars")
+    return assigned.groupBy("fold", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars_total"),
+    )
+
+
+_Q162_SQL = """
+SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 5 AS fold,
+       source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+FROM documents
+GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------- q158
 def q158_source_language_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-mixture diversity per source: language counts and the
@@ -1603,6 +1633,7 @@ QUERIES = {
     "q144_stratified_sample": q144_stratified_sample,
     "q148_frame_sampling": q148_frame_sampling,
     "q158_source_language_gini": q158_source_language_gini,
+    "q162_cross_validation_folds": q162_cross_validation_folds,
     "q43_data_profile": q43_data_profile,
 }
 
@@ -1622,6 +1653,7 @@ ORACLE = {
     "q144_stratified_sample": _Q144_SQL,
     "q148_frame_sampling": _Q148_SQL,
     "q158_source_language_gini": _Q158_SQL,
+    "q162_cross_validation_folds": _Q162_SQL,
     "q15_text_stats": _Q15_SQL,
     "q16_lang_id": _Q16_SQL,
     "q17_fingerprint": _Q17_SQL,
