@@ -46,6 +46,7 @@ _SHOWCASE_ORDER = [
     # LLM dedup / similarity
     "q12_exact_dedup", "q12_text_dedup_portable", "q12_simhash_dedup_portable",
     "q12_embedding_dedup_lsh", "q33_near_dup_components_lsh",
+    "q163_setsim_prefix_join",
     "q13_embedding_sim", "q13_embedding_sim_ann", "q13_embedding_sim_ivf_det",
     "q122_audio_energy",
     # text curation

@@ -477,3 +477,183 @@ def ngram_jaccard_on_pairs(
             id_a, id_b, jaccard(F.col("__ng_a"), F.col("__ng_b")).alias("jaccard_sim")
         )
     )
+
+
+# ------------------------------------- prefix-filtered set-similarity
+def setsim_prefix_join(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+) -> DataFrame:
+    """EXACT Jaccard-threshold self-join via prefix filtering
+    (PPJoin-family, Chaudhuri et al. SSJoin / Xiao et al. PPJoin).
+
+    Unlike MinHash+LSH this is *lossless*: a pair survives iff its
+    true shingle-set Jaccard ≥ ``threshold_num/threshold_den`` — no
+    recall knob — yet it never materializes all pairs.  The trick is
+    the prefix-filter lemma: order every set by one global total order
+    (rarest item first); if ``J(A,B) ≥ t`` then ``|A∩B| ≥ ⌈t·|A|⌉``,
+    so the first ``|A| − ⌈t·|A|⌉ + 1`` items of A must share at least
+    one item with B's corresponding prefix.  Candidates therefore come
+    from an equi-join on *prefix* items only — and because prefixes
+    hold each set's globally rarest items, the join keys are the
+    least-skewed items in the corpus (the inverse of the naive
+    explode-join, whose hottest key is the most common item).
+
+    Scale shape (100 TB): two shuffles on item (document frequency,
+    then prefix-candidate join) + one shuffle on id (regroup) — all
+    hash-partitioned, no all-pairs stage, no driver state.  The
+    canonical order is the comparator ``(item_df, item)`` itself, NOT
+    a materialized global rank — no single-partition window anywhere.
+
+    Threshold is an exact rational ``num/den``; the survive predicate
+    is integer (``den·|A∩B| ≥ num·|A∪B|``), so the decision is
+    engine-exact and the whole pipeline is oracle-pairable.
+
+    Returns (id_a, id_b, inter_size, size_a, size_b, jaccard_sim).
+    """
+    num, den = threshold_num, threshold_den
+    if not (0 < num <= den):
+        raise ValueError(f"threshold must be in (0, 1]: {num}/{den}")
+    # persisted: feeds the item-frequency pass AND both sides of the
+    # exact verify join
+    sets = shingle_sets(df, id_col=id_col, text_col=text_col, shingle_k=shingle_k).persist()
+    ex = sets.select(F.col(id_col), F.explode("shingles").alias("item"))
+    freq = ex.groupBy("item").agg(F.count(F.lit(1)).alias("item_df"))
+    # regroup each set sorted by the global canonical order (df asc,
+    # item asc); array_sort on struct<item_df,item> is exactly that
+    # comparator, evaluated inside codegen
+    ordered = (
+        ex.join(freq, "item")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("item_df", "item"))).alias("__ord"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    # prefix length p = n − ⌈t·n⌉ + 1, computed in exact integer math
+    plen = (
+        F.col("n") - F.expr(f"(n * {num} + {den} - 1) DIV {den}") + F.lit(1)
+    ).cast("int")
+    prefix = ordered.select(
+        F.col(id_col),
+        F.col("n"),
+        F.explode(
+            F.slice(F.transform("__ord", lambda x: x["item"]), F.lit(1), plen)
+        ).alias("item"),
+    )
+    a = prefix.withColumnsRenamed({id_col: "id_a", "n": "n_a"})
+    b = prefix.withColumnsRenamed({id_col: "id_b", "n": "n_b"})
+    cand = (
+        a.join(b, "item")
+        .filter(F.col("id_a") < F.col("id_b"))
+        # size bound: t·|A| ≤ |B| and t·|B| ≤ |A| (integer form)
+        .filter(
+            (F.col("n_b") * den >= F.col("n_a") * num)
+            & (F.col("n_a") * den >= F.col("n_b") * num)
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    verified = (
+        cand.join(sets.withColumnsRenamed({id_col: "id_a", "shingles": "sh_a"}), "id_a")
+        .join(sets.withColumnsRenamed({id_col: "id_b", "shingles": "sh_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter_size"),
+            F.size("sh_a").alias("size_a"),
+            F.size("sh_b").alias("size_b"),
+        )
+        .withColumn("union_size", F.col("size_a") + F.col("size_b") - F.col("inter_size"))
+        .filter(F.col("inter_size") * den >= F.col("union_size") * num)
+    )
+    return verified.select(
+        "id_a",
+        "id_b",
+        "inter_size",
+        "size_a",
+        "size_b",
+        (F.col("inter_size").cast("double") / F.col("union_size")).alias("jaccard_sim"),
+    )
+
+
+# --------------------------------------- token-sequence containment
+def containment_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT substring-dedup pairs: document A whose whitespace-
+    normalized token sequence appears contiguously inside document B
+    (the "contained document" case of substring dedup, Lee et al.
+    "Deduplicating Training Data Makes Language Models Better").
+
+    Candidate generation is rarest-token blocking, and it is
+    *lossless*: containment is checked on space-padded normalized
+    strings (`' '+norm+' '` ⊆ `' '+norm+' '`), so a match always
+    aligns on token boundaries — hence EVERY token of A is a token of
+    B, in particular A's globally rarest token.  One equi-join of
+    each document's rarest token against the corpus token index
+    yields all candidates; an exact ``contains`` verifies.
+
+    Scale shape: token document-frequency (one shuffle), per-doc
+    rarest token via ``min(struct(df, tok))`` (map-side combinable),
+    candidate equi-join keyed on rare tokens (minimum skew by
+    construction), verify via two id-joins.  No all-pairs stage.
+
+    Exact duplicates (equal norms) are emitted once with
+    ``contained_id < container_id``; otherwise the shorter side is
+    ``contained_id``.
+
+    Returns (contained_id, container_id, contained_chars,
+    container_chars).
+    """
+    toks = tokens(F.col(text_col))
+    norm = (
+        _spread(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), F.concat_ws(" ", toks).alias("norm"))
+        .filter(F.length("norm") > 0)
+        .persist()
+    )
+    ex = norm.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split("norm", " "))).alias("tok"),
+    )
+    freq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("tok_df"))
+    rare = (
+        ex.join(freq, "tok")
+        .groupBy(id_col)
+        .agg(F.min(F.struct("tok_df", "tok")).getField("tok").alias("tok"))
+        .withColumnRenamed(id_col, "contained_id")
+    )
+    cand = (
+        rare.join(ex.withColumnRenamed(id_col, "container_id"), "tok")
+        .filter(F.col("contained_id") != F.col("container_id"))
+        .select("contained_id", "container_id")
+        .distinct()
+    )
+    pad = lambda c: F.concat(F.lit(" "), c, F.lit(" "))  # noqa: E731
+    return (
+        cand.join(norm.withColumnsRenamed({id_col: "contained_id", "norm": "s_a"}), "contained_id")
+        .join(norm.withColumnsRenamed({id_col: "container_id", "norm": "s_b"}), "container_id")
+        .filter(
+            (F.length("s_a") < F.length("s_b"))
+            | (
+                (F.length("s_a") == F.length("s_b"))
+                & (F.col("contained_id") < F.col("container_id"))
+            )
+        )
+        .filter(F.contains(pad(F.col("s_b")), pad(F.col("s_a"))))
+        .select(
+            "contained_id",
+            "container_id",
+            F.length("s_a").alias("contained_chars"),
+            F.length("s_b").alias("container_chars"),
+        )
+    )

@@ -1598,7 +1598,148 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------- q163
+def q163_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard ≥ 1/2 near-dup pairs over 3-word shingle sets via
+    prefix filtering (PPJoin-family) — the lossless counterpart of
+    q12_text_dedup's MinHash pipeline, fully oracle-paired: the DuckDB
+    twin computes the naive all-pairs exact join and must agree
+    bit-for-bit, which verifies the prefix-filter lemma end-to-end
+    (candidate generation dropped nothing).  Threshold is the exact
+    rational 1/2 so the survive predicate is integer on both engines."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    from ..operators.dedup import setsim_prefix_join
+
+    return setsim_prefix_join(
+        docs, id_col="doc_id", text_col="text", shingle_k=3,
+        threshold_num=1, threshold_den=2,
+    )
+
+
+_Q163_SQL = """
+WITH sets AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, len(toks) - 1),
+           i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])
+         )) AS shingles
+  FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents)
+  WHERE len(toks) >= 3
+),
+ex AS (SELECT doc_id, unnest(shingles) AS g FROM sets),
+sizes AS (SELECT doc_id, len(shingles) AS n FROM sets),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(i AS INT) AS inter_size,
+       CAST(na.n AS INT) AS size_a,
+       CAST(nb.n AS INT) AS size_b,
+       CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jaccard_sim
+FROM inter
+JOIN sizes na ON na.doc_id = id_a
+JOIN sizes nb ON nb.doc_id = id_b
+WHERE 2 * i >= (na.n + nb.n - i)
+"""
+
+
+# ---------------------------------------------------------------- q164
+def q164_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-dedup pairs: documents whose whitespace-normalized
+    text appears contiguously inside another document (Lee et al.
+    substring dedup, "contained document" case).  Rarest-token
+    blocking generates candidates losslessly (space-padded containment
+    aligns on token boundaries, so A's rarest token must be a token of
+    B); oracle is the naive all-pairs ``position()`` scan."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    from ..operators.dedup import containment_pairs
+
+    return containment_pairs(docs, id_col="doc_id", text_col="text")
+
+
+_Q164_SQL = """
+WITH norm AS (
+  SELECT doc_id,
+         array_to_string(regexp_extract_all(text, '\\S+'), ' ') AS s
+  FROM documents
+  WHERE len(regexp_extract_all(text, '\\S+')) >= 1
+)
+SELECT a.doc_id AS contained_id,
+       b.doc_id AS container_id,
+       CAST(length(a.s) AS INT) AS contained_chars,
+       CAST(length(b.s) AS INT) AS container_chars
+FROM norm a JOIN norm b ON a.doc_id <> b.doc_id
+WHERE (length(a.s) < length(b.s)
+       OR (length(a.s) = length(b.s) AND a.doc_id < b.doc_id))
+  AND position((' ' || a.s || ' ') IN (' ' || b.s || ' ')) > 0
+"""
+
+
+# ---------------------------------------------------------------- q165
+def q165_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model estimation over the corpus: per-bigram
+    count, first-token continuation total, and the exact conditional
+    probability P(w2|w1) (one division over identical integers on both
+    engines).  Top-100 bigrams with a total-order tiebreak.
+
+    Scale shape: one explode + hash-agg over corpus bigrams (partial
+    aggregation map-side), then the continuation total as a window
+    over the *bigram-type* table (vocabulary-sized, not corpus-sized)
+    partitioned by w1 — never a second corpus scan."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    n = F.size(t)
+    big = (
+        docs.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(t, 1, n - 1).alias("w1"), F.slice(t, 2, n - 1).alias("w2")
+                )
+            ).alias("bg")
+        )
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    counts = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count"))
+    w = Window.partitionBy("w1")
+    return (
+        counts.withColumn("first_count", F.sum("pair_count").over(w))
+        .withColumn(
+            "cond_p",
+            F.col("pair_count").cast("double") / F.col("first_count").cast("double"),
+        )
+        .orderBy(F.col("pair_count").desc(), "w1", "w2")
+        .limit(100)
+    )
+
+
+_Q165_SQL = """
+WITH toks AS (SELECT regexp_extract_all(text, '\\S+') AS t FROM documents),
+big AS (
+  SELECT t[i] AS w1, t[i+1] AS w2
+  FROM toks, unnest(range(1, len(t))) AS r(i)
+  WHERE len(t) >= 2
+),
+c AS (SELECT w1, w2, count(*) AS pair_count FROM big GROUP BY 1, 2)
+SELECT w1, w2, pair_count,
+       CAST(sum(pair_count) OVER (PARTITION BY w1) AS BIGINT) AS first_count,
+       CAST(pair_count AS DOUBLE)
+         / CAST(CAST(sum(pair_count) OVER (PARTITION BY w1) AS BIGINT) AS DOUBLE)
+         AS cond_p
+FROM c
+ORDER BY pair_count DESC, w1, w2
+LIMIT 100
+"""
+
+
 QUERIES = {
+    "q163_setsim_prefix_join": q163_setsim_prefix_join,
+    "q164_containment_dedup": q164_containment_dedup,
+    "q165_bigram_lm": q165_bigram_lm,
     "q12_text_dedup": q12_text_dedup,
     "q12_text_dedup_portable": q12_text_dedup_portable,
     "q12_simhash_dedup": q12_simhash_dedup,
@@ -1638,6 +1779,9 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q163_setsim_prefix_join": _Q163_SQL,
+    "q164_containment_dedup": _Q164_SQL,
+    "q165_bigram_lm": _Q165_SQL,
     "q12_text_dedup_portable": _Q12_TEXT_PORTABLE_SQL,
     "q12_simhash_dedup_portable": _Q12_SIMHASH_PORTABLE_SQL,
     "q12_exact_dedup": _Q12_EXACT_SQL,

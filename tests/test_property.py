@@ -568,3 +568,81 @@ def test_stratified_quota_exact_and_partition_independent(spark, rows, nparts):
         .filter(F.col("rn") <= F.ceil(F.col("n") * 0.2))
     )
     assert {(r["src"], r["doc_id"]) for r in picked2.collect()} == got
+
+
+# --------------------------------------- prefix-filter set-similarity
+_word = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"])
+_docs_strategy = st.lists(
+    st.lists(_word, min_size=0, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=14,
+)
+
+
+@pytest.mark.slow
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    _docs_strategy,
+    st.sampled_from([(1, 2), (1, 3), (2, 3), (3, 4), (1, 1)]),
+)
+def test_setsim_prefix_join_matches_brute_force(spark, texts, thresh):
+    """Prefix filtering is LOSSLESS at any rational threshold: the
+    candidate-pruned join must equal the naive all-pairs exact-Jaccard
+    join, including tiny/empty shingle sets and threshold 1/1."""
+    from alpaca_pyspark_spark.operators.dedup import setsim_prefix_join
+
+    num, den = thresh
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): (r["inter_size"], r["size_a"], r["size_b"])
+        for r in setsim_prefix_join(
+            df, id_col="doc_id", text_col="text", shingle_k=3,
+            threshold_num=num, threshold_den=den,
+        ).collect()
+    }
+
+    def shingles(t):
+        toks = t.split()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sets = {i: shingles(t) for i, t in rows if shingles(t)}
+    want = {}
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if den * inter >= num * union:
+                want[(a, b)] = (inter, len(sets[a]), len(sets[b]))
+    assert got == want
+
+
+@pytest.mark.slow
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_docs_strategy)
+def test_containment_pairs_matches_brute_force(spark, texts):
+    """Rarest-token blocking is LOSSLESS for token-boundary-padded
+    substring containment (every token of a contained doc is a token
+    of its container, so the rarest one collides in the block join)."""
+    from alpaca_pyspark_spark.operators.dedup import containment_pairs
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["contained_id"], r["container_id"])
+        for r in containment_pairs(df, id_col="doc_id", text_col="text").collect()
+    }
+
+    norm = {i: " ".join(t.split()) for i, t in rows if t.split()}
+    want = set()
+    for a, sa in norm.items():
+        for b, sb in norm.items():
+            if a == b:
+                continue
+            if (len(sa) < len(sb) or (len(sa) == len(sb) and a < b)) and (
+                f" {sa} " in f" {sb} "
+            ):
+                want.add((a, b))
+    assert got == want
