@@ -1598,6 +1598,129 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------- q166
+def q166_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty curve: the fraction of a document's
+    distinct 5-gram shingles that first appear in THAT document when
+    the corpus is consumed in doc_id order — the standard duplication/
+    novelty diagnostic for curriculum ordering and crawl-snapshot
+    triage (a near-zero novelty doc is retained boilerplate).
+
+    Scale shape: explode → min(doc_id) per gram (map-side combinable
+    hash agg) → join back on gram → per-doc count/sum.  Two shuffles
+    on gram + one on doc_id, all partial-agg; no windows, no
+    all-pairs.  Novelty is one division over identical integers."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    from ..operators.dedup import shingle_sets
+
+    sh = shingle_sets(docs, id_col="doc_id", text_col="text", shingle_k=5)
+    ex = sh.select("doc_id", F.explode("shingles").alias("g"))
+    firsts = ex.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        ex.join(firsts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("novel_grams"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "novel_grams",
+            (
+                F.col("novel_grams").cast("double") / F.col("n_grams").cast("double")
+            ).alias("novelty"),
+        )
+    )
+
+
+_Q166_SQL = """
+WITH sets AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, len(toks) - 3),
+           i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2], ' ',
+                       toks[i+3], ' ', toks[i+4])
+         )) AS shingles
+  FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents)
+  WHERE len(toks) >= 5
+),
+ex AS (SELECT doc_id, unnest(shingles) AS g FROM sets WHERE len(shingles) > 0),
+firsts AS (SELECT g, min(doc_id) AS first_doc FROM ex GROUP BY g)
+SELECT ex.doc_id,
+       count(*) AS n_grams,
+       CAST(sum(CASE WHEN firsts.first_doc = ex.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS novel_grams,
+       CAST(sum(CASE WHEN firsts.first_doc = ex.doc_id THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty
+FROM ex JOIN firsts USING (g)
+GROUP BY ex.doc_id
+"""
+
+
+# ---------------------------------------------------------------- q168
+def q168_privacy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit over quasi-identifiers
+    (lang, source, 100-char length band): group sizes, distinct
+    sensitive values (first token as the stand-in sensitive
+    attribute), and an at-risk flag (k < 5 or l < 2) — the release
+    gate a privacy-aware corpus pipeline runs before publishing.
+
+    Scale shape: one hash aggregation with partial map-side combine;
+    the distinct count is exact via a two-level agg (QI+value, then
+    QI), still shuffle-bounded by |distinct pairs|, not the corpus."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    qi = docs.select(
+        F.coalesce("lang", F.lit("")).alias("lang"),
+        F.coalesce("source", F.lit("")).alias("source"),
+        (F.col("n_chars") - F.pmod("n_chars", F.lit(100))).alias("len_band"),
+        F.coalesce(F.element_at(tokens(F.col("text")), 1), F.lit("")).alias("sv"),
+    )
+    pairs = qi.groupBy("lang", "source", "len_band", "sv").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        pairs.groupBy("lang", "source", "len_band")
+        .agg(
+            F.sum("c").alias("group_size"),
+            F.count(F.lit(1)).alias("l_diversity"),
+        )
+        .select(
+            "lang",
+            "source",
+            "len_band",
+            "group_size",
+            "l_diversity",
+            ((F.col("group_size") < 5) | (F.col("l_diversity") < 2)).alias("at_risk"),
+        )
+    )
+
+
+_Q168_SQL = """
+WITH qi AS (
+  SELECT coalesce(lang, '') AS lang,
+         coalesce(source, '') AS source,
+         n_chars - (n_chars % 100) AS len_band,
+         coalesce(regexp_extract_all(text, '\\S+')[1], '') AS sv
+  FROM documents
+),
+pairs AS (
+  SELECT lang, source, len_band, sv, count(*) AS c
+  FROM qi GROUP BY 1, 2, 3, 4
+)
+SELECT lang, source, len_band,
+       CAST(sum(c) AS BIGINT) AS group_size,
+       count(*) AS l_diversity,
+       (CAST(sum(c) AS BIGINT) < 5 OR count(*) < 2) AS at_risk
+FROM pairs
+GROUP BY 1, 2, 3
+"""
+
+
 # ---------------------------------------------------------------- q163
 def q163_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT Jaccard ≥ 1/2 near-dup pairs over 3-word shingle sets via
@@ -1740,6 +1863,8 @@ QUERIES = {
     "q163_setsim_prefix_join": q163_setsim_prefix_join,
     "q164_containment_dedup": q164_containment_dedup,
     "q165_bigram_lm": q165_bigram_lm,
+    "q166_ngram_novelty": q166_ngram_novelty,
+    "q168_privacy_audit": q168_privacy_audit,
     "q12_text_dedup": q12_text_dedup,
     "q12_text_dedup_portable": q12_text_dedup_portable,
     "q12_simhash_dedup": q12_simhash_dedup,
@@ -1782,6 +1907,8 @@ ORACLE = {
     "q163_setsim_prefix_join": _Q163_SQL,
     "q164_containment_dedup": _Q164_SQL,
     "q165_bigram_lm": _Q165_SQL,
+    "q166_ngram_novelty": _Q166_SQL,
+    "q168_privacy_audit": _Q168_SQL,
     "q12_text_dedup_portable": _Q12_TEXT_PORTABLE_SQL,
     "q12_simhash_dedup_portable": _Q12_SIMHASH_PORTABLE_SQL,
     "q12_exact_dedup": _Q12_EXACT_SQL,

@@ -609,7 +609,71 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------- q167
+def q167_rendezvous_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment audit:
+    assign every document to a shard by ``argmax_s h(doc_id, s)`` for
+    8 shards and again for 10, then count the migration matrix.  HRW's
+    minimal-disruption property means only keys whose new argmax is
+    one of the two ADDED shards move (~2/10 of the corpus) — the
+    audit that justifies resharding a 100 TB layout without a full
+    rewrite, vs naive ``hash mod n`` which moves ~80%.
+
+    Exactness: the weight is the portable md5-derived 60-bit hash
+    (identical on both engines); argmax via ``array_max`` over
+    ``struct(weight, shard)`` — a pure map-side expression.  One
+    shuffle total (the migration-matrix aggregation)."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+
+    def weight(s: int) -> F.Column:
+        key = F.concat_ws(":", F.col("doc_id").cast("string"), F.lit(str(s)))
+        return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
+
+    def shard(n: int) -> F.Column:
+        return F.array_max(
+            F.array(
+                *[F.struct(weight(s).alias("w"), F.lit(s).alias("s")) for s in range(n)]
+            )
+        ).getField("s")
+
+    return (
+        docs.select(shard(8).alias("old_shard"), shard(10).alias("new_shard"))
+        .groupBy("old_shard", "new_shard")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "old_shard",
+            "new_shard",
+            (F.col("old_shard") != F.col("new_shard")).alias("moved"),
+            "n_docs",
+        )
+    )
+
+
+_Q167_SQL = """
+WITH w AS (
+  SELECT doc_id, s,
+         CAST(concat('0x', substr(md5(doc_id || ':' || s), 1, 15)) AS BIGINT) AS h
+  FROM documents, unnest(range(10)) AS r(s)
+),
+old AS (
+  SELECT doc_id, CAST(arg_max(s, h) AS INT) AS old_shard
+  FROM w WHERE s < 8 GROUP BY doc_id
+),
+new AS (
+  SELECT doc_id, CAST(arg_max(s, h) AS INT) AS new_shard
+  FROM w GROUP BY doc_id
+)
+SELECT old_shard, new_shard,
+       (old_shard <> new_shard) AS moved,
+       count(*) AS n_docs
+FROM old JOIN new USING (doc_id)
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
+    "q167_rendezvous_rebalance": q167_rendezvous_rebalance,
     "q127_referential_integrity": q127_referential_integrity,
     "q150_partitioned_roundtrip": q150_partitioned_roundtrip,
     "q154_backfill_overwrite": q154_backfill_overwrite,
@@ -624,6 +688,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q167_rendezvous_rebalance": _Q167_SQL,
     "q127_referential_integrity": _Q127_SQL,
     "q150_partitioned_roundtrip": _Q150_SQL,
     "q154_backfill_overwrite": _Q154_SQL,
