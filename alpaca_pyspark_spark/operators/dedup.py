@@ -657,3 +657,127 @@ def containment_pairs(
             F.length("s_b").alias("container_chars"),
         )
     )
+
+
+# --------------------------------------------- incremental (delta) dedup
+def incremental_minhash_dedup(
+    corpus: DataFrame,
+    delta: DataFrame,
+    *,
+    id_col: str,
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    threshold: float = 0.5,
+    portable: bool = False,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING corpus without comparing
+    corpus docs to each other — the shape every production ingest
+    actually runs (nobody re-dedups 100 TB per crawl snapshot; they
+    dedup the delta against the index).
+
+    Candidates come from one bucket-grouped exchange over the union of
+    both sides' LSH band buckets: each surviving bucket (≥1 member
+    from each side, total ≤ ``max_bucket_size``) emits its new×old
+    cross pairs via nested array lambdas — delta-internal pairs are
+    never generated.  Verification recomputes shingle sets only for
+    candidate ids (semi-join), exactly like the batch pipeline.
+
+    At cluster scale the corpus band buckets are a *precomputed,
+    bucketed-by-(band,key) table* maintained incrementally; this
+    operator's plan then touches only the delta's signatures plus the
+    matching corpus buckets — work proportional to the delta, not the
+    corpus.
+
+    ``portable=True`` uses the md5 hash family + raw-tuple buckets so
+    an external SQL oracle can replay the ENTIRE pipeline bit-exactly.
+
+    Returns (new_id, old_id, jaccard_sim) with jaccard ≥ threshold.
+    """
+    rpb = num_hashes // num_bands
+
+    def band_cols(sigs: DataFrame) -> DataFrame:
+        def band_key(b: int):
+            cols = [
+                F.col("sig").getItem(b * rpb + r) for r in range(rpb)
+            ]
+            if portable:
+                return F.struct(*[c.alias(f"k{r}") for r, c in enumerate(cols)])
+            return F.xxhash64(*cols)
+
+        bands = F.array(
+            *[
+                F.struct(F.lit(b).alias("band"), band_key(b).alias("bucket"))
+                for b in range(num_bands)
+            ]
+        )
+        return sigs.select(F.col(id_col), F.explode(bands).alias("bb")).select(
+            id_col, "bb.band", "bb.bucket"
+        )
+
+    sig_new = minhash_signatures(
+        delta, id_col=id_col, text_col=text_col, shingle_k=shingle_k,
+        num_hashes=num_hashes, portable=portable,
+    )
+    sig_old = minhash_signatures(
+        corpus, id_col=id_col, text_col=text_col, shingle_k=shingle_k,
+        num_hashes=num_hashes, portable=portable,
+    )
+    tagged = band_cols(sig_new).withColumn("is_new", F.lit(1)).unionByName(
+        band_cols(sig_old).withColumn("is_new", F.lit(0))
+    )
+    grouped = (
+        tagged.groupBy("band", "bucket")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.when(F.col("is_new") == 1, F.col(id_col)))
+            ).alias("__new"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("is_new") == 0, F.col(id_col)))
+            ).alias("__old"),
+        )
+        .filter(
+            (F.size("__new") >= 1)
+            & (F.size("__old") >= 1)
+            & (F.size("__new") + F.size("__old") <= max_bucket_size)
+        )
+    )
+    combos = F.flatten(
+        F.transform(
+            "__new",
+            lambda n: F.transform(
+                F.col("__old"),
+                lambda o: F.struct(n.alias("new_id"), o.alias("old_id")),
+            ),
+        )
+    )
+    pairs = (
+        grouped.select(F.explode(combos).alias("__p"))
+        .select("__p.new_id", "__p.old_id")
+        .distinct()
+        .persist()
+    )
+    sh_new = shingle_sets(
+        delta.join(
+            pairs.select(F.col("new_id").alias(id_col)).distinct(), id_col, "left_semi"
+        ),
+        id_col=id_col, text_col=text_col, shingle_k=shingle_k,
+    )
+    sh_old = shingle_sets(
+        corpus.join(
+            pairs.select(F.col("old_id").alias(id_col)).distinct(), id_col, "left_semi"
+        ),
+        id_col=id_col, text_col=text_col, shingle_k=shingle_k,
+    )
+    return (
+        pairs.join(sh_new.withColumnsRenamed({id_col: "new_id", "shingles": "sh_n"}), "new_id")
+        .join(sh_old.withColumnsRenamed({id_col: "old_id", "shingles": "sh_o"}), "old_id")
+        .select(
+            "new_id",
+            "old_id",
+            jaccard(F.col("sh_n"), F.col("sh_o")).alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+    )

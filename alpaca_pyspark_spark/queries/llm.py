@@ -1598,6 +1598,99 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------- q169
+def q169_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (delta-vs-corpus) MinHash dedup: the 20% of
+    documents with ``doc_id % 5 = 0`` are treated as a new crawl batch
+    and deduped against the other 80% — corpus-internal pairs are
+    never generated, so the work is delta-proportional (the production
+    ingest shape; at scale the corpus band buckets are a precomputed
+    bucketed table).  Portable md5 hash family → the oracle replays
+    the whole pipeline (signatures, band buckets, both-side bucket
+    guard, cross pairs, exact-Jaccard verify) bit-exactly."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    from ..operators.dedup import incremental_minhash_dedup
+
+    return incremental_minhash_dedup(
+        docs.filter(F.col("doc_id") % 5 != 0),
+        docs.filter(F.col("doc_id") % 5 == 0),
+        id_col="doc_id", text_col="text", shingle_k=3,
+        threshold=0.2, portable=True,
+    )
+
+
+def _incremental_portable_sql(num_hashes: int = 64, num_bands: int = 16) -> str:
+    from ..operators.dedup import MERSENNE_P, minhash_family_coeffs
+
+    coeffs = minhash_family_coeffs(num_hashes)
+    p = MERSENNE_P
+    mins = ",\n         ".join(
+        f"min((hm * {a} + {b}) % {p}) AS m{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    rpb = num_hashes // num_bands
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, {ks} FROM sig".format(
+            b=b,
+            ks=", ".join(f"m{b * rpb + r} AS k{r + 1}" for r in range(rpb)),
+        )
+        for b in range(num_bands)
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, len(toks) - 1),
+           i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])
+         )) AS shingles
+  FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents)
+  WHERE len(toks) >= 3
+),
+ex AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(s.s), 1, 15)) AS BIGINT) % {p} AS hm
+  FROM docs, UNNEST(shingles) AS s(s)
+),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM ex GROUP BY doc_id
+),
+bands AS (
+{band_selects}
+),
+ok AS (
+  SELECT band, k1, k2, k3, k4
+  FROM bands GROUP BY 1, 2, 3, 4, 5
+  HAVING count(*) <= 1000
+     AND sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) >= 1
+     AND sum(CASE WHEN doc_id % 5 <> 0 THEN 1 ELSE 0 END) >= 1
+),
+b2 AS (SELECT bands.* FROM bands SEMI JOIN ok USING (band, k1, k2, k3, k4)),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+  FROM b2 n JOIN b2 o USING (band, k1, k2, k3, k4)
+  WHERE n.doc_id % 5 = 0 AND o.doc_id % 5 <> 0
+),
+verified AS (
+  SELECT new_id, old_id,
+         CASE WHEN len(list_distinct(list_concat(dn.shingles, do_.shingles))) = 0
+              THEN 0.0
+              ELSE CAST(len(list_intersect(dn.shingles, do_.shingles)) AS DOUBLE)
+                   / CAST(len(list_distinct(list_concat(dn.shingles, do_.shingles)))
+                          AS DOUBLE)
+         END AS jaccard_sim
+  FROM cand
+  JOIN docs dn ON dn.doc_id = cand.new_id
+  JOIN docs do_ ON do_.doc_id = cand.old_id
+)
+SELECT new_id, old_id, jaccard_sim FROM verified WHERE jaccard_sim >= 0.2
+"""
+
+
+_Q169_SQL = _incremental_portable_sql()
+
+
 # ---------------------------------------------------------------- q166
 def q166_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document n-gram novelty curve: the fraction of a document's
@@ -1865,6 +1958,7 @@ QUERIES = {
     "q165_bigram_lm": q165_bigram_lm,
     "q166_ngram_novelty": q166_ngram_novelty,
     "q168_privacy_audit": q168_privacy_audit,
+    "q169_incremental_dedup": q169_incremental_dedup,
     "q12_text_dedup": q12_text_dedup,
     "q12_text_dedup_portable": q12_text_dedup_portable,
     "q12_simhash_dedup": q12_simhash_dedup,
@@ -1909,6 +2003,7 @@ ORACLE = {
     "q165_bigram_lm": _Q165_SQL,
     "q166_ngram_novelty": _Q166_SQL,
     "q168_privacy_audit": _Q168_SQL,
+    "q169_incremental_dedup": _Q169_SQL,
     "q12_text_dedup_portable": _Q12_TEXT_PORTABLE_SQL,
     "q12_simhash_dedup_portable": _Q12_SIMHASH_PORTABLE_SQL,
     "q12_exact_dedup": _Q12_EXACT_SQL,

@@ -609,6 +609,60 @@ def _bpe_oracle_sql(rounds: int = _BPE_ROUNDS) -> str:
 _Q123_SQL = _bpe_oracle_sql()
 
 
+# --------------------------------------------------------------- q170
+def q170_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE *application*: the encoded word vocabulary after the 3
+    trained merges — train (q123) and apply share the greedy-leftmost
+    island-parity merge machinery, so the tokenizer a user trains is
+    byte-identical to the one that encodes (the property HF/Sennrich
+    tokenizers guarantee and downstream token counts depend on).
+
+    Output is the encoding TABLE (word, freq, encoding, n_symbols):
+    applying it to a corpus is then one broadcast hash-join on word —
+    corpus text never passes through the iterative stages.  Oracle:
+    the same generated chained-CTE program as q123, selecting the
+    final vocab state instead of the merge list."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            "word",
+            "freq",
+            F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("seq"),
+        )
+    )
+    for i in range(1, _BPE_ROUNDS + 1):
+        vocab = vocab.persist()
+        vocab, _ = _bpe_merge_round(vocab, i)
+    return vocab.select(
+        "word",
+        "freq",
+        F.col("seq").alias("encoding"),
+        F.size(F.split("seq", " ")).alias("n_symbols"),
+    )
+
+
+def _bpe_encode_oracle_sql(rounds: int = _BPE_ROUNDS) -> str:
+    # _bpe_oracle_sql ends with the UNION ALL merge-list selects (the
+    # only top-level, unindented SELECT); keep the CTE chain and select
+    # the final vocab state instead
+    chain = _bpe_oracle_sql(rounds).split("\nSELECT", 1)[0]
+    return (
+        chain
+        + f"""
+SELECT word, freq, seq AS encoding,
+       CAST(len(string_split(seq, ' ')) AS INT) AS n_symbols
+FROM v{rounds + 1}
+"""
+    )
+
+
+_Q170_SQL = _bpe_encode_oracle_sql()
+
+
 # --------------------------------------------------------------- q120
 def q120_domain_distinctive_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain distinctive vocabulary: the 5 tokens whose relative
@@ -795,6 +849,7 @@ def q157_frequent_tokens_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "q170_bpe_encode": q170_bpe_encode,
     "q89_inverted_index": q89_inverted_index,
     "q137_collocation_lift": q137_collocation_lift,
     "q157_frequent_tokens_sketch": q157_frequent_tokens_sketch,
@@ -808,6 +863,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q170_bpe_encode": _Q170_SQL,
     "q89_inverted_index": _Q89_SQL,
     "q137_collocation_lift": _Q137_SQL,
     "q90_bm25_topk": _Q90_SQL,
