@@ -522,10 +522,20 @@ def setsim_prefix_join(
     # persisted: feeds the item-frequency pass AND both sides of the
     # exact verify join
     sets = shingle_sets(df, id_col=id_col, text_col=text_col, shingle_k=shingle_k).persist()
-    ex = sets.select(F.col(id_col), F.explode("shingles").alias("item"))
+    # Candidate generation runs on 64-bit item HASHES, not the shingle
+    # strings: the frequency pass and the prefix join then exchange 8
+    # bytes per item instead of ~30-char strings (~4× less shuffle
+    # volume, cheaper per-set sort).  Still lossless: shared item ⇒
+    # shared hash, so a collision can only ADD a candidate — never
+    # drop one — and the exact string-set verify below kills any
+    # false candidate.  The canonical order becomes (df, hash): any
+    # consistent global total order satisfies the prefix lemma.
+    ex = sets.select(
+        F.col(id_col), F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("item")
+    )
     freq = ex.groupBy("item").agg(F.count(F.lit(1)).alias("item_df"))
     # regroup each set sorted by the global canonical order (df asc,
-    # item asc); array_sort on struct<item_df,item> is exactly that
+    # hash asc); array_sort on struct<item_df,item> is exactly that
     # comparator, evaluated inside codegen
     ordered = (
         ex.join(freq, "item")
@@ -594,17 +604,27 @@ def containment_pairs(
     (the "contained document" case of substring dedup, Lee et al.
     "Deduplicating Training Data Makes Language Models Better").
 
-    Candidate generation is rarest-token blocking, and it is
+    Candidate generation is rarest-4-GRAM blocking, and it is
     *lossless*: containment is checked on space-padded normalized
     strings (`' '+norm+' '` ⊆ `' '+norm+' '`), so a match always
-    aligns on token boundaries — hence EVERY token of A is a token of
-    B, in particular A's globally rarest token.  One equi-join of
-    each document's rarest token against the corpus token index
-    yields all candidates; an exact ``contains`` verifies.
+    aligns on token boundaries — hence every 4-token gram of A is a
+    4-gram of B, in particular A's globally rarest one.  One
+    equi-join of each document's rarest gram against the corpus gram
+    index yields all candidates; an exact ``contains`` verifies.
+    Documents with fewer than 4 tokens fall back to rarest-TOKEN
+    blocking (every token of a contained doc is a token of its
+    container) against a token index semi-filtered to just those
+    rare tokens.  Grams/tokens are joined as 64-bit hashes — a
+    collision can only add a candidate, never drop one.
 
-    Scale shape: token document-frequency (one shuffle), per-doc
-    rarest token via ``min(struct(df, tok))`` (map-side combinable),
-    candidate equi-join keyed on rare tokens (minimum skew by
+    A single rare *token* is a poor block key on small-vocabulary
+    corpora (df of even the rarest token grows with corpus size ⇒
+    quadratic candidates); the rarest 4-gram's df is ~1 for any
+    non-duplicated passage, so candidates stay near-linear.
+
+    Scale shape: gram document-frequency (one shuffle), per-doc
+    rarest gram via ``min(struct(df, g))`` (map-side combinable),
+    candidate equi-join keyed on rare grams (minimum skew by
     construction), verify via two id-joins.  No all-pairs stage.
 
     Exact duplicates (equal norms) are emitted once with
@@ -621,23 +641,45 @@ def containment_pairs(
         .filter(F.length("norm") > 0)
         .persist()
     )
-    ex = norm.select(
+    toks_arr = F.split("norm", " ")
+    g4 = norm.select(
         F.col(id_col),
-        F.explode(F.array_distinct(F.split("norm", " "))).alias("tok"),
+        F.explode(
+            F.transform(F.array_distinct(word_shingles(toks_arr, 4)), lambda g: F.xxhash64(g))
+        ).alias("g"),
     )
-    freq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("tok_df"))
-    rare = (
-        ex.join(freq, "tok")
+    gfreq = g4.groupBy("g").agg(F.count(F.lit(1)).alias("g_df"))
+    rare4 = (
+        g4.join(gfreq, "g")
+        .groupBy(id_col)
+        .agg(F.min(F.struct("g_df", "g")).getField("g").alias("g"))
+        .withColumnRenamed(id_col, "contained_id")
+    )
+    cand4 = (
+        rare4.join(g4.withColumnRenamed(id_col, "container_id"), "g")
+        .filter(F.col("contained_id") != F.col("container_id"))
+        .select("contained_id", "container_id")
+    )
+    # <4-token docs have no 4-gram: rarest-token fallback, A-side only
+    ex_tok = norm.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.transform(toks_arr, lambda t: F.xxhash64(t)))).alias("tok"),
+    )
+    tfreq = ex_tok.groupBy("tok").agg(F.count(F.lit(1)).alias("tok_df"))
+    short_ids = norm.filter(F.size(toks_arr) < 4).select(id_col)
+    rare_tok = (
+        ex_tok.join(short_ids, id_col, "left_semi")
+        .join(tfreq, "tok")
         .groupBy(id_col)
         .agg(F.min(F.struct("tok_df", "tok")).getField("tok").alias("tok"))
         .withColumnRenamed(id_col, "contained_id")
     )
-    cand = (
-        rare.join(ex.withColumnRenamed(id_col, "container_id"), "tok")
+    cand_tok = (
+        rare_tok.join(ex_tok.withColumnRenamed(id_col, "container_id"), "tok")
         .filter(F.col("contained_id") != F.col("container_id"))
         .select("contained_id", "container_id")
-        .distinct()
     )
+    cand = cand4.unionByName(cand_tok).distinct()
     pad = lambda c: F.concat(F.lit(" "), c, F.lit(" "))  # noqa: E731
     return (
         cand.join(norm.withColumnsRenamed({id_col: "contained_id", "norm": "s_a"}), "contained_id")
