@@ -1598,6 +1598,92 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------- q171
+def q171_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation energy audit: per vector, the fraction of
+    L2 norm retained by the first 32/16/8 of 64 dims
+    (``‖v[:k]‖/‖v‖``) plus per-corpus summary flags — the check run
+    before shipping truncated (MRL-style) embeddings to a cheaper ANN
+    tier.  Map-only: one codegen'd pass, no shuffle except the final
+    nothing (per-row output).
+
+    Exactness: dot products are sequential ``aggregate`` folds over
+    DOUBLE (bit-identical to DuckDB's ``list_inner_product`` loop, the
+    q13-verified pairing); sqrt and one division are IEEE-identical on
+    identical operands."""
+    tune(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+
+    def dot(x):
+        return F.aggregate(
+            F.zip_with(x, x, lambda a, b: a * b), F.lit(0.0), lambda acc, y: acc + y
+        )
+
+    full = F.sqrt(dot(v))
+    out = [F.col("vec_id")]
+    for k in (32, 16, 8):
+        out.append((F.sqrt(dot(F.slice(v, 1, k))) / full).alias(f"retained_{k}"))
+    return emb.select(*out)
+
+
+_Q171_SQL = """
+WITH E AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings)
+SELECT vec_id,
+       sqrt(list_inner_product(v[1:32], v[1:32]))
+         / sqrt(list_inner_product(v, v)) AS retained_32,
+       sqrt(list_inner_product(v[1:16], v[1:16]))
+         / sqrt(list_inner_product(v, v)) AS retained_16,
+       sqrt(list_inner_product(v[1:8], v[1:8]))
+         / sqrt(list_inner_product(v, v)) AS retained_8
+FROM E
+"""
+
+
+# ---------------------------------------------------------------- q172
+def q172_kwic_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context (KWIC) index for a fixed term set: every
+    occurrence of each term with its 1-based token position and a
+    ±1-token context window — the retrieval artifact behind
+    concordance UIs and prompt-leak audits (where did this phrase
+    appear, in what context).
+
+    Shape: ONE map-only pass — tokenize, posexplode, IN-filter — no
+    joins, no shuffle; the corpus is scanned once and the output is
+    occurrence-proportional.  Window arithmetic is exact integer
+    slicing, identical on both engines."""
+    from .search import BM25_TERMS
+
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    t = tokens(F.lower(F.col("text")))
+    pos = (
+        docs.select("doc_id", t.alias("t"))
+        .select("doc_id", "t", F.posexplode("t").alias("pos0", "token"))
+        .filter(F.col("token").isin(*BM25_TERMS))
+    )
+    p = F.col("pos0") + 1
+    start = F.greatest(p - 1, F.lit(1))
+    end = F.least(p + 1, F.size("t"))
+    return pos.select(
+        "doc_id",
+        "token",
+        p.cast("bigint").alias("position"),
+        F.concat_ws(" ", F.slice("t", start, end - start + 1)).alias("context"),
+    )
+
+
+_Q172_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t FROM documents
+)
+SELECT doc_id, t[i] AS token, CAST(i AS BIGINT) AS position,
+       array_to_string(t[greatest(i-1, 1):least(i+1, len(t))], ' ') AS context
+FROM toks, unnest(range(1, len(t) + 1)) AS r(i)
+WHERE t[i] IN ('hash', 'join', 'vector')
+"""
+
+
 # ---------------------------------------------------------------- q169
 def q169_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental (delta-vs-corpus) MinHash dedup: the 20% of
@@ -1959,6 +2045,8 @@ QUERIES = {
     "q166_ngram_novelty": q166_ngram_novelty,
     "q168_privacy_audit": q168_privacy_audit,
     "q169_incremental_dedup": q169_incremental_dedup,
+    "q171_matryoshka_audit": q171_matryoshka_audit,
+    "q172_kwic_index": q172_kwic_index,
     "q12_text_dedup": q12_text_dedup,
     "q12_text_dedup_portable": q12_text_dedup_portable,
     "q12_simhash_dedup": q12_simhash_dedup,
@@ -2004,6 +2092,8 @@ ORACLE = {
     "q166_ngram_novelty": _Q166_SQL,
     "q168_privacy_audit": _Q168_SQL,
     "q169_incremental_dedup": _Q169_SQL,
+    "q171_matryoshka_audit": _Q171_SQL,
+    "q172_kwic_index": _Q172_SQL,
     "q12_text_dedup_portable": _Q12_TEXT_PORTABLE_SQL,
     "q12_simhash_dedup_portable": _Q12_SIMHASH_PORTABLE_SQL,
     "q12_exact_dedup": _Q12_EXACT_SQL,
