@@ -22,6 +22,13 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+# 185 queries × 2 executions in ONE JVM accumulate generated classes,
+# broadcast remnants, and shuffle bookkeeping; at the default 8 g heap
+# the tail of the run pays multi-x GC inflation (measured 190 s → 171 s
+# total at sf0.1 by raising the heap).  The bench box has 128 GiB;
+# explicit SPARK_DRIVER_MEM still wins.
+os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
+
 from alpaca_pyspark_spark.queries import QUERIES  # noqa: E402
 from alpaca_pyspark_spark.session import get_spark  # noqa: E402
 
