@@ -1785,32 +1785,36 @@ def q166_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     novelty diagnostic for curriculum ordering and crawl-snapshot
     triage (a near-zero novelty doc is retained boilerplate).
 
-    Scale shape: explode → min(doc_id) per gram (map-side combinable
-    hash agg) → join back on gram → per-doc count/sum.  Two shuffles
-    on gram + one on doc_id, all partial-agg; no windows, no
-    all-pairs.  Novelty is one division over identical integers."""
+    Scale shape: the exploded gram stream is aggregated TWICE on
+    compact keys — per-doc gram counts, and min(doc_id) per gram whose
+    winners re-aggregate into per-doc novel counts — then one join of
+    two |docs|-sized tables.  (The naive form joins the gram-level
+    first-occurrence table back onto the full exploded stream: a
+    corpus-scale shuffle this shape never pays.)  All aggs are
+    map-side combinable; novelty is one division over identical
+    integers."""
     tune(spark)
     docs = load(spark, sf_dir, "documents")
     from ..operators.dedup import shingle_sets
 
     sh = shingle_sets(docs, id_col="doc_id", text_col="text", shingle_k=5)
     ex = sh.select("doc_id", F.explode("shingles").alias("g"))
-    firsts = ex.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
-    return (
-        ex.join(firsts, "g")
+    per_doc = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    novel = (
+        ex.groupBy("g")
+        .agg(F.min("doc_id").alias("doc_id"))
         .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(
-                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-            ).alias("novel_grams"),
-        )
+        .agg(F.count(F.lit(1)).alias("novel_grams"))
+    )
+    return (
+        per_doc.join(novel, "doc_id", "left")
         .select(
             "doc_id",
             "n_grams",
-            "novel_grams",
+            F.coalesce("novel_grams", F.lit(0)).alias("novel_grams"),
             (
-                F.col("novel_grams").cast("double") / F.col("n_grams").cast("double")
+                F.coalesce("novel_grams", F.lit(0)).cast("double")
+                / F.col("n_grams").cast("double")
             ).alias("novelty"),
         )
     )
@@ -1828,15 +1832,16 @@ WITH sets AS (
   WHERE len(toks) >= 5
 ),
 ex AS (SELECT doc_id, unnest(shingles) AS g FROM sets WHERE len(shingles) > 0),
-firsts AS (SELECT g, min(doc_id) AS first_doc FROM ex GROUP BY g)
-SELECT ex.doc_id,
-       count(*) AS n_grams,
-       CAST(sum(CASE WHEN firsts.first_doc = ex.doc_id THEN 1 ELSE 0 END)
-            AS BIGINT) AS novel_grams,
-       CAST(sum(CASE WHEN firsts.first_doc = ex.doc_id THEN 1 ELSE 0 END)
-            AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty
-FROM ex JOIN firsts USING (g)
-GROUP BY ex.doc_id
+pd AS (SELECT doc_id, count(*) AS n_grams FROM ex GROUP BY doc_id),
+nv AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT min(doc_id) AS doc_id FROM ex GROUP BY g)
+  GROUP BY doc_id
+)
+SELECT pd.doc_id, pd.n_grams,
+       coalesce(nv.c, 0) AS novel_grams,
+       CAST(coalesce(nv.c, 0) AS DOUBLE) / CAST(pd.n_grams AS DOUBLE) AS novelty
+FROM pd LEFT JOIN nv USING (doc_id)
 """
 
 
