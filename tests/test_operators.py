@@ -834,3 +834,19 @@ def test_frequent_items_mg_guarantees(spark):
         # loose; the end-to-end merged bound is n/(cap+1) per partition
         # — assert the global floor instead: est >= true - n/(cap+1)*parts
     assert rows, "sketch returned nothing"
+
+
+def test_rendezvous_rebalance_moves_only_to_added_shards(spark):
+    """HRW minimal-disruption invariant: growing 8 -> 10 shards can
+    only move a key whose 10-shard argmax is one of the ADDED shards
+    (8 or 9) — the old argmax over shards 0-7 is unchanged otherwise."""
+    from .conftest import SF_DIR
+    from alpaca_pyspark_spark.queries.warehouse import q167_rendezvous_rebalance
+
+    rows = q167_rendezvous_rebalance(spark, SF_DIR).collect()
+    assert rows, "expected at least one migration-matrix cell"
+    for r in rows:
+        if r["moved"]:
+            assert r["new_shard"] in (8, 9), r
+        else:
+            assert r["old_shard"] == r["new_shard"], r
