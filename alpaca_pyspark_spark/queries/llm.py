@@ -1598,6 +1598,98 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------- q173
+def q173_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card: the summary block a corpus release ships
+    with — doc/token counts, language/source cardinalities, exact
+    duplicate rate (via the canonical fingerprint), mean and EXACT
+    median document length (upper-median convention for even counts: the first histogram value whose cumulative count reaches (n+1)/2).
+
+    Scale shape: one corpus scan feeds one hash aggregation (counts,
+    sums, distincts); the exact median is selected from the *length
+    HISTOGRAM* (groupBy n_chars → cumulative count → min value with
+    cum ≥ (n+1)/2) — the ordered window runs over ≤
+    |distinct lengths| rows, never the corpus, so there is no global
+    row sort anywhere.  Every output is an integer or one division
+    over identical integers."""
+    tune(spark)
+    from ..operators.text import normalized_fingerprint
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "n_chars",
+        "lang",
+        "source",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_toks"),
+        normalized_fingerprint("text").alias("fp"),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("fp").alias("n_unique"),
+    )
+    hist = base.groupBy("n_chars").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("c").over(w))
+    median = (
+        cum.crossJoin(F.broadcast(stats.select("n_docs")))
+        .filter(F.col("cum") >= (F.col("n_docs") - 1) / 2 + 1)
+        .agg(F.min("n_chars").alias("median_chars"))
+    )
+    return stats.crossJoin(F.broadcast(median)).select(
+        "n_docs",
+        "n_tokens",
+        "n_langs",
+        "n_sources",
+        (F.col("total_chars").cast("double") / F.col("n_docs")).alias("avg_chars"),
+        "median_chars",
+        (F.col("n_docs") - F.col("n_unique")).alias("dup_docs"),
+        (
+            (F.col("n_docs") - F.col("n_unique")).cast("double") / F.col("n_docs")
+        ).alias("dup_rate"),
+    )
+
+
+_Q173_SQL = """
+WITH base AS (
+  SELECT n_chars, lang, source,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_toks,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents
+),
+s AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         count(DISTINCT lang) AS n_langs,
+         count(DISTINCT source) AS n_sources,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         count(DISTINCT fp) AS n_unique
+  FROM base
+),
+hist AS (SELECT n_chars, count(*) AS c FROM base GROUP BY n_chars),
+cum AS (
+  SELECT n_chars,
+         sum(c) OVER (ORDER BY n_chars
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM hist
+),
+m AS (
+  SELECT min(n_chars) AS median_chars
+  FROM cum CROSS JOIN s
+  WHERE cum >= (n_docs - 1) / 2 + 1
+)
+SELECT n_docs, n_tokens, n_langs, n_sources,
+       CAST(total_chars AS DOUBLE) / n_docs AS avg_chars,
+       median_chars,
+       CAST(n_docs - n_unique AS BIGINT) AS dup_docs,
+       CAST(n_docs - n_unique AS DOUBLE) / n_docs AS dup_rate
+FROM s CROSS JOIN m
+"""
+
+
 # ---------------------------------------------------------------- q171
 def q171_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka-truncation energy audit: per vector, the fraction of
@@ -2051,6 +2143,7 @@ QUERIES = {
     "q168_privacy_audit": q168_privacy_audit,
     "q169_incremental_dedup": q169_incremental_dedup,
     "q171_matryoshka_audit": q171_matryoshka_audit,
+    "q173_dataset_card": q173_dataset_card,
     "q172_kwic_index": q172_kwic_index,
     "q12_text_dedup": q12_text_dedup,
     "q12_text_dedup_portable": q12_text_dedup_portable,
@@ -2098,6 +2191,7 @@ ORACLE = {
     "q168_privacy_audit": _Q168_SQL,
     "q169_incremental_dedup": _Q169_SQL,
     "q171_matryoshka_audit": _Q171_SQL,
+    "q173_dataset_card": _Q173_SQL,
     "q172_kwic_index": _Q172_SQL,
     "q12_text_dedup_portable": _Q12_TEXT_PORTABLE_SQL,
     "q12_simhash_dedup_portable": _Q12_SIMHASH_PORTABLE_SQL,
