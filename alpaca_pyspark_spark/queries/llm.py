@@ -1690,6 +1690,65 @@ FROM s CROSS JOIN m
 """
 
 
+# ---------------------------------------------------------------- q174
+def q174_template_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate/template detection: documents sharing their first
+    8 tokens grouped into template clusters (count, representative,
+    source spread, share of corpus) — the cheap screen that catches
+    generated/boilerplate families (cookie banners, scaffold pages)
+    before the expensive near-dup passes run.
+
+    Scale shape: ONE hash aggregation keyed by the 8-token prefix
+    (map-side partial; the exchange carries |templates| rows).  Share
+    is one division over identical integers."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    t = tokens(F.lower(F.col("text")))
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.concat_ws(" ", F.slice(t, 1, 8)).alias("prefix"),
+    ).filter(F.size(t) >= 8)
+    total = base.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        base.groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("rep_doc_id"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "prefix",
+            "n_docs",
+            "rep_doc_id",
+            "n_sources",
+            (F.col("n_docs").cast("double") / F.col("n_total")).alias("corpus_share"),
+        )
+    )
+
+
+_Q174_SQL = """
+WITH base AS (
+  SELECT doc_id, source,
+         array_to_string(t[1:8], ' ') AS prefix
+  FROM (SELECT doc_id, source, regexp_extract_all(lower(text), '\\S+') AS t
+        FROM documents)
+  WHERE len(t) >= 8
+),
+total AS (SELECT count(*) AS n_total FROM base)
+SELECT prefix,
+       count(*) AS n_docs,
+       min(doc_id) AS rep_doc_id,
+       count(DISTINCT source) AS n_sources,
+       CAST(count(*) AS DOUBLE) / max(n_total) AS corpus_share
+FROM base CROSS JOIN total
+GROUP BY prefix
+HAVING count(*) >= 2
+"""
+
+
 # ---------------------------------------------------------------- q171
 def q171_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka-truncation energy audit: per vector, the fraction of
@@ -2144,6 +2203,7 @@ QUERIES = {
     "q169_incremental_dedup": q169_incremental_dedup,
     "q171_matryoshka_audit": q171_matryoshka_audit,
     "q173_dataset_card": q173_dataset_card,
+    "q174_template_prefixes": q174_template_prefixes,
     "q172_kwic_index": q172_kwic_index,
     "q12_text_dedup": q12_text_dedup,
     "q12_text_dedup_portable": q12_text_dedup_portable,
@@ -2192,6 +2252,7 @@ ORACLE = {
     "q169_incremental_dedup": _Q169_SQL,
     "q171_matryoshka_audit": _Q171_SQL,
     "q173_dataset_card": _Q173_SQL,
+    "q174_template_prefixes": _Q174_SQL,
     "q172_kwic_index": _Q172_SQL,
     "q12_text_dedup_portable": _Q12_TEXT_PORTABLE_SQL,
     "q12_simhash_dedup_portable": _Q12_SIMHASH_PORTABLE_SQL,
