@@ -1690,6 +1690,73 @@ FROM s CROSS JOIN m
 """
 
 
+# ---------------------------------------------------------------- q175
+def q175_lang_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise audit: confusion matrix between the DECLARED
+    ``lang`` column and the stopword-overlap language-id prediction
+    (q16's operator), with per-cell counts and the per-declared-label
+    disagreement rate — the check that catches mislabeled metadata
+    before language-filtered training mixes are drawn.
+
+    Scale shape: lang-id is a map-side expression; ONE hash
+    aggregation on (declared, predicted); the per-label total attaches
+    by a window over the |labels|² matrix, not the corpus.  Rates are
+    one division over identical integers."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    pred = with_lang_id(docs.select("lang", "text")).select(
+        F.coalesce("lang", F.lit("")).alias("declared"), "lang_pred"
+    )
+    cells = pred.groupBy("declared", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = Window.partitionBy("declared")
+    return cells.select(
+        "declared",
+        "lang_pred",
+        "n_docs",
+        F.sum("n_docs").over(w).alias("declared_total"),
+        (
+            F.when(F.col("declared") == F.col("lang_pred"), F.lit(0)).otherwise(
+                F.col("n_docs")
+            ).cast("double")
+            / F.sum("n_docs").over(w)
+        ).alias("disagree_share"),
+    )
+
+
+_Q175_SQL = """
+WITH T AS (
+  SELECT coalesce(lang, '') AS declared,
+         list_distinct(regexp_extract_all(text, '\\S+')) AS toks
+  FROM documents
+), S AS (
+  SELECT declared,
+    len(list_intersect(toks, ['the','and','of','to','in','is','a','that','it','for'])) AS score_en,
+    len(list_intersect(toks, ['el','la','de','que','y','en','un','por','con','una'])) AS score_es,
+    len(list_intersect(toks, ['der','die','und','das','ist','von','mit','den','ein','zu'])) AS score_de,
+    len(list_intersect(toks, ['le','la','et','les','des','un','une','du','est','dans'])) AS score_fr
+  FROM T
+), P AS (
+  SELECT declared,
+         CASE WHEN greatest(score_en, score_es, score_de, score_fr) <= 0 THEN 'und'
+              WHEN score_en = greatest(score_en, score_es, score_de, score_fr) THEN 'en'
+              WHEN score_es = greatest(score_en, score_es, score_de, score_fr) THEN 'es'
+              WHEN score_de = greatest(score_en, score_es, score_de, score_fr) THEN 'de'
+              ELSE 'fr' END AS lang_pred
+  FROM S
+), C AS (
+  SELECT declared, lang_pred, count(*) AS n_docs FROM P GROUP BY 1, 2
+)
+SELECT declared, lang_pred, n_docs,
+       CAST(sum(n_docs) OVER (PARTITION BY declared) AS BIGINT) AS declared_total,
+       CAST(CASE WHEN declared = lang_pred THEN 0 ELSE n_docs END AS DOUBLE)
+         / CAST(sum(n_docs) OVER (PARTITION BY declared) AS BIGINT)
+         AS disagree_share
+FROM C
+"""
+
+
 # ---------------------------------------------------------------- q174
 def q174_template_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate/template detection: documents sharing their first
@@ -2204,6 +2271,7 @@ QUERIES = {
     "q171_matryoshka_audit": q171_matryoshka_audit,
     "q173_dataset_card": q173_dataset_card,
     "q174_template_prefixes": q174_template_prefixes,
+    "q175_lang_label_audit": q175_lang_label_audit,
     "q172_kwic_index": q172_kwic_index,
     "q12_text_dedup": q12_text_dedup,
     "q12_text_dedup_portable": q12_text_dedup_portable,
@@ -2253,6 +2321,7 @@ ORACLE = {
     "q171_matryoshka_audit": _Q171_SQL,
     "q173_dataset_card": _Q173_SQL,
     "q174_template_prefixes": _Q174_SQL,
+    "q175_lang_label_audit": _Q175_SQL,
     "q172_kwic_index": _Q172_SQL,
     "q12_text_dedup_portable": _Q12_TEXT_PORTABLE_SQL,
     "q12_simhash_dedup_portable": _Q12_SIMHASH_PORTABLE_SQL,
