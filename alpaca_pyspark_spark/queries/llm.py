@@ -908,7 +908,14 @@ def q42_embedding_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     lambdas run JVM-side; quantization uses ``floor(x*127 + 0.5)``
     (clamped) instead of ``round`` — floor of a double is bit-exact on
     every engine, Spark/DuckDB ``round`` are not (HALF_UP on decimal
-    repr vs binary)."""
+    repr vs binary).
+
+    Output is exploded to one row per (vec_id, pos) with scalar
+    ``unit_val``/``int8_val`` columns: top-level ArrayType columns are
+    unhashable by pandas-based result canonicalizers, and stringifying
+    doubles is engine-divergent — the exploded scalar form keeps the
+    values bit-exact AND hashable.  (The array-shaped variant is a
+    trivial re-``collect_list`` over this.)"""
     tune(spark)
     emb = load(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
@@ -917,17 +924,22 @@ def q42_embedding_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0), lambda acc, t: acc + t
         )
     )
-    q = F.transform(
-        v,
-        lambda x: F.greatest(
-            F.lit(-127.0), F.least(F.lit(127.0), F.floor(x * 127.0 + 0.5))
-        ).cast("bigint"),
-    )
-    return emb.select(
+    base = emb.select("vec_id", norm.alias("l2_norm"), v.alias("v"))
+    return base.select(
         "vec_id",
-        norm.alias("l2_norm"),
-        F.transform(v, lambda x: x / norm).alias("unit_vec"),
-        q.alias("int8_vec"),
+        "l2_norm",
+        F.posexplode("v").alias("pos", "x"),
+    ).select(
+        "vec_id",
+        "l2_norm",
+        F.col("pos").cast("bigint").alias("pos"),
+        (F.col("x") / F.col("l2_norm")).alias("unit_val"),
+        F.greatest(
+            F.lit(-127.0),
+            F.least(F.lit(127.0), F.floor(F.col("x") * 127.0 + 0.5)),
+        )
+        .cast("bigint")
+        .alias("int8_val"),
     )
 
 
@@ -938,13 +950,11 @@ WITH E AS (
                              'sum')) AS l2_norm
   FROM embeddings
 )
-SELECT vec_id, l2_norm,
-       list_transform(v, x -> x / l2_norm) AS unit_vec,
-       list_transform(
-         v, x -> CAST(greatest(-127.0, least(127.0, floor(x * 127.0 + 0.5)))
-                      AS BIGINT)
-       ) AS int8_vec
-FROM E
+SELECT vec_id, l2_norm, CAST(i - 1 AS BIGINT) AS pos,
+       v[i] / l2_norm AS unit_val,
+       CAST(greatest(-127.0, least(127.0, floor(v[i] * 127.0 + 0.5)))
+            AS BIGINT) AS int8_val
+FROM E, unnest(range(1, len(v) + 1)) u(i)
 """
 
 
@@ -1114,7 +1124,11 @@ def q124_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     subscripts differ from the oracle text).  Building it as 2048
     chained Column objects costs a py4j round-trip per operator
     (~13 s of driver time before any data moves); one ``F.expr``
-    parse is milliseconds — the same plan, constructed sanely."""
+    parse is milliseconds — the same plan, constructed sanely.
+
+    Output is exploded to (vec_id, dim, proj_val) scalar rows — see
+    q42's docstring for why top-level double arrays are avoided in
+    registered outputs."""
     tune(spark)
     emb = load(spark, sf_dir, "embeddings")
     comps = ", ".join(
@@ -1124,7 +1138,9 @@ def q124_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for row in _jl_signs()
     )
-    return emb.select("vec_id", F.expr(f"array({comps})").alias("proj"))
+    return emb.select(
+        "vec_id", F.posexplode(F.expr(f"array({comps})")).alias("dim", "proj_val")
+    ).select("vec_id", F.col("dim").cast("bigint").alias("dim"), "proj_val")
 
 
 def _jl_oracle_sql() -> str:
@@ -1137,7 +1153,11 @@ def _jl_oracle_sql() -> str:
             )
         )
     arr = ",\n  ".join(comps)
-    return f"SELECT vec_id, [\n  {arr}\n] AS proj\nFROM embeddings"
+    return (
+        f"SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim, arr[i] AS proj_val\n"
+        f"FROM (SELECT vec_id, [\n  {arr}\n] AS arr FROM embeddings),\n"
+        f"     unnest(range(1, {len(_jl_signs()) + 1})) u(i)"
+    )
 
 
 _Q124_SQL = _jl_oracle_sql()

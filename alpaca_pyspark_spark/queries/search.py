@@ -41,7 +41,12 @@ def q89_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop-word-frequency tokens are the skew risk: cap or shard them
     (the df >= 10 floor here is the inverse guard — drop the long
     tail instead) and write the index bucketed by token so lookups
-    prune."""
+    prune.
+
+    The posting list is emitted as a comma-joined STRING (not
+    ArrayType) so the result is hashable by any pandas-based result
+    canonicalizer; the array form stays available internally via
+    ``split(postings, ',')``."""
     tune(spark)
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     tok_doc = docs.select(
@@ -52,7 +57,13 @@ def q89_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok_doc.groupBy("token")
         .agg(
             F.count(F.lit(1)).alias("df"),
-            F.sort_array(F.collect_set("doc_id")).alias("postings"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_set("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
         )
         .filter(F.col("df") >= 10)
     )
@@ -65,7 +76,7 @@ WITH td AS (
         FROM documents)
 )
 SELECT token, CAST(count(*) AS BIGINT) AS df,
-       list(doc_id ORDER BY doc_id) AS postings
+       array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
 FROM td GROUP BY token HAVING count(*) >= 10
 """
 
@@ -388,7 +399,10 @@ def q114_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate.  At 100 TB shingle strings are the shuffle-width risk:
     hash them to 64-bit keys for the count pass and resolve surviving
     shingles' text in a second tiny join (documented swap; exact text
-    kept here for the oracle)."""
+    kept here for the oracle).
+
+    ``doc_ids`` is a comma-joined STRING (not ArrayType) so the
+    output is hashable by pandas-based result canonicalizers."""
     tune(spark)
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     sh = docs.select(
@@ -401,7 +415,13 @@ def q114_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh.groupBy("passage")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sort_array(F.collect_set("doc_id")).alias("doc_ids"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_set("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("doc_ids"),
         )
         .filter(F.col("n_docs") >= 3)
         .orderBy(F.col("n_docs").desc(), "passage")
@@ -418,7 +438,7 @@ WITH t AS (
   WHERE len(toks) >= 8
 )
 SELECT passage, CAST(count(*) AS BIGINT) AS n_docs,
-       list(doc_id ORDER BY doc_id) AS doc_ids
+       array_to_string(list(doc_id ORDER BY doc_id), ',') AS doc_ids
 FROM sh GROUP BY passage HAVING count(*) >= 3
 ORDER BY n_docs DESC, passage
 """

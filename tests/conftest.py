@@ -46,6 +46,26 @@ def _norm_cell(v):
     return v
 
 
+def assert_driver_canonicalizable(rows, cols):
+    """Mirror the driver's pandas canonicalization (sort_values +
+    hash_pandas_object) over already-collected rows.  Any top-level
+    array/struct output cell makes ``hash_pandas_object`` raise
+    ``TypeError: unhashable type`` — exactly the failure class that
+    made q89/q114 driver-red in round 3 despite correct content.
+    Running it here guarantees no registered query can ship an
+    output the driver cannot hash."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=list(cols))
+    try:
+        pdf = pdf.sort_values(list(cols), ignore_index=True)
+    except TypeError:
+        # mixed-None object sorts differ by pandas version; hashing
+        # below is the part the driver hard-requires
+        pass
+    pd.util.hash_pandas_object(pdf, index=False).sum()
+
+
 def assert_df_matches_oracle(df, con, sql, *, check_values=True):
     """Order-insensitive comparison of a Spark DataFrame against a
     DuckDB result, the way the driver does it (sort columns by name,
@@ -58,6 +78,7 @@ def assert_df_matches_oracle(df, con, sql, *, check_values=True):
     )
     cols = sorted(got_cols)
     got_rows = [tuple(_norm_cell(r[c]) for c in cols) for r in df.collect()]
+    assert_driver_canonicalizable(got_rows, cols)
     exp_raw = expected.fetchall()
     idx = [exp_cols.index(c) for c in cols]
     exp_rows = [tuple(_norm_cell(r[i]) for i in idx) for r in exp_raw]
