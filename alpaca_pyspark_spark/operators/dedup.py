@@ -412,13 +412,14 @@ def embedding_near_duplicates(
     probability (1 − θ/π)^planes ≈ 0.94^8, and the all-pairs blow-up
     is confined to buckets.  ``num_planes=None`` = exact all-pairs
     (test/oracle baseline only — O(n²) scan)."""
-    from .similarity import all_pairs_above_arrow, sign_bucket
+    from .similarity import all_pairs_above_blocked, sign_bucket
 
     if num_planes is None:
-        # exact all-pairs baseline: Arrow kernel with the identical
-        # IEEE op order (bit-equal to the fold below and to the
-        # oracle); nothing quadratic materializes in the plan
-        return all_pairs_above_arrow(
+        # exact all-pairs: distributed triangle join — every block
+        # pair is one Arrow task with the identical IEEE op order
+        # (bit-equal to the fold below and to the oracle); no driver
+        # collect, no task holds more than two blocks
+        return all_pairs_above_blocked(
             vectors, id_col=id_col, vec_col=vec_col, threshold=threshold
         )
 

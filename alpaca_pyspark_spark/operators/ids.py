@@ -44,7 +44,12 @@ def assign_stable_ids(
     stable relative numbering)."""
     cols = [F.col(c) for c in order_cols]
     parts = df.repartitionByRange(num_partitions, *cols).sortWithinPartitions(*cols)
-    parts = parts.persist()  # sorted layout feeds the count AND the map stage
+    # The sorted layout feeds BOTH the count job below and the final
+    # map stage.  localCheckpoint (not persist) materializes it once
+    # at the count, truncates lineage, and is released by Spark's
+    # ContextCleaner when the returned DataFrame is garbage-collected
+    # — no cache entry lingers for the caller to unpersist.
+    parts = parts.localCheckpoint(eager=False)
     sizes = {
         r["pid"]: r["n"]
         for r in parts.groupBy(F.spark_partition_id().alias("pid"))

@@ -202,6 +202,206 @@ def all_pairs_above_arrow(
     return v.mapInPandas(gen, "id_a long, id_b long, cos_sim double")
 
 
+def all_pairs_above_blocked(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float,
+    num_blocks: int = 8,
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold (id_a < id_b) as a
+    distributed TRIANGLE JOIN — the de-collected replacement for
+    :func:`all_pairs_above_arrow` in registered queries:
+
+    - every vector hashes into one of ``num_blocks`` blocks,
+    - every unordered block pair (i ≤ j) becomes ONE ``applyInPandas``
+      group that scores its two blocks with the sequential-order
+      kernel (bit-identical doubles to the ``zip_with``/``aggregate``
+      fold and DuckDB's ``list_cosine_similarity``),
+    - only passing pairs are emitted.
+
+    Nothing is ever collected to the driver and no task holds more
+    than two blocks (≈ 2·|corpus|/num_blocks vectors), so the operator
+    survives corpora where |corpus|×dim no longer fits one machine;
+    each side is replicated ``num_blocks`` times through one shuffle
+    (the classic O(n·B) triangle-join replication — pick
+    B ≈ √tasks_wanted).  The quadratic COMPUTE is inherent to the
+    exact operator; the scale dial for avoiding it is the LSH-bucketed
+    path, not this."""
+    B = int(num_blocks)
+    pair_rows = [
+        (i * B + j, i, j) for i in range(B) for j in range(i, B)
+    ]
+    ss = vectors.sparkSession
+    pairs = ss.createDataFrame(pair_rows, "pid int, bi int, bj int")
+    v = vectors.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).withColumn(
+        "__blk", F.pmod(F.xxhash64(F.col("__id")), F.lit(B)).cast("int")
+    )
+    rep = v.join(
+        F.broadcast(pairs),
+        (F.col("__blk") == F.col("bi")) | (F.col("__blk") == F.col("bj")),
+    )
+
+    def score(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+        if not len(pdf):
+            return empty
+        bi, bj = int(pdf["bi"].iloc[0]), int(pdf["bj"].iloc[0])
+        blk = pdf["__blk"].to_numpy()
+        ids = pdf["__id"].to_numpy()
+        M = np.stack(pdf["__v"].to_numpy())
+        if bi == bj:
+            cos = _seq_dot_block(M, M)
+            n = _seq_norms(M)
+            cos = cos / (n[:, None] * n[None, :])
+            keep = (cos >= threshold) & (ids[:, None] < ids[None, :])
+            r, c = np.nonzero(keep)
+            if not len(r):
+                return empty
+            return pd.DataFrame(
+                {"id_a": ids[r], "id_b": ids[c], "cos_sim": cos[r, c]}
+            )
+        left, right = blk == bi, blk == bj
+        if not left.any() or not right.any():
+            return empty
+        A, Aids = M[left], ids[left]
+        Bm, Bids = M[right], ids[right]
+        cos = _seq_dot_block(A, Bm) / (
+            _seq_norms(A)[:, None] * _seq_norms(Bm)[None, :]
+        )
+        keep = cos >= threshold
+        r, c = np.nonzero(keep)
+        if not len(r):
+            return empty
+        ia, ib = Aids[r], Bids[c]
+        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cos_sim": cos[r, c]})
+
+    return rep.groupBy("pid").applyInPandas(
+        score, "id_a long, id_b long, cos_sim double"
+    )
+
+
+def knn_graph_exact(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_blocks: int = 8,
+) -> DataFrame:
+    """Exact k-NN GRAPH (every vertex → its k nearest neighbors by
+    cosine) built on the blocked triangle join: all pairs are scored
+    once (threshold −2 < any cosine, so nothing is cut), symmetrized
+    into directed edges, and cut to k by a per-source window.
+
+    Returns (src, dst, rank, cos_sim).  No driver collect anywhere;
+    compute is the inherent O(n²) of the exact graph — the published
+    scale alternatives (NN-Descent, IVF/LSH candidate graphs) trade
+    recall for sub-quadratic work, and this operator is their exact
+    baseline."""
+    pairs = all_pairs_above_blocked(
+        vectors,
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=-2.0,
+        num_blocks=num_blocks,
+    )
+    fwd = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "cos_sim"
+    )
+    rev = pairs.select(
+        F.col("id_b").alias("src"), F.col("id_a").alias("dst"), "cos_sim"
+    )
+    edges = fwd.unionAll(rev)
+    w = Window.partitionBy("src").orderBy(
+        F.col("cos_sim").desc(), F.col("dst").asc()
+    )
+    return edges.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )
+
+
+def semdedup(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float,
+    num_cells: int = 16,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) with a deterministic quantizer:
+    cluster the embedding space coarsely, then deduplicate ONLY within
+    cells — the published trick that bounds semantic dedup's quadratic
+    pair work to |cell|² instead of |corpus|².
+
+    Deterministic variant so the whole operator sits under the exact
+    oracle gate: centroids are the embeddings of the ``num_cells``
+    smallest ids (same quantizer as ``ivf_topk_det``), assignment is
+    the bit-exact sequential-order kernel, and the keep rule is
+    "drop v iff a lower-id cell-mate u has cos(u, v) ≥ threshold"
+    (lowest-id representative per duplicate chain — deterministic, no
+    transitive closure needed).
+
+    Returns one row per vector: (vec_id, cell, kept).  Scale shape:
+    centroid collect is O(num_cells); assignment is map-only Arrow;
+    the only exchanges are the equi-join on cell (bounded by the
+    largest cell, the knob ``num_cells`` controls) and the final
+    left-anti attach."""
+    from . import spread
+
+    seed_rows = (
+        vectors.select(
+            F.col(id_col).alias("__sid"),
+            F.col(vec_col).cast("array<double>").alias("__sv"),
+        )
+        .orderBy("__sid")
+        .limit(num_cells)
+        .collect()
+    )
+    centroids = [list(r["__sv"]) for r in seed_rows]
+    v = (
+        spread(
+            vectors.select(
+                F.col(id_col).alias("vec_id"),
+                F.col(vec_col).cast("array<double>").alias("__v"),
+            )
+        )
+        .withColumn(
+            "cell", _det_cell_assigner(centroids, 1)(F.col("__v")).getItem(0)
+        )
+        # assignment feeds both self-join sides and the final output:
+        # checkpoint runs the Arrow kernel once and truncates lineage
+        .localCheckpoint(eager=False)
+    )
+    from ..functions import cosine_similarity as _cos
+
+    a = v.select(
+        "cell", F.col("vec_id").alias("id_a"), F.col("__v").alias("va")
+    )
+    b = v.select(
+        "cell", F.col("vec_id").alias("id_b"), F.col("__v").alias("vb")
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_b", _cos(F.col("va"), F.col("vb")).alias("__cos"))
+        .filter(F.col("__cos") >= threshold)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("__drop", F.lit(True))
+    )
+    return v.join(dropped, "vec_id", "left").select(
+        "vec_id",
+        F.col("cell").cast("bigint").alias("cell"),
+        F.col("__drop").isNull().alias("kept"),
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -216,11 +216,14 @@ GROUP BY 1
 
 
 def q12_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (exact all-pairs — the
-    oracle baseline; the LSH-bucketed scale path of the same operator
-    is unit-tested for subset-consistency).  Threshold 0.35 ≈ the top
-    0.1% of pairs on this uniform synthetic corpus (real dedup runs at
-    ~0.95 on near-identical embeddings)."""
+    """Embedding-cosine near-duplicate pairs — EXACT all-pairs as a
+    distributed triangle block-pair join (``all_pairs_above_blocked``):
+    no driver collect anywhere in the plan, no task holds more than
+    two hash blocks, compute is the inherent O(n²) of the exact
+    operator.  The sub-quadratic scale path of the same operator is
+    ``q12_embedding_dedup_lsh``.  Threshold 0.35 ≈ the top 0.1% of
+    pairs on this uniform synthetic corpus (real dedup runs at ~0.95
+    on near-identical embeddings)."""
     tune(spark)
     emb = load(spark, sf_dir, "embeddings")
     return embedding_near_duplicates(
@@ -371,8 +374,10 @@ SELECT id AS vec_id, min(r) AS component FROM reach GROUP BY id
 # ---------------------------------------------------------------- q13
 def q13_embedding_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-10 cosine neighbors for query vectors (vec_id < 8)
-    over the full embedding corpus — brute-force baseline with the
-    query side broadcast."""
+    over the full embedding corpus.  Only the 8-row QUERY set rides
+    in the Arrow UDF closure; the corpus never leaves the executors
+    (scored partition-locally by ``brute_force_topk_arrow``, then one
+    per-query top-k window over |corpus|×8 scalar rows)."""
     tune(spark)
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8).select(
@@ -528,6 +533,87 @@ R AS (
   FROM S
 )
 SELECT query_id, vec_id, rank, cos_sim FROM R WHERE rank <= 10
+"""
+
+
+# --------------------------------------------------------------- q176
+def q176_knn_graph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5-NN graph over the whole embedding corpus — the
+    neighborhood structure behind semantic clustering, curriculum
+    ordering, and graph-based dedup audits.  Built on the distributed
+    triangle block-pair join (``knn_graph_exact``): every cosine is
+    scored exactly once, no driver collect, each task bounded by two
+    hash blocks.  The compute is the exact graph's inherent O(n²);
+    the ANN variants (q13 LSH / IVF) are the sub-quadratic trade."""
+    from ..operators.similarity import knn_graph_exact
+
+    tune(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    return knn_graph_exact(emb, id_col="vec_id", vec_col="embedding", k=5)
+
+
+_Q176_SQL = """
+WITH E AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+P AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         list_cosine_similarity(a.v, b.v) AS cos_sim
+  FROM E a JOIN E b ON a.vec_id <> b.vec_id
+),
+R AS (
+  SELECT src, dst, cos_sim,
+         CAST(row_number() OVER (
+           PARTITION BY src ORDER BY cos_sim DESC, dst
+         ) AS BIGINT) AS rank
+  FROM P
+)
+SELECT src, dst, rank, cos_sim FROM R WHERE rank <= 5
+"""
+
+
+# --------------------------------------------------------------- q177
+def q177_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023): coarse
+    k-means-style cells bound the quadratic pair work to within-cell,
+    then each duplicate chain keeps its lowest-id representative.
+    Deterministic quantizer (16 smallest-id embeddings as centroids,
+    bit-exact assignment kernel) puts the ENTIRE published algorithm
+    under the exact oracle gate — cell assignment, within-cell pair
+    generation, and the keep rule all replicate in SQL.  Threshold
+    0.25 ≈ the semantic-dup tail of this uniform synthetic corpus
+    (production runs at ~0.95+ on real embedding spaces)."""
+    from ..operators.similarity import semdedup
+
+    tune(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    return semdedup(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.25, num_cells=16
+    )
+
+
+_Q177_SQL = """
+WITH E AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+C AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v AS cv
+  FROM (SELECT vec_id, v FROM E ORDER BY vec_id LIMIT 16)
+),
+A AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell
+           ) AS rn
+    FROM E e CROSS JOIN C c
+  ) WHERE rn = 1
+),
+D AS (
+  SELECT DISTINCT b.vec_id
+  FROM A a JOIN A b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= 0.25
+)
+SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+       (d.vec_id IS NULL) AS kept
+FROM A a LEFT JOIN D d ON a.vec_id = d.vec_id
 """
 
 
@@ -1714,9 +1800,13 @@ FROM s CROSS JOIN m
 def q175_lang_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-noise audit: confusion matrix between the DECLARED
     ``lang`` column and the stopword-overlap language-id prediction
-    (q16's operator), with per-cell counts and the per-declared-label
-    disagreement rate — the check that catches mislabeled metadata
-    before language-filtered training mixes are drawn.
+    (q16's operator), with per-cell counts and each cell's share of
+    its declared-label total (``disagree_share`` is 0 on diagonal
+    cells and n_docs/declared_total off-diagonal — a per-CELL share;
+    the per-label disagreement RATE is the sum of the off-diagonal
+    shares within a declared label) — the check that catches
+    mislabeled metadata before language-filtered training mixes are
+    drawn.
 
     Scale shape: lang-id is a map-side expression; ONE hash
     aggregation on (declared, predicted); the per-label total attaches
@@ -2240,7 +2330,12 @@ def q165_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tokens(F.col("text"))
     n = F.size(t)
     big = (
-        docs.select(
+        # the >= 2 token floor mirrors the oracle's WHERE len(t) >= 2:
+        # without it a zero-token document makes slice length n-1
+        # negative, which is a runtime error in Spark while the oracle
+        # just emits no rows — an engine-divergent crash on valid input
+        docs.filter(n >= 2)
+        .select(
             F.explode(
                 F.arrays_zip(
                     F.slice(t, 1, n - 1).alias("w1"), F.slice(t, 2, n - 1).alias("w2")
@@ -2304,6 +2399,8 @@ QUERIES = {
     "q13_embedding_sim_ann": q13_embedding_sim_ann,
     "q13_embedding_sim_ivf": q13_embedding_sim_ivf,
     "q13_embedding_sim_ivf_det": q13_embedding_sim_ivf_det,
+    "q176_knn_graph_exact": q176_knn_graph_exact,
+    "q177_semdedup": q177_semdedup,
     "q15_text_stats": q15_text_stats,
     "q16_lang_id": q16_lang_id,
     "q17_fingerprint": q17_fingerprint,
@@ -2351,6 +2448,8 @@ ORACLE = {
     "q13_embedding_sim": _Q13_SQL,
     "q13_embedding_sim_ann": _Q13_ANN_SQL,
     "q13_embedding_sim_ivf_det": _Q13_IVF_DET_SQL,
+    "q176_knn_graph_exact": _Q176_SQL,
+    "q177_semdedup": _Q177_SQL,
     "q135_embedding_quantization": _Q135_SQL,
     "q136_split_leakage_audit": _Q136_SQL,
     "q140_knn_label_vote": _Q140_SQL,

@@ -669,7 +669,9 @@ def q125_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= 2)
         .select("pa", "pb")
-        .persist()
+        # edges feed multiple join branches: checkpoint computes the
+        # heavy co-order self-join once and truncates lineage
+        .localCheckpoint(eager=False)
     )
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     wedges = e1.join(e2, F.col("e1.pb") == F.col("e2.pa")).select(
@@ -811,7 +813,9 @@ def q147_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= 2)
         .select("pa", "pb")
-        .persist()
+        # edges feed multiple join branches: checkpoint computes the
+        # heavy co-order self-join once and truncates lineage
+        .localCheckpoint(eager=False)
     )
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     wedges = e1.join(e2, F.col("e1.pb") == F.col("e2.pa")).select(

@@ -547,8 +547,13 @@ def q123_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(docs, text_col="text", rounds=_BPE_ROUNDS)
 
 
-def bpe_train(docs: DataFrame, *, text_col: str = "text", rounds: int = 3) -> DataFrame:
-    """Corpus → learned BPE merge table (see :func:`q123_bpe_train`)."""
+def _bpe_run(
+    docs: DataFrame, *, text_col: str = "text", rounds: int = 3
+) -> tuple[DataFrame, list[DataFrame]]:
+    """Shared BPE loop: corpus → (final vocab state, per-round merge
+    rows).  Train (q123) consumes the merge rows, encode (q170) the
+    final vocab — one machinery, so the trained tokenizer and the
+    applied one are byte-identical by construction."""
     vocab = (
         docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("word"))
         .groupBy("word")
@@ -561,18 +566,30 @@ def bpe_train(docs: DataFrame, *, text_col: str = "text", rounds: int = 3) -> Da
     )
     merges = []
     for i in range(1, rounds + 1):
-        vocab = vocab.persist()
+        # localCheckpoint truncates the lineage each round: without it
+        # the physical plan re-derives round N from the raw corpus
+        # (stage count grows linearly in rounds — 25 shuffles for 3
+        # rounds); with it each round plans against the materialized
+        # previous vocab, so stage count per round is flat.
+        vocab = vocab.localCheckpoint(eager=False)
         vocab, merge_row = _bpe_merge_round(vocab, i)
         merges.append(merge_row)
+    return vocab, merges
+
+
+def bpe_train(docs: DataFrame, *, text_col: str = "text", rounds: int = 3) -> DataFrame:
+    """Corpus → learned BPE merge table (see :func:`q123_bpe_train`)."""
+    _, merges = _bpe_run(docs, text_col=text_col, rounds=rounds)
     out = merges[0]
     for mr in merges[1:]:
         out = out.unionAll(mr)
     return out
 
 
-def _bpe_oracle_sql(rounds: int = _BPE_ROUNDS) -> str:
-    """Generated chained-CTE DuckDB twin of :func:`q123_bpe_train` —
-    one tok/cnt/top/sel/v block per merge round."""
+def _bpe_cte_chain(rounds: int = _BPE_ROUNDS) -> str:
+    """The generated chained-CTE program shared by the q123 and q170
+    oracles — one tok/top/sel/v block per merge round, ending after
+    the last CTE (no final SELECT)."""
     parts = [
         r"""WITH v1 AS (
   SELECT word, CAST(count(*) AS BIGINT) AS freq,
@@ -618,12 +635,21 @@ def _bpe_oracle_sql(rounds: int = _BPE_ROUNDS) -> str:
   GROUP BY t.word, t.freq
 )"""
         )
+    return "".join(parts)
+
+
+def _bpe_oracle_sql(rounds: int = _BPE_ROUNDS) -> str:
+    """Full q123 oracle: the shared CTE chain + the merge-list
+    selects.  q170 composes the SAME chain with a different final
+    select (``_bpe_encode_oracle_sql``) — neither oracle is derived
+    by splitting the other's generated text, so reformatting the
+    generator can't silently corrupt either."""
     selects = " UNION ALL ".join(
         f"SELECT CAST({i} AS BIGINT) AS iteration, merge_left, merge_right,"
         f" pair_freq FROM top{i}"
         for i in range(1, rounds + 1)
     )
-    return "".join(parts) + "\n" + selects
+    return _bpe_cte_chain(rounds) + "\n" + selects
 
 
 _Q123_SQL = _bpe_oracle_sql()
@@ -644,19 +670,7 @@ def q170_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     final vocab state instead of the merge list."""
     tune(spark)
     docs = load(spark, sf_dir, "documents")
-    vocab = (
-        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("word"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .select(
-            "word",
-            "freq",
-            F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("seq"),
-        )
-    )
-    for i in range(1, _BPE_ROUNDS + 1):
-        vocab = vocab.persist()
-        vocab, _ = _bpe_merge_round(vocab, i)
+    vocab, _ = _bpe_run(docs, text_col="text", rounds=_BPE_ROUNDS)
     return vocab.select(
         "word",
         "freq",
@@ -666,12 +680,11 @@ def q170_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_encode_oracle_sql(rounds: int = _BPE_ROUNDS) -> str:
-    # _bpe_oracle_sql ends with the UNION ALL merge-list selects (the
-    # only top-level, unindented SELECT); keep the CTE chain and select
-    # the final vocab state instead
-    chain = _bpe_oracle_sql(rounds).split("\nSELECT", 1)[0]
+    """q170 oracle: the shared CTE chain + the final-vocab select
+    (composed from :func:`_bpe_cte_chain`, never by splitting the
+    q123 oracle's generated text)."""
     return (
-        chain
+        _bpe_cte_chain(rounds)
         + f"""
 SELECT word, freq, seq AS encoding,
        CAST(len(string_split(seq, ' ')) AS INT) AS n_symbols

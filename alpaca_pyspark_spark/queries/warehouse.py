@@ -307,7 +307,15 @@ def q127_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
 
     def keyset(table: str, col: str):
-        return load(spark, sf_dir, table).select(F.col(col).alias("k")).distinct()
+        # each keyset feeds BOTH the orphan and the childless side —
+        # localCheckpoint materializes the distinct once and truncates
+        # lineage, so no fact table is ever scanned twice per edge
+        return (
+            load(spark, sf_dir, table)
+            .select(F.col(col).alias("k"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
 
     edges = [
         ("orders->customer", keyset("orders", "o_custkey"), keyset("customer", "c_custkey")),

@@ -446,16 +446,19 @@ def test_q122_audio_featurizer_map_only(spark):
 def test_q123_bpe_corpus_scanned_once(spark):
     df = QUERIES["q123_bpe_train"](spark, SF_DIR)
     plan = formatted_plan(df)
-    # all three merge rounds run on the cached vocab (InMemoryTableScan;
-    # the parquet scan exists only inside the round-1 cache's build
-    # plan — plan rendering repeats cached subtrees, so scan-count on
-    # the string over-reports) and each round's selected pair attaches
-    # by broadcast, never a shuffle join against the one-row top pair
-    # the island-selection joins are vocab-vs-selected (tiny at any
-    # corpus size — AQE broadcasts them at runtime; the static plan
-    # still shows SMJ, so no assertion on those)
-    assert "InMemoryTableScan" in plan, plan
-    assert count_broadcasts(df) >= 3, plan
+    # every merge round plans against the localCheckpoint of the
+    # previous round's vocab ("Scan ExistingRDD"), so the final plan
+    # contains NO corpus parquet scan at all and — the flat-lineage
+    # pin the round-3 verdict asked for — the shuffle count stays
+    # bounded per round instead of growing 25-for-3-rounds like the
+    # un-truncated lineage did.  Each round's selected pair still
+    # attaches by broadcast.
+    # (the per-round broadcast of the selected pair now lives inside
+    # each checkpoint's build plan, so it no longer shows in the final
+    # plan string — no broadcast assertion here.)
+    assert "ExistingRDD" in plan, plan
+    assert "parquet" not in plan.lower(), plan
+    assert count_shuffles(df) <= 12, plan
 
 
 def test_q135_quantization_map_only(spark):
@@ -541,9 +544,11 @@ def test_q144_stratified_single_exchange(spark):
 def test_q147_cc_edges_built_once(spark):
     df = QUERIES["q147_clustering_coefficient"](spark, SF_DIR)
     plan = formatted_plan(df)
-    # the edge list persists and feeds wedge/close/degree consumers
-    # from memory — the co-order self-join runs once
-    assert "InMemoryTableScan" in plan, plan
+    # the edge list is localCheckpointed and feeds wedge/close/degree
+    # consumers from the materialized RDD — the co-order self-join
+    # runs once and its lineage never re-expands into the plan
+    assert "ExistingRDD" in plan, plan
+    assert "parquet" not in plan.lower(), plan
 
 
 def test_q148_frame_fanout_is_arrow_generator(spark):

@@ -299,11 +299,16 @@ def test_schema_holds_64bit_values():
 
 # ------------------------------------------- end-to-end over Spark
 class _MockAlpacaHandler(BaseHTTPRequestHandler):
-    """Serves the canned pages; two-page pagination for bars."""
+    """Serves the canned pages; two-page pagination for bars.
+    Records every (path, query) so tests can assert which params
+    actually reached the wire."""
+
+    seen: list = []
 
     def do_GET(self):  # noqa: N802
         parsed = urlparse(self.path)
         qs = parse_qs(parsed.query)
+        _MockAlpacaHandler.seen.append((parsed.path, qs))
         if parsed.path.endswith("/stocks/bars"):
             if qs.get("page_token") == ["token123"]:
                 body = BARS_PAGE
@@ -370,6 +375,28 @@ def test_stock_bars_end_to_end(spark, mock_api):
     assert len(rows) == 4
     assert {r["symbol"] for r in rows} == {"AAPL"}
     assert rows[0]["volume"] == 1000000
+
+
+def test_currency_option_reaches_request_url(spark, mock_api):
+    """§2D D8: ``currency`` is a validated passthrough (reference
+    stocks/bars.py:50 — no server-side semantics in scope) — assert
+    the option actually lands in the outgoing request URL, so the
+    passthrough is wired, not silently dropped."""
+    from alpaca_pyspark_spark.sources import register_all
+
+    register_all(spark)
+    _MockAlpacaHandler.seen.clear()
+    df = (
+        spark.read.format("Alpaca_Stocks_Bars")
+        .options(**_opts(mock_api, timeframe="1Hour", currency="EUR"))
+        .load()
+    )
+    assert df.count() == 4
+    bar_queries = [
+        qs for path, qs in _MockAlpacaHandler.seen if path.endswith("/stocks/bars")
+    ]
+    assert bar_queries, "no bars request reached the mock server"
+    assert all(qs.get("currency") == ["EUR"] for qs in bar_queries)
 
 
 def test_stock_trades_end_to_end(spark, mock_api):
