@@ -43,11 +43,16 @@ _SHOWCASE_ORDER = [
     "q07_adjustment", "q10_semi_anti",
     # executed streaming (real micro-batch engine under the hash gate)
     "q130_streaming_sessions_executed", "q145_streaming_outer_join_executed",
-    # LLM dedup / similarity
-    "q12_exact_dedup", "q12_text_dedup_portable", "q12_simhash_dedup_portable",
+    # LLM dedup / similarity (round 4: q176 exact k-NN graph and q177
+    # SemDeDup rotate in; the simhash-portable and ivf-det variants
+    # rotate out of the graded prefix but stay oracle-paired in the
+    # registry + local gate — their families remain represented by
+    # q12_text_dedup_portable and q13_embedding_sim_ann)
+    "q12_exact_dedup", "q12_text_dedup_portable",
     "q12_embedding_dedup_lsh", "q33_near_dup_components_lsh",
     "q163_setsim_prefix_join",
-    "q13_embedding_sim", "q13_embedding_sim_ann", "q13_embedding_sim_ivf_det",
+    "q13_embedding_sim", "q13_embedding_sim_ann",
+    "q176_knn_graph_exact", "q177_semdedup",
     "q122_audio_energy",
     # text curation
     "q15_text_stats", "q32_corpus_curation", "q61_contamination_overlap",

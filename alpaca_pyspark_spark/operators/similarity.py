@@ -157,13 +157,14 @@ def all_pairs_above_arrow(
     vec_col: str = "embedding",
     threshold: float,
 ) -> DataFrame:
-    """Exact all-pairs cosine ≥ threshold (id_a < id_b), Arrow fast
-    path for the ORACLE-BASELINE corpus sizes: the full vector set is
-    collected into the UDF closure (usable while |corpus|×dim fits the
-    driver — the dedup scale path is the LSH-bucketed variant, not
-    this).  Each partition's block scores against the whole corpus
-    with the sequential-order kernel; only passing pairs are emitted,
-    so nothing quadratic is ever materialized in the plan."""
+    """Exact all-pairs cosine ≥ threshold (id_a < id_b), Arrow
+    closure baseline — TEST BASELINE ONLY since round 4: every
+    registered query routes through :func:`all_pairs_above_blocked`
+    (distributed triangle join, no driver collect); this variant
+    keeps the simplest possible reference implementation for the
+    block-count-invariance unit test.  The full vector set is
+    collected into the UDF closure, so it only works while
+    |corpus|×dim fits the driver."""
     rows = vectors.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),

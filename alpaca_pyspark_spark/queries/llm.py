@@ -1212,38 +1212,35 @@ def q124_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     (~13 s of driver time before any data moves); one ``F.expr``
     parse is milliseconds — the same plan, constructed sanely.
 
-    Output is exploded to (vec_id, dim, proj_val) scalar rows — see
-    q42's docstring for why top-level double arrays are avoided in
-    registered outputs."""
+    Output is 16 scalar columns ``proj_0..proj_15`` (NOT a top-level
+    double array — see q42's docstring — and NOT exploded rows, which
+    would 16× the output for no reason): the projection stays
+    map-only, one row per vector, every cell pandas-hashable."""
     tune(spark)
     emb = load(spark, sf_dir, "embeddings")
-    comps = ", ".join(
+    comps = [
         " + ".join(
             f"CAST(embedding[{k}] AS DOUBLE) * CAST({s} AS DOUBLE)"
             for k, s in enumerate(row)
         )
         for row in _jl_signs()
-    )
+    ]
     return emb.select(
-        "vec_id", F.posexplode(F.expr(f"array({comps})")).alias("dim", "proj_val")
-    ).select("vec_id", F.col("dim").cast("bigint").alias("dim"), "proj_val")
+        "vec_id",
+        *[F.expr(c).alias(f"proj_{i}") for i, c in enumerate(comps)],
+    )
 
 
 def _jl_oracle_sql() -> str:
     comps = []
-    for row in _jl_signs():
-        comps.append(
-            " + ".join(
-                f"CAST(embedding[{k + 1}] AS DOUBLE) * CAST({s} AS DOUBLE)"
-                for k, s in enumerate(row)
-            )
+    for i, row in enumerate(_jl_signs()):
+        expr = " + ".join(
+            f"CAST(embedding[{k + 1}] AS DOUBLE) * CAST({s} AS DOUBLE)"
+            for k, s in enumerate(row)
         )
+        comps.append(f"{expr} AS proj_{i}")
     arr = ",\n  ".join(comps)
-    return (
-        f"SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim, arr[i] AS proj_val\n"
-        f"FROM (SELECT vec_id, [\n  {arr}\n] AS arr FROM embeddings),\n"
-        f"     unnest(range(1, {len(_jl_signs()) + 1})) u(i)"
-    )
+    return f"SELECT vec_id,\n  {arr}\nFROM embeddings"
 
 
 _Q124_SQL = _jl_oracle_sql()

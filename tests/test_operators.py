@@ -778,6 +778,103 @@ def test_arrow_cosine_kernel_bit_equals_fold(spark):
     assert fold == arrow  # exact equality, including the doubles
 
 
+def test_blocked_all_pairs_block_count_invariant(spark):
+    """The triangle block-pair join must produce the IDENTICAL pair
+    set (including the doubles) for any block count, and match the
+    Arrow closure baseline — the property that let it replace the
+    full-corpus-collect path in registered queries."""
+    from alpaca_pyspark_spark.operators.similarity import (
+        all_pairs_above_arrow,
+        all_pairs_above_blocked,
+    )
+    from alpaca_pyspark_spark.tables import load
+
+    emb = load(spark, SF_DIR, "embeddings")
+    kw = dict(id_col="vec_id", vec_col="embedding", threshold=0.3)
+    want = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in all_pairs_above_arrow(emb, **kw).collect()
+    }
+    assert want  # fixture must exercise the operator
+    for nb in (1, 3, 8):
+        got = {
+            (r["id_a"], r["id_b"]): r["cos_sim"]
+            for r in all_pairs_above_blocked(emb, num_blocks=nb, **kw).collect()
+        }
+        assert got == want, f"num_blocks={nb}"
+
+
+def test_knn_graph_exact_matches_brute_force(spark):
+    """Each vertex's k-NN row set must equal the brute-force top-k
+    treating that vertex as a query (exact graph = exact search)."""
+    from alpaca_pyspark_spark.operators.similarity import (
+        brute_force_topk_arrow,
+        knn_graph_exact,
+    )
+    from alpaca_pyspark_spark.tables import load
+
+    emb = load(spark, SF_DIR, "embeddings")
+    graph = {
+        (r["src"], r["rank"]): (r["dst"], r["cos_sim"])
+        for r in knn_graph_exact(
+            emb, id_col="vec_id", vec_col="embedding", k=3
+        ).collect()
+    }
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["cos_sim"])
+        for r in brute_force_topk_arrow(
+            emb, queries, id_col="vec_id", vec_col="embedding",
+            query_id="query_id", k=3,
+        ).collect()
+    }
+    for key, val in bf.items():
+        assert graph[key] == val
+
+
+def test_semdedup_keep_rule_invariants(spark):
+    """SemDeDup keep rule: a vector is dropped iff some LOWER-id
+    cell-mate is within the threshold; in particular the lowest id of
+    every cell is always kept."""
+    from alpaca_pyspark_spark.functions import cosine_similarity
+    from alpaca_pyspark_spark.operators.similarity import semdedup
+    from alpaca_pyspark_spark.tables import load
+
+    emb = load(spark, SF_DIR, "embeddings")
+    out = semdedup(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.25, num_cells=8
+    )
+    rows = out.collect()
+    by_cell: dict = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append((r["vec_id"], r["kept"]))
+    dropped = sum(1 for r in rows if not r["kept"])
+    assert dropped > 0  # fixture must exercise the drop path
+    for cell, members in by_cell.items():
+        members.sort()
+        assert members[0][1], f"lowest id of cell {cell} must be kept"
+    # spot-verify the pairwise justification for a few dropped ids
+    sample_dropped = [r["vec_id"] for r in rows if not r["kept"]][:5]
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cell_of = {r["vec_id"]: r["cell"] for r in rows}
+    for d in sample_dropped:
+        mates = [
+            i for i, c in cell_of.items() if c == cell_of[d] and i < d
+        ]
+        a = v.filter(F.col("vec_id") == d).select(
+            F.col("v").alias("va")
+        )
+        sims = (
+            v.filter(F.col("vec_id").isin(mates))
+            .crossJoin(a)
+            .select(cosine_similarity(F.col("va"), F.col("v")).alias("c"))
+            .collect()
+        )
+        assert any(r["c"] >= 0.25 for r in sims), d
+
+
 # ------------------------------------------------------------- ids
 def test_assign_stable_ids_partition_count_independent(spark):
     """The range-partition numbering must equal the single-partition
