@@ -696,6 +696,119 @@ FROM v{rounds + 1}
 _Q170_SQL = _bpe_encode_oracle_sql()
 
 
+# --------------------------------------------------------------- q178
+def q178_corpus_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE *corpus application* — the step a training pipeline runs on
+    every document after training (q123) and encoding-table build
+    (q170): per-document whitespace-word count and BPE token count
+    under the trained merges.
+
+    Shape: the corpus word stream joins the |vocab|-sized encoding
+    table on word (every corpus word is in the vocab by construction,
+    so the inner join is lossless), then ONE per-doc aggregation.  The
+    iterative merge machinery never touches corpus-scale data — at
+    100 TB the vocab join is the textbook broadcast/bucketed dimension
+    join and this query is two exchanges total."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    vocab, _ = _bpe_run(docs, text_col="text", rounds=_BPE_ROUNDS)
+    enc = vocab.select(
+        "word", F.size(F.split("seq", " ")).cast("bigint").alias("n_symbols")
+    )
+    words = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("word")
+    )
+    return (
+        words.join(enc, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_symbols").alias("n_tokens"),
+        )
+    )
+
+
+def _bpe_apply_oracle_sql(rounds: int = _BPE_ROUNDS) -> str:
+    return (
+        _bpe_cte_chain(rounds)
+        + f""", enc AS (
+  SELECT word, CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_symbols
+  FROM v{rounds + 1}
+), w AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS word
+  FROM documents
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_symbols) AS BIGINT) AS n_tokens
+FROM w JOIN enc USING (word)
+GROUP BY doc_id
+"""
+    )
+
+
+_Q178_SQL = _bpe_apply_oracle_sql()
+
+
+# --------------------------------------------------------------- q179
+def q179_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per language: BPE tokens per
+    whitespace word (micro-units, exact integer rational) — the
+    standard multilingual-tokenizer health check (a language with
+    outlier fertility is being over-fragmented, inflating its
+    effective cost in the token budget).  Same lossless vocab join as
+    q178, aggregated by the declared ``lang`` column."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    vocab, _ = _bpe_run(docs, text_col="text", rounds=_BPE_ROUNDS)
+    enc = vocab.select(
+        "word", F.size(F.split("seq", " ")).cast("bigint").alias("n_symbols")
+    )
+    words = docs.select(
+        F.coalesce("lang", F.lit("")).alias("lang"),
+        F.explode(tokens(F.lower(F.col("text")))).alias("word"),
+    )
+    return (
+        words.join(enc, "word")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_symbols").alias("n_tokens"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_tokens",
+            F.expr("(1000000L * n_tokens) DIV n_words").alias("fertility_micro"),
+        )
+    )
+
+
+def _bpe_fertility_oracle_sql(rounds: int = _BPE_ROUNDS) -> str:
+    return (
+        _bpe_cte_chain(rounds)
+        + f""", enc AS (
+  SELECT word, CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_symbols
+  FROM v{rounds + 1}
+), w AS (
+  SELECT coalesce(lang, '') AS lang,
+         unnest(regexp_extract_all(lower(text), '\\S+')) AS word
+  FROM documents
+), agg AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(n_symbols) AS BIGINT) AS n_tokens
+  FROM w JOIN enc USING (word)
+  GROUP BY lang
+)
+SELECT lang, n_words, n_tokens,
+       (1000000 * n_tokens) // n_words AS fertility_micro
+FROM agg
+"""
+    )
+
+
+_Q179_SQL = _bpe_fertility_oracle_sql()
+
+
 # --------------------------------------------------------------- q120
 def q120_domain_distinctive_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain distinctive vocabulary: the 5 tokens whose relative
@@ -883,6 +996,8 @@ def q157_frequent_tokens_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "q170_bpe_encode": q170_bpe_encode,
+    "q178_corpus_tokenize": q178_corpus_tokenize,
+    "q179_tokenizer_fertility": q179_tokenizer_fertility,
     "q89_inverted_index": q89_inverted_index,
     "q137_collocation_lift": q137_collocation_lift,
     "q157_frequent_tokens_sketch": q157_frequent_tokens_sketch,
@@ -897,6 +1012,8 @@ QUERIES = {
 
 ORACLE = {
     "q170_bpe_encode": _Q170_SQL,
+    "q178_corpus_tokenize": _Q178_SQL,
+    "q179_tokenizer_fertility": _Q179_SQL,
     "q89_inverted_index": _Q89_SQL,
     "q137_collocation_lift": _Q137_SQL,
     "q90_bm25_topk": _Q90_SQL,

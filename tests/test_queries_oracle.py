@@ -38,3 +38,21 @@ def test_rows_only_query_runs(spark, qid):
 
 def test_all_oracle_keys_have_queries():
     assert set(ORACLE) <= set(QUERIES)
+
+
+def test_showcase_prefix_is_graded_cross_section():
+    """The driver grades a fixed-size (50) prefix of queries():
+    every prefix entry must exist, be oracle-paired (hash-gated, not
+    rows-only), and the prefix must actually lead the dict."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_mod_t", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    so = m._SHOWCASE_ORDER
+    assert len(so) >= 50
+    assert all(k in QUERIES for k in so), set(so) - set(QUERIES)
+    assert all(k in ORACLE for k in so[:50])
+    assert list(m.queries())[:50] == so[:50]
