@@ -48,7 +48,10 @@ def assign_stable_ids(
     # map stage.  localCheckpoint (not persist) materializes it once
     # at the count, truncates lineage, and is released by Spark's
     # ContextCleaner when the returned DataFrame is garbage-collected
-    # — no cache entry lingers for the caller to unpersist.
+    # — no cache entry lingers for the caller to unpersist.  Tradeoff
+    # (SCALE.md "Known local-to-cluster swaps"): checkpointed
+    # partitions have no lineage to recompute from, so on a cluster
+    # with executor churn swap to reliable checkpoint()/persist(DISK).
     parts = parts.localCheckpoint(eager=False)
     sizes = {
         r["pid"]: r["n"]

@@ -296,29 +296,87 @@ def knn_graph_exact(
     num_blocks: int = 8,
 ) -> DataFrame:
     """Exact k-NN GRAPH (every vertex → its k nearest neighbors by
-    cosine) built on the blocked triangle join: all pairs are scored
-    once (threshold −2 < any cosine, so nothing is cut), symmetrized
-    into directed edges, and cut to k by a per-source window.
+    cosine), blocked-triangle layout with PER-TASK PARTIAL TOP-K:
+    each block-pair task scores its two blocks with the sequential
+    kernel and emits only each source's local top-k (a global top-k
+    member can be beaten by at most k−1 vertices anywhere, so it is
+    always inside its task's local top-k — the union is a superset of
+    the answer).  The exchange into the final per-source window
+    therefore carries ≤ n·num_blocks·k rows instead of the n² scored
+    pairs.  Selection never touches the doubles, so the output is
+    bit-identical to the all-pairs window form.
 
     Returns (src, dst, rank, cos_sim).  No driver collect anywhere;
     compute is the inherent O(n²) of the exact graph — the published
     scale alternatives (NN-Descent, IVF/LSH candidate graphs) trade
     recall for sub-quadratic work, and this operator is their exact
     baseline."""
-    pairs = all_pairs_above_blocked(
-        vectors,
-        id_col=id_col,
-        vec_col=vec_col,
-        threshold=-2.0,
-        num_blocks=num_blocks,
+    B = int(num_blocks)
+    pair_rows = [(i * B + j, i, j) for i in range(B) for j in range(i, B)]
+    ss = vectors.sparkSession
+    pairs = ss.createDataFrame(pair_rows, "pid int, bi int, bj int")
+    v = vectors.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).withColumn(
+        "__blk", F.pmod(F.xxhash64(F.col("__id")), F.lit(B)).cast("int")
     )
-    fwd = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "cos_sim"
+    rep = v.join(
+        F.broadcast(pairs),
+        (F.col("__blk") == F.col("bi")) | (F.col("__blk") == F.col("bj")),
     )
-    rev = pairs.select(
-        F.col("id_b").alias("src"), F.col("id_a").alias("dst"), "cos_sim"
-    )
-    edges = fwd.unionAll(rev)
+
+    def local_topk(cos, src_ids, dst_ids):
+        """Per-row (cos desc, dst asc) top-k — selection only."""
+        out_s, out_d, out_c = [], [], []
+        kk = min(k, cos.shape[1])
+        for r in range(cos.shape[0]):
+            order = np.lexsort((dst_ids, -cos[r]))[:kk]
+            out_s.extend([src_ids[r]] * len(order))
+            out_d.extend(dst_ids[order])
+            out_c.extend(cos[r, order])
+        return out_s, out_d, out_c
+
+    def score(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame({"src": [], "dst": [], "cos_sim": []})
+        if not len(pdf):
+            return empty
+        bi, bj = int(pdf["bi"].iloc[0]), int(pdf["bj"].iloc[0])
+        blk = pdf["__blk"].to_numpy()
+        ids = pdf["__id"].to_numpy()
+        M = np.stack(pdf["__v"].to_numpy())
+        srcs, dsts, coss = [], [], []
+        if bi == bj:
+            if len(pdf) < 2:
+                return empty
+            cos = _seq_dot_block(M, M)
+            n = _seq_norms(M)
+            cos = cos / (n[:, None] * n[None, :])
+            np.fill_diagonal(cos, -np.inf)  # exclude self-edges
+            s, d, c = local_topk(cos, ids, ids)
+            srcs += s; dsts += d; coss += c
+        else:
+            left, right = blk == bi, blk == bj
+            if not left.any() or not right.any():
+                return empty
+            A, Aids = M[left], ids[left]
+            Bm, Bids = M[right], ids[right]
+            cos = _seq_dot_block(A, Bm) / (
+                _seq_norms(A)[:, None] * _seq_norms(Bm)[None, :]
+            )
+            s, d, c = local_topk(cos, Aids, Bids)
+            srcs += s; dsts += d; coss += c
+            s, d, c = local_topk(cos.T, Bids, Aids)
+            srcs += s; dsts += d; coss += c
+        if not srcs:
+            return empty
+        return pd.DataFrame({"src": srcs, "dst": dsts, "cos_sim": coss})
+
+    edges = rep.groupBy("pid").applyInPandas(
+        score, "src long, dst long, cos_sim double"
+    # a block with ≤ k members emits its −inf self-placeholder row;
+    # drop it (a real cosine is always finite for non-zero vectors)
+    ).filter(F.col("cos_sim") != F.lit(float("-inf")))
     w = Window.partitionBy("src").orderBy(
         F.col("cos_sim").desc(), F.col("dst").asc()
     )
@@ -355,16 +413,7 @@ def semdedup(
     left-anti attach."""
     from . import spread
 
-    seed_rows = (
-        vectors.select(
-            F.col(id_col).alias("__sid"),
-            F.col(vec_col).cast("array<double>").alias("__sv"),
-        )
-        .orderBy("__sid")
-        .limit(num_cells)
-        .collect()
-    )
-    centroids = [list(r["__sv"]) for r in seed_rows]
+    centroids = _det_seed_centroids(vectors, id_col, vec_col, num_cells)
     v = (
         spread(
             vectors.select(
@@ -602,6 +651,26 @@ def ivf_topk(
     )
 
 
+def _det_seed_centroids(
+    df: DataFrame, id_col: str, vec_col: str, n: int
+) -> list[list[float]]:
+    """The deterministic quantizer seed shared by ``ivf_topk_det`` and
+    ``semdedup``: the embeddings of the ``n`` smallest ids (a fixed
+    random-sample init, zero k-means iterations).  One helper so the
+    two oracle-gated 'bit-exact' quantizers can never silently
+    diverge.  Driver work is O(n·dim) regardless of corpus size."""
+    rows = (
+        df.select(
+            F.col(id_col).alias("__sid"),
+            F.col(vec_col).cast("array<double>").alias("__sv"),
+        )
+        .orderBy("__sid")
+        .limit(n)
+        .collect()
+    )
+    return [list(r["__sv"]) for r in rows]
+
+
 def _det_cell_assigner(centroids: list[list[float]], topn: int):
     """Pandas UDF: vector → its ``topn`` nearest cells by cosine,
     tie-broken by cell index, computed with the sequential-order
@@ -651,13 +720,7 @@ def ivf_topk_det(
     size, assignment is a map-only Arrow batch (no shuffle), and the
     candidate join touches ~nprobe/num_cells of the corpus.
     """
-    seed_rows = (
-        corpus.select(F.col(id_col).alias("__sid"), F.col(vec_col).cast("array<double>").alias("__sv"))
-        .orderBy("__sid")
-        .limit(num_cells)
-        .collect()
-    )
-    centroids = [list(r["__sv"]) for r in seed_rows]
+    centroids = _det_seed_centroids(corpus, id_col, vec_col, num_cells)
     from . import spread
 
     c = spread(

@@ -26,10 +26,13 @@ def test_query_matches_oracle(spark, oracle, qid):
 @pytest.mark.parametrize("qid", ROWS_ONLY)
 def test_rows_only_query_runs(spark, qid):
     df = QUERIES[qid](spark, SF_DIR)
-    rows = df.limit(200).collect()
+    # full execution (not limit()) so a crash on ANY input row — the
+    # q165 negative-slice class — surfaces here, like the driver's run
+    assert df.count() >= 0
     assert len(df.schema.fields) > 0
     # rows-only outputs must still survive the driver's pandas
     # canonicalization if they ever rotate into the graded prefix
+    rows = df.limit(200).collect()
     cols = sorted(df.columns)
     assert_driver_canonicalizable(
         [tuple(r[c] for c in cols) for r in rows], cols
@@ -45,10 +48,10 @@ def test_showcase_prefix_is_graded_cross_section():
     every prefix entry must exist, be oracle-paired (hash-gated, not
     rows-only), and the prefix must actually lead the dict."""
     import importlib.util
+    from pathlib import Path
 
-    spec = importlib.util.spec_from_file_location(
-        "entry_mod_t", "/root/repo/__spark_entry__.py"
-    )
+    entry_path = Path(__file__).resolve().parents[1] / "__spark_entry__.py"
+    spec = importlib.util.spec_from_file_location("entry_mod_t", entry_path)
     m = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(m)
     so = m._SHOWCASE_ORDER

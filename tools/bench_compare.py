@@ -23,6 +23,9 @@ def main() -> None:
     json_out = None
     if "--json" in args:
         i = args.index("--json")
+        if i + 1 >= len(args):
+            sys.exit("usage: bench_compare.py OLD.json NEW.json "
+                     "[ratio_floor] [--json OUT.json]")
         json_out = args[i + 1]
         del args[i : i + 2]
     old = json.load(open(args[0]))["queries"]
