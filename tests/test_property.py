@@ -646,3 +646,62 @@ def test_containment_pairs_matches_brute_force(spark, texts):
             ):
                 want.add((a, b))
     assert got == want
+
+
+@pytest.mark.slow
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-8, max_value=8,
+                allow_nan=False, allow_infinity=False, width=32,
+            ),
+            min_size=4, max_size=4,
+        ),
+        min_size=2, max_size=24,
+    ),
+    st.integers(min_value=1, max_value=5),  # num_blocks
+)
+def test_blocked_all_pairs_matches_numpy_reference(spark, vecs, num_blocks):
+    """The triangle block-pair join must equal a naive numpy
+    sequential-order reference for ANY vectors and block count —
+    including single-element blocks, empty cross sides, and
+    duplicate/near-parallel vectors (tie cases hand fixtures miss)."""
+    import math
+
+    from alpaca_pyspark_spark.operators.similarity import (
+        all_pairs_above_blocked,
+    )
+
+    # drop zero vectors (cosine undefined; operator contract expects
+    # non-zero embeddings, as does every oracle)
+    vecs = [v for v in vecs if any(x != 0.0 for x in v)]
+    if len(vecs) < 2:
+        return
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    thresh = 0.1
+    got = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in all_pairs_above_blocked(
+            df, id_col="vec_id", vec_col="embedding",
+            threshold=thresh, num_blocks=num_blocks,
+        ).collect()
+    }
+
+    def seq_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    want = {}
+    for i, (ia, va) in enumerate(rows):
+        for ib, vb in rows[i + 1:]:
+            cos = seq_dot(va, vb) / (
+                math.sqrt(seq_dot(va, va)) * math.sqrt(seq_dot(vb, vb))
+            )
+            if cos >= thresh:
+                want[(ia, ib)] = cos
+    assert got == want  # exact, including the doubles
