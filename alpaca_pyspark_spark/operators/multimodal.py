@@ -155,6 +155,64 @@ def frame_sample(media: DataFrame, *, every_n_bytes: int = 64) -> DataFrame:
     ).mapInPandas(sample, schema)
 
 
+def resize_media(media: DataFrame, *, target_len: int = 16) -> DataFrame:
+    """'Image' resize stand-in: nearest-neighbor resample of the
+    payload to a fixed ``target_len`` bytes — position j gathers byte
+    ``(j·L) // target_len`` (the canonical 1-D nearest-neighbor rule;
+    a real image path would decode W×H and bilinear-sample, occupying
+    exactly this Arrow ``mapInPandas`` slot).  Exact integer
+    positions, so the stub is SQL-replicable on the ASCII fixture
+    (q18/q122 honest-stub pattern).
+
+    Returns (doc_id, n_bytes, out_len, resized, resample_checksum);
+    ``resized`` is the resampled payload decoded as ASCII."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_bytes", LongType()),
+            StructField("out_len", LongType()),
+            StructField("resized", StringType()),
+            StructField("resample_checksum", LongType()),
+        ]
+    )
+
+    def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, nbytes, outs, sums = [], [], [], []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                n = len(content)
+                if n == 0:
+                    continue
+                out = bytes(
+                    content[(j * n) // target_len] for j in range(target_len)
+                )
+                ids.append(doc_id)
+                nbytes.append(n)
+                outs.append(out.decode("ascii", errors="replace"))
+                sums.append(sum(out))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_bytes": pd.Series(nbytes, dtype="int64"),
+                    "out_len": pd.Series(
+                        [target_len] * len(ids), dtype="int64"
+                    ),
+                    "resized": outs,
+                    "resample_checksum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    from . import spread
+
+    return spread(
+        media.filter(
+            (F.col("media_type") == "image") & (F.length("content") > 0)
+        ).select("doc_id", "content")
+    ).mapInPandas(resize, schema)
+
+
 def audio_energy_windows(media: DataFrame, *, window_bytes: int = 32) -> DataFrame:
     """'Audio' feature extraction stand-in: windowed signal energy over
     the payload, the shape of any frame-level audio featurizer (RMS /

@@ -835,6 +835,39 @@ FROM s
 """
 
 
+# --------------------------------------------------------------- q180
+def q180_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize plumbing: 'image'-typed media rows resampled
+    to a fixed 16-byte payload by the canonical 1-D nearest-neighbor
+    rule (position j gathers byte (j·L) // 16) via an Arrow-batched
+    ``mapInPandas`` stage — completing the decode / feature-extract /
+    RESIZE / frame-sample multimodal quartet.  Map-only, no shuffle;
+    exact integer gather positions keep the stub fully SQL-replicable
+    on the ASCII fixture (q18/q122 honest-stub pattern)."""
+    from ..operators.multimodal import resize_media
+
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    return resize_media(synthesize_media(docs), target_len=16)
+
+
+_Q180_SQL = """
+WITH img AS (
+  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS L
+  FROM documents WHERE doc_id % 3 = 0 AND length(text) > 0
+)
+SELECT doc_id, L AS n_bytes, CAST(16 AS BIGINT) AS out_len,
+       array_to_string(list_transform(
+         range(16), j -> substring(text, CAST((j * L) // 16 AS INTEGER) + 1, 1)
+       ), '') AS resized,
+       CAST(list_sum(list_transform(
+         range(16),
+         j -> ascii(substring(text, CAST((j * L) // 16 AS INTEGER) + 1, 1))
+       )) AS BIGINT) AS resample_checksum
+FROM img
+"""
+
+
 # ---------------------------------------------------------------- q19
 def q19_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact char-3-gram Jaccard over consecutive doc-id pairs — the
@@ -2403,6 +2436,7 @@ QUERIES = {
     "q17_fingerprint": q17_fingerprint,
     "q18_multimodal_meta": q18_multimodal_meta,
     "q122_audio_energy": q122_audio_energy,
+    "q180_media_resize": q180_media_resize,
     "q19_ngram_jaccard": q19_ngram_jaccard,
     "q32_corpus_curation": q32_corpus_curation,
     "q33_near_dup_components": q33_near_dup_components,
@@ -2460,6 +2494,7 @@ ORACLE = {
     "q17_fingerprint": _Q17_SQL,
     "q18_multimodal_meta": _Q18_SQL,
     "q122_audio_energy": _Q122_SQL,
+    "q180_media_resize": _Q180_SQL,
     "q19_ngram_jaccard": _Q19_SQL,
     "q32_corpus_curation": _Q32_SQL,
     "q33_near_dup_components": _Q33_SQL,

@@ -419,6 +419,36 @@ def test_audio_energy_windows(spark):
             assert r["energy_milli"] == (1000 * ssq) // len(seg)
 
 
+def test_resize_media_nearest_neighbor_positions(spark):
+    """resize_media gathers byte (j*L)//target for j in 0..target-1 —
+    verified for downsample (L > target), upsample (L < target, bytes
+    repeat), and L == target (identity)."""
+    from alpaca_pyspark_spark.operators.multimodal import resize_media
+
+    rows = [
+        (0, "image", bytearray(b"abcdefghijklmnopqrstuvwxyz")),  # down
+        (3, "image", bytearray(b"xyz")),                          # up
+        (6, "image", bytearray(b"0123456789abcdef")),             # id
+        (1, "audio", bytearray(b"should-be-filtered")),
+        (9, "image", bytearray(b"")),                             # empty: dropped
+    ]
+    df = spark.createDataFrame(
+        [(i, m, bytes(c)) for i, m, c in rows],
+        "doc_id long, media_type string, content binary",
+    )
+    out = {r["doc_id"]: r for r in resize_media(df, target_len=16).collect()}
+    assert set(out) == {0, 3, 6}
+    for doc_id, _, payload in rows[:3]:
+        n = len(payload)
+        want = bytes(payload[(j * n) // 16] for j in range(16))
+        r = out[doc_id]
+        assert r["n_bytes"] == n
+        assert r["out_len"] == 16
+        assert r["resized"] == want.decode("ascii")
+        assert r["resample_checksum"] == sum(want)
+    assert out[6]["resized"] == "0123456789abcdef"  # identity at L == 16
+
+
 # ------------------------------------------------------------- misc
 def test_char_ngrams_and_jaccard(spark):
     df = spark.createDataFrame([("abcd", "bcde")], "x string, y string")
