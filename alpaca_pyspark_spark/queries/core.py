@@ -810,6 +810,94 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------- q181
+def q181_streaming_bars_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's FLAGSHIP semantic (D5 bar construction) run as
+    a live stream under the hash gate: ticks flow through the SAME
+    ``tumbling_bars_cents`` operator as batch q02 — one Catalyst plan,
+    two execution modes — with a watermark finalizing each daily bar
+    exactly once in APPEND mode (state = one row per open (user, day),
+    evicted on finalization; the continuous-aggregate discipline that
+    keeps a 100 TB hypertable fresh without re-reading ticks).
+
+    Two-sentinel watermark protocol as q145/q146 (sentinel user −1,
+    outside the generator's key domain, filtered post-sink — never
+    inside the streaming plan, where pushdown would starve the
+    event-time stats).  The oracle is the batch bar SQL: every
+    streaming-finalized bar must equal its batch twin bit-for-bit,
+    vwap included (exact integer-cent state)."""
+    import datetime
+    import tempfile
+    import uuid
+
+    from ..streaming.bars import streaming_bars
+
+    tune(spark)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")  # state dial
+    e = load(spark, sf_dir, "events").select("user_id", "ts", "value")
+    max_ts = e.agg(F.max("ts")).collect()[0][0]
+
+    def sentinel(days):
+        return spark.createDataFrame(
+            [(-1, max_ts + datetime.timedelta(days=days), 0.0)],
+            "user_id bigint, ts timestamp_ntz, value double",
+        )
+
+    src = tempfile.mkdtemp(prefix="q181_src_")
+    e.unionByName(sentinel(100)).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    bars = streaming_bars(
+        stream,
+        key="user_id",
+        ts="ts",
+        price="value",
+        interval="1 day",
+        watermark_delay="1 hour",
+    )
+    name = "q181_" + uuid.uuid4().hex[:8]
+    q = (
+        bars.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        sentinel(200).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .filter(F.col("user_id") != -1)
+        .select(
+            "user_id",
+            F.col("bar_start").cast("timestamp_ntz").alias("bar_start"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+            "vwap",
+        )
+    )
+
+
+_Q181_SQL = """
+SELECT user_id,
+       time_bucket(INTERVAL '1 day', ts) AS bar_start,
+       arg_min(value, ts)  AS open,
+       max(value)          AS high,
+       min(value)          AS low,
+       arg_max(value, ts)  AS close,
+       CAST(count(*) AS BIGINT) AS volume,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+         / (100.0 * count(*)) AS vwap
+FROM events
+GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------- q153
 def q153_stateful_sessions_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSTOM stateful streaming under the hash gate:
@@ -1064,6 +1152,7 @@ QUERIES = {
     "q131_streaming_dedup_executed": q131_streaming_dedup_executed,
     "q145_streaming_outer_join_executed": q145_streaming_outer_join_executed,
     "q146_streaming_hourly_windows_executed": q146_streaming_hourly_windows_executed,
+    "q181_streaming_bars_executed": q181_streaming_bars_executed,
     "q149_stream_static_enrich_executed": q149_stream_static_enrich_executed,
     "q153_stateful_sessions_executed": q153_stateful_sessions_executed,
     "q103_asof_tolerance": q103_asof_tolerance,
@@ -1088,6 +1177,7 @@ ORACLE = {
     "q131_streaming_dedup_executed": _Q131_SQL,
     "q145_streaming_outer_join_executed": _Q145_SQL,
     "q146_streaming_hourly_windows_executed": _Q146_SQL,
+    "q181_streaming_bars_executed": _Q181_SQL,
     "q149_stream_static_enrich_executed": _Q149_SQL,
     "q153_stateful_sessions_executed": _Q153_SQL,
     "q103_asof_tolerance": _Q103_SQL,
