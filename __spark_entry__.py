@@ -41,26 +41,30 @@ _SHOWCASE_ORDER = [
     "q01_scan_filter_project", "q02_bars_tumbling", "q03_interval_join_agg",
     "q04_sort_limit_topk", "q05_groupby_rollup", "q06_asof_join",
     "q07_adjustment", "q10_semi_anti",
-    # executed streaming (real micro-batch engine under the hash gate)
+    # executed streaming (real micro-batch engine under the hash gate;
+    # round 5: q181 — the reference's flagship D5 bar construction run
+    # as a live stream — rotates into the graded prefix)
     "q130_streaming_sessions_executed", "q145_streaming_outer_join_executed",
-    # LLM dedup / similarity (round 4: q176 exact k-NN graph and q177
-    # SemDeDup rotate in; the simhash-portable and ivf-det variants
-    # rotate out of the graded prefix but stay oracle-paired in the
-    # registry + local gate — their families remain represented by
-    # q12_text_dedup_portable and q13_embedding_sim_ann)
+    "q181_streaming_bars_executed",
+    # LLM dedup / similarity (round 5 rotation: q13_embedding_sim and
+    # q12_embedding_dedup_lsh leave the prefix — their families remain
+    # represented by q13_embedding_sim_ann (same cosine top-k, ANN
+    # path) and q176/q177/q12_text_dedup_portable — both stay
+    # oracle-paired in the registry + local gate)
     "q12_exact_dedup", "q12_text_dedup_portable",
-    "q12_embedding_dedup_lsh", "q33_near_dup_components_lsh",
+    "q33_near_dup_components_lsh",
     "q163_setsim_prefix_join",
-    "q13_embedding_sim", "q13_embedding_sim_ann",
+    "q13_embedding_sim_ann",
     "q176_knn_graph_exact", "q177_semdedup",
     "q122_audio_energy",
     # text curation
     "q15_text_stats", "q32_corpus_curation", "q61_contamination_overlap",
     # reproducible sampling / packing
     "q37_deterministic_sample", "q38_sequence_packing",
-    # search / graph
+    # search / graph (q92_cluster_representatives rotated out round 5
+    # — clustering family repped by q33/q177; stays in the local gate)
     "q89_inverted_index", "q90_bm25_topk", "q91_pagerank_suppliers",
-    "q92_cluster_representatives", "q123_bpe_train",
+    "q123_bpe_train",
     "q114_repeated_passages", "q120_domain_distinctive_tokens",
     # mining
     "q78_fuzzy_name_pairs", "q79_transition_matrix", "q102_mad_outliers",
@@ -75,8 +79,9 @@ _SHOWCASE_ORDER = [
     # warehouse / scale
     "q60_scd2_history", "q34_salted_heavy_hitters",
     "q150_partitioned_roundtrip",
-    # multimodal
-    "q18_multimodal_meta", "q148_frame_sampling",
+    # multimodal (round 5: q180 media-resize — the decode/feature/
+    # resize/frame-sample plumbing completer — rotates in)
+    "q18_multimodal_meta", "q148_frame_sampling", "q180_media_resize",
 ]
 
 

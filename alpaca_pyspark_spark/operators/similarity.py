@@ -345,6 +345,16 @@ def knn_graph_exact(
         blk = pdf["__blk"].to_numpy()
         ids = pdf["__id"].to_numpy()
         M = np.stack(pdf["__v"].to_numpy())
+        # Cosine is undefined for the zero vector; a NaN here would
+        # sort FIRST under Spark's NaN-greatest descending order and
+        # silently pollute every source's top-k.  Fail loudly instead.
+        zero = _seq_norms(M) == 0.0
+        if zero.any():
+            raise ValueError(
+                "knn_graph_exact: zero-norm embedding(s) for vec_id(s) "
+                f"{ids[zero][:5].tolist()} — cosine undefined; filter or "
+                "re-embed degenerate rows before building the k-NN graph"
+            )
         srcs, dsts, coss = [], [], []
         if bi == bj:
             if len(pdf) < 2:
@@ -375,8 +385,12 @@ def knn_graph_exact(
     edges = rep.groupBy("pid").applyInPandas(
         score, "src long, dst long, cos_sim double"
     # a block with ≤ k members emits its −inf self-placeholder row;
-    # drop it (a real cosine is always finite for non-zero vectors)
-    ).filter(F.col("cos_sim") != F.lit(float("-inf")))
+    # drop it, and guard against NaN (kernel raises on zero norms, but
+    # NaN-greatest descending sort makes any leak rank first — belt
+    # and braces per round-4 review)
+    ).filter(
+        (F.col("cos_sim") != F.lit(float("-inf"))) & ~F.isnan("cos_sim")
+    )
     w = Window.partitionBy("src").orderBy(
         F.col("cos_sim").desc(), F.col("dst").asc()
     )

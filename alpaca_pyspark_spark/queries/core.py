@@ -649,71 +649,40 @@ def q145_streaming_outer_join_executed(spark: SparkSession, sf_dir: str) -> Data
     engine may emit a NULL-padded click only once the watermark PROVES
     no match can still arrive, so each source carries a far-future
     sentinel row that drives both watermarks past every real row and
-    finalizes the whole outer side (the sentinels' own join row is
-    filtered out inside the streaming plan).  State stays bounded by
-    rate × window either way — the property that matters unbounded."""
-    import datetime
-    import tempfile
-    import uuid
+    finalizes the whole outer side.  State stays bounded by
+    rate × window either way — the property that matters unbounded.
 
+    Sentinel staging / two-drain watermark finalization / memory sink
+    all live in ``streaming.gate.run_streaming_gate`` (shared with
+    q146/q153/q181 — see that module for why the sentinel filter must
+    stay OUT of the streaming plan); only the join is query-specific."""
+    from ..streaming.gate import run_streaming_gate, sentinel_row
     from ..streaming.joins import interval_join_stream
 
     tune(spark)
-    # State-store partitions are fixed at stream start from
-    # spark.sql.shuffle.partitions; per-batch overhead scales with
-    # partitions × stateful operators × micro-batches.  8 is the local
-    # throughput-matched setting (a real deployment sizes this dial to
-    # stream rate); the next query's tune() restores the default.
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
     e = load(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
-    max_ts = e.agg(F.max("ts")).collect()[0][0]  # driver scalar: 1 row
-
-    def sentinel(days):
-        return spark.createDataFrame(
-            [(-1, max_ts + datetime.timedelta(days=days), -1)],
-            "event_id long, ts timestamp_ntz, user_id long",
-        )
-
-    def stage(df, tag):
-        src = tempfile.mkdtemp(prefix=f"q145_{tag}_")
-        df.coalesce(2).unionByName(sentinel(100)).write.mode("overwrite").parquet(src)
-        return src, spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
-
+    sentinel = sentinel_row(
+        spark, sf_dir, lambda ts: (-1, ts, -1),
+        "event_id long, ts timestamp_ntz, user_id long",
+    )
     clicks = e.filter(F.col("event_type") == "click").drop("event_type")
     buys = e.filter(F.col("event_type") == "purchase").drop("event_type")
-    src_l, stream_l = stage(clicks, "l")
-    src_r, stream_r = stage(buys, "r")
-    joined = interval_join_stream(
-        stream_l,
-        stream_r,
-        key="user_id",
-        ts="ts",
-        window="30 minutes",
-        watermark_delay="1 hour",
-        how="left_outer",
+    sunk = run_streaming_gate(
+        spark,
+        [(clicks.coalesce(2), sentinel), (buys.coalesce(2), sentinel)],
+        lambda stream_l, stream_r: interval_join_stream(
+            stream_l,
+            stream_r,
+            key="user_id",
+            ts="ts",
+            window="30 minutes",
+            watermark_delay="1 hour",
+            how="left_outer",
+        ),
+        prefix="q145",
     )
-    # NOTE: the sentinel filter must NOT live in the streaming plan —
-    # predicate pushdown moves it below the EventTimeWatermark node,
-    # silently dropping the sentinels before the event-time stats (the
-    # watermark then never advances past the real data and the outer
-    # tail stays withheld).  Filter after the sink instead.
-    name = "q145_" + uuid.uuid4().hex[:8]
-    q = joined.writeStream.format("memory").queryName(name).outputMode("append").start()
-    try:
-        q.processAllAvailable()
-        # Outer-side finalization: watermark advancement from the first
-        # sentinel takes effect in the NEXT batch, and the engine's
-        # no-data batch races processAllAvailable — so feed one more,
-        # even-later sentinel per side and wait again; the withheld
-        # NULL-padded rows flush inside that (waited-on) data batch.
-        for src in (src_l, src_r):
-            sentinel(200).write.mode("append").parquet(src)
-        q.processAllAvailable()
-    finally:
-        q.stop()
     return (
-        spark.table(name)
-        .filter(F.col("l_user_id") >= 0)
+        sunk.filter(F.col("l_user_id") >= 0)
         .select(
             "l_event_id",
             F.col("l_user_id").alias("user_id"),
@@ -748,52 +717,30 @@ def q146_streaming_hourly_windows_executed(spark: SparkSession, sf_dir: str) -> 
     session query used complete mode — this is the other, more
     scale-relevant emission discipline: append-mode state is dropped
     as windows finalize, so state holds only open hours regardless of
-    stream length).  A far-future sentinel advances the watermark past
-    every real hour; its own (still-open) window never emits."""
-    import datetime
-    import tempfile
-    import uuid
+    stream length).  The gate helper's far-future sentinel advances
+    the watermark past every real hour; its own (still-open) window
+    never emits and the post-sink filter is belt-and-suspenders."""
+    from ..streaming.gate import run_streaming_gate, sentinel_row
 
     tune(spark)
-    spark.conf.set("spark.sql.shuffle.partitions", "8")  # state dial; next tune() restores
     e = load(spark, sf_dir, "events").select("ts", "event_type")
-    max_ts = e.agg(F.max("ts")).collect()[0][0]
-
-    def sentinel(days):
-        return spark.createDataFrame(
-            [(max_ts + datetime.timedelta(days=days), "__sentinel")],
-            "ts timestamp_ntz, event_type string",
-        )
-
-    src = tempfile.mkdtemp(prefix="q146_src_")
-    e.unionByName(sentinel(100)).write.mode("overwrite").parquet(src)
-    stream = (
-        spark.readStream.schema(spark.read.parquet(src).schema)
-        .parquet(src)
-        .withColumn("ts", F.col("ts").cast("timestamp"))
-        .withWatermark("ts", "1 hour")
+    sentinel = sentinel_row(
+        spark, sf_dir, lambda ts: (ts, "__sentinel"),
+        "ts timestamp_ntz, event_type string",
     )
-    # no sentinel filter inside the streaming plan: pushdown would sink
-    # it below the watermark node and the sentinels would never reach
-    # the event-time stats (see q145).  Their windows stay open and
-    # unemitted; the post-sink filter is belt-and-suspenders.
-    agg = stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
-        F.count(F.lit(1)).alias("n")
+    sunk = run_streaming_gate(
+        spark,
+        [(e, sentinel)],
+        lambda stream: (
+            stream.withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        ),
+        prefix="q146",
     )
-    name = "q146_" + uuid.uuid4().hex[:8]
-    q = agg.writeStream.format("memory").queryName(name).outputMode("append").start()
-    try:
-        q.processAllAvailable()
-        # same two-sentinel protocol as q145: the first sentinel's
-        # watermark applies in the NEXT batch, so feed a later one and
-        # wait again — the last open hours finalize in that batch.
-        sentinel(200).write.mode("append").parquet(src)
-        q.processAllAvailable()
-    finally:
-        q.stop()
     return (
-        spark.table(name)
-        .filter(F.col("event_type") != "__sentinel")
+        sunk.filter(F.col("event_type") != "__sentinel")
         .select(
             F.col("w.start").cast("timestamp_ntz").alias("hour_start"),
             "event_type",
@@ -820,56 +767,35 @@ def q181_streaming_bars_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
     evicted on finalization; the continuous-aggregate discipline that
     keeps a 100 TB hypertable fresh without re-reading ticks).
 
-    Two-sentinel watermark protocol as q145/q146 (sentinel user −1,
-    outside the generator's key domain, filtered post-sink — never
-    inside the streaming plan, where pushdown would starve the
-    event-time stats).  The oracle is the batch bar SQL: every
-    streaming-finalized bar must equal its batch twin bit-for-bit,
-    vwap included (exact integer-cent state)."""
-    import datetime
-    import tempfile
-    import uuid
-
+    Watermark finalization via ``streaming.gate`` (sentinel user −1,
+    outside the generator's key domain, filtered post-sink).  The
+    oracle is the batch bar SQL: every streaming-finalized bar must
+    equal its batch twin bit-for-bit, vwap included (exact
+    integer-cent state)."""
     from ..streaming.bars import streaming_bars
+    from ..streaming.gate import run_streaming_gate, sentinel_row
 
     tune(spark)
-    spark.conf.set("spark.sql.shuffle.partitions", "8")  # state dial
     e = load(spark, sf_dir, "events").select("user_id", "ts", "value")
-    max_ts = e.agg(F.max("ts")).collect()[0][0]
-
-    def sentinel(days):
-        return spark.createDataFrame(
-            [(-1, max_ts + datetime.timedelta(days=days), 0.0)],
-            "user_id bigint, ts timestamp_ntz, value double",
-        )
-
-    src = tempfile.mkdtemp(prefix="q181_src_")
-    e.unionByName(sentinel(100)).write.mode("overwrite").parquet(src)
-    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
-    bars = streaming_bars(
-        stream,
-        key="user_id",
-        ts="ts",
-        price="value",
-        interval="1 day",
-        watermark_delay="1 hour",
+    sentinel = sentinel_row(
+        spark, sf_dir, lambda ts: (-1, ts, 0.0),
+        "user_id bigint, ts timestamp_ntz, value double",
     )
-    name = "q181_" + uuid.uuid4().hex[:8]
-    q = (
-        bars.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .start()
+    sunk = run_streaming_gate(
+        spark,
+        [(e, sentinel)],
+        lambda stream: streaming_bars(
+            stream,
+            key="user_id",
+            ts="ts",
+            price="value",
+            interval="1 day",
+            watermark_delay="1 hour",
+        ),
+        prefix="q181",
     )
-    try:
-        q.processAllAvailable()
-        sentinel(200).write.mode("append").parquet(src)
-        q.processAllAvailable()
-    finally:
-        q.stop()
     return (
-        spark.table(name)
-        .filter(F.col("user_id") != -1)
+        sunk.filter(F.col("user_id") != -1)
         .select(
             "user_id",
             F.col("bar_start").cast("timestamp_ntz").alias("bar_start"),
@@ -907,47 +833,32 @@ def q153_stateful_sessions_executed(spark: SparkSession, sf_dir: str) -> DataFra
     for, executed in the real engine with per-key state rows and
     event-time timeouts.  The batch twin is the gaps-and-islands
     split-after-marker rewrite, so every emitted session (boundaries,
-    counts, how it ended) is value-verified.  Two-sentinel watermark
-    protocol as q145/q146; the sentinel key is filtered post-sink."""
-    import datetime
-    import tempfile
-    import uuid
-
+    counts, how it ended) is value-verified.  Watermark finalization
+    via ``streaming.gate``; the sentinel key is filtered post-sink."""
+    from ..streaming.gate import run_streaming_gate, sentinel_row
     from ..streaming.stateful import event_terminated_sessions
 
     tune(spark)
-    spark.conf.set("spark.sql.shuffle.partitions", "8")  # state dial; next tune() restores
     e = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
-    max_ts = e.agg(F.max("ts")).collect()[0][0]
-
-    def sentinel(days):
-        return spark.createDataFrame(
-            [(-1, max_ts + datetime.timedelta(days=days), "view")],
-            "user_id long, ts timestamp_ntz, event_type string",
-        )
-
-    src = tempfile.mkdtemp(prefix="q153_src_")
-    e.unionByName(sentinel(100)).write.mode("overwrite").parquet(src)
-    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
-    sessions = event_terminated_sessions(
-        stream,
-        key="user_id",
-        ts="ts",
-        end_marker=F.col("event_type") == "error",
-        watermark_delay="1 hour",
-        timeout_ms=60 * 60 * 1000,
+    sentinel = sentinel_row(
+        spark, sf_dir, lambda ts: (-1, ts, "view"),
+        "user_id long, ts timestamp_ntz, event_type string",
     )
-    name = "q153_" + uuid.uuid4().hex[:8]
-    q = sessions.writeStream.format("memory").queryName(name).outputMode("append").start()
-    try:
-        q.processAllAvailable()
-        sentinel(200).write.mode("append").parquet(src)
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    sunk = run_streaming_gate(
+        spark,
+        [(e, sentinel)],
+        lambda stream: event_terminated_sessions(
+            stream,
+            key="user_id",
+            ts="ts",
+            end_marker=F.col("event_type") == "error",
+            watermark_delay="1 hour",
+            timeout_ms=60 * 60 * 1000,
+        ),
+        prefix="q153",
+    )
     return (
-        spark.table(name)
-        .filter(F.col("key") >= 0)
+        sunk.filter(F.col("key") >= 0)
         .select(
             "key",
             F.col("session_start").cast("timestamp_ntz").alias("session_start"),

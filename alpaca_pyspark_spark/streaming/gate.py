@@ -1,0 +1,146 @@
+"""Reusable harness for running a streaming query TO COMPLETION under
+the exact-hash correctness gate (the executed-streaming queries q145 /
+q146 / q153 / q181 all share it).
+
+The protocol it encapsulates (learned the hard way, round 3–4):
+
+* A file stream needs a directory source, so each input DataFrame is
+  staged to a temp dir together with a FAR-FUTURE SENTINEL row whose
+  event time exceeds every real row — that is what drives the
+  watermark past the data so append-mode state finalizes.
+* The sentinel must NOT be filtered inside the streaming plan:
+  predicate pushdown sinks the filter below the EventTimeWatermark
+  node and the sentinel never reaches the event-time stats (the
+  watermark stalls and the append-mode tail stays withheld forever).
+  Callers filter sentinel keys AFTER the memory sink.
+* Watermark advancement from a batch applies only in the NEXT batch,
+  and the engine's no-data batch races ``processAllAvailable`` — so
+  after the first drain a SECOND, even-later sentinel is appended to
+  every source and drained again; the withheld rows flush inside that
+  waited-on data batch (the "two-sentinel protocol").
+
+Scale note (items graded at 100 TB): the one driver-side action is a
+single ``max(ts)`` scan of the events table, memoized per ``sf_dir``
+for the session so N streaming queries cost one scan, not N
+(`events_max_ts`).  State-store sizing is a dial (`shuffle_partitions`
+— fixed at stream start from ``spark.sql.shuffle.partitions``); a real
+deployment sizes it to stream rate, the gate uses the local
+throughput-matched 8.
+"""
+
+from __future__ import annotations
+
+import datetime
+import tempfile
+import uuid
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load
+
+#: (sf_dir) -> max event timestamp; one scan per session per scale.
+_MAX_TS_CACHE: dict[str, datetime.datetime] = {}
+
+
+def events_max_ts(spark: SparkSession, sf_dir: str) -> datetime.datetime:
+    """Max ``events.ts`` for ``sf_dir``, memoized for the session.
+
+    Every sentinel-protocol streaming query needs this one scalar; at
+    scale an extra full scan per query is real money, so it is fetched
+    once per (session, sf_dir) and reused."""
+    if sf_dir not in _MAX_TS_CACHE:
+        _MAX_TS_CACHE[sf_dir] = (
+            load(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+        )
+    return _MAX_TS_CACHE[sf_dir]
+
+
+def run_streaming_gate(
+    spark: SparkSession,
+    sources: Sequence[tuple[DataFrame, DataFrame | None]],
+    transform: Callable[..., DataFrame],
+    *,
+    output_mode: str = "append",
+    shuffle_partitions: int = 8,
+    prefix: str = "sgate",
+) -> DataFrame:
+    """Stage ``sources``, stream them through ``transform``, run the
+    micro-batch engine to completion, and return the memory-sink table
+    (a BATCH DataFrame the oracle gate can hash).
+
+    ``sources`` is a sequence of ``(df, sentinel)`` pairs.  ``sentinel``
+    is a ONE-ROW DataFrame with ``df``'s schema whose event time is
+    ``events_max_ts + 100 days`` (use :func:`sentinel_row`); it is
+    staged with the data, and a 200-day copy is appended for the second
+    drain.  ``None`` skips the sentinel protocol for that source
+    (complete-mode / dedup queries that need no watermark finalization).
+
+    ``transform`` receives one streaming DataFrame per source (file
+    stream over the staged dir, schema inferred from the staged
+    parquet) and returns the streaming result to sink.  Sentinel-key
+    filtering is the CALLER's job, after this returns (never inside
+    ``transform`` — see module docstring)."""
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    dirs: list[str] = []
+    streams: list[DataFrame] = []
+    sentinels: list[DataFrame | None] = []
+    for df, sent in sources:
+        src = tempfile.mkdtemp(prefix=f"{prefix}_")
+        staged = df if sent is None else df.unionByName(sent)
+        staged.write.mode("overwrite").parquet(src)
+        dirs.append(src)
+        sentinels.append(sent)
+        streams.append(
+            spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+        )
+    result = transform(*streams)
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        late = [(s, x) for s, x in zip(dirs, sentinels) if x is not None]
+        if late:
+            # Second drain: shift each sentinel another 100 days out so
+            # the new batch's event-time max strictly advances the
+            # watermark past the first sentinel, flushing withheld rows.
+            for src, sent in late:
+                _shift_ts_100d(sent).write.mode("append").parquet(src)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def sentinel_row(
+    spark: SparkSession,
+    sf_dir: str,
+    row_for_ts: Callable[[datetime.datetime], tuple],
+    schema: str,
+) -> DataFrame:
+    """One-row sentinel DataFrame at ``events_max_ts + 100 days``.
+
+    ``row_for_ts`` maps the sentinel timestamp to the full row tuple
+    (the caller decides which out-of-domain key marks it, e.g. user_id
+    −1), ``schema`` is the DDL string matching the staged source."""
+    ts = events_max_ts(spark, sf_dir) + datetime.timedelta(days=100)
+    return spark.createDataFrame([row_for_ts(ts)], schema)
+
+
+def _shift_ts_100d(sent: DataFrame) -> DataFrame:
+    """The second-drain sentinel: same row, event time +100 days."""
+    ts_cols = [
+        f.name
+        for f in sent.schema.fields
+        if f.dataType.typeName() in ("timestamp", "timestamp_ntz")
+    ]
+    out = sent
+    for c in ts_cols:
+        out = out.withColumn(c, F.col(c) + F.expr("INTERVAL 100 DAYS"))
+    return out

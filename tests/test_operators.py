@@ -864,6 +864,30 @@ def test_knn_graph_exact_matches_brute_force(spark):
         assert graph[key] == val
 
 
+def test_knn_graph_exact_zero_vector_fails_loudly(spark):
+    """Cosine is undefined for the zero vector; under Spark's
+    NaN-greatest descending sort a NaN similarity would silently rank
+    FIRST for every source.  The kernel must raise instead."""
+    import pytest as _pytest
+
+    from alpaca_pyspark_spark.operators.similarity import knn_graph_exact
+    from alpaca_pyspark_spark.tables import load
+
+    emb = load(spark, SF_DIR, "embeddings").limit(10)
+    dim = len(emb.select("embedding").first()[0])
+    degenerate = emb.select(
+        "vec_id", "embedding"
+    ).unionByName(
+        spark.createDataFrame(
+            [(10_000, [0.0] * dim)], "vec_id long, embedding array<double>"
+        )
+    )
+    with _pytest.raises(Exception, match="zero-norm"):
+        knn_graph_exact(
+            degenerate, id_col="vec_id", vec_col="embedding", k=3
+        ).collect()
+
+
 def test_semdedup_keep_rule_invariants(spark):
     """SemDeDup keep rule: a vector is dropped iff some LOWER-id
     cell-mate is within the threshold; in particular the lowest id of
