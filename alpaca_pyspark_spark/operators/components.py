@@ -63,47 +63,50 @@ def connected_components(
         .distinct()
         .persist()
     )
-    if checkpoint_every < 1:
-        raise ValueError("checkpoint_every must be >= 1")
-    labels = vertices.select(
-        F.col(vertex_id).alias("id"), F.col(vertex_id).alias("component")
-    ).localCheckpoint()
-    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
-    rounds = 0
-    for i in range(max_iter):
-        neighbor_min = (
-            sym.join(labels, sym["v"] == labels["id"])
-            .groupBy(F.col("u").alias("id"))
-            .agg(F.min("component").alias("nbr_min"))
-        )
-        stepped = labels.join(neighbor_min, "id", "left").select(
-            "id",
-            F.least(
-                F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
-            ).alias("component"),
-        )
-        # pointer jumping: component values ARE vertex ids, so resolve
-        # one level of label indirection (label := label(label)) each
-        # round — collapses chains in O(log diameter) rounds instead of
-        # O(diameter), which is what makes long chains tractable
-        lookup = stepped.select(
-            F.col("id").alias("__cid"), F.col("component").alias("__cc")
-        )
-        new_labels = stepped.join(
-            lookup, stepped["component"] == lookup["__cid"], "left"
-        ).select(
-            "id",
-            F.coalesce(F.col("__cc"), F.col("component")).alias("component"),
-        )
-        if (i + 1) % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint()
-        new_sum = new_labels.agg(F.sum("component")).collect()[0][0]
-        labels = new_labels
-        rounds += 1
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
-    sym.unpersist()
+    try:
+        if checkpoint_every < 1:
+            raise ValueError("checkpoint_every must be >= 1")
+        labels = vertices.select(
+            F.col(vertex_id).alias("id"), F.col(vertex_id).alias("component")
+        ).localCheckpoint()
+        prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+        rounds = 0
+        for i in range(max_iter):
+            neighbor_min = (
+                sym.join(labels, sym["v"] == labels["id"])
+                .groupBy(F.col("u").alias("id"))
+                .agg(F.min("component").alias("nbr_min"))
+            )
+            stepped = labels.join(neighbor_min, "id", "left").select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+            )
+            # pointer jumping: component values ARE vertex ids, so resolve
+            # one level of label indirection (label := label(label)) each
+            # round — collapses chains in O(log diameter) rounds instead of
+            # O(diameter), which is what makes long chains tractable
+            lookup = stepped.select(
+                F.col("id").alias("__cid"), F.col("component").alias("__cc")
+            )
+            new_labels = stepped.join(
+                lookup, stepped["component"] == lookup["__cid"], "left"
+            ).select(
+                "id",
+                F.coalesce(F.col("__cc"), F.col("component")).alias("component"),
+            )
+            if (i + 1) % checkpoint_every == 0:
+                new_labels = new_labels.localCheckpoint()
+            new_sum = new_labels.agg(F.sum("component")).collect()[0][0]
+            labels = new_labels
+            rounds += 1
+            if new_sum == prev_sum:
+                break
+            prev_sum = new_sum
+    finally:
+        # released even if a round fails — no cache-manager residue
+        sym.unpersist(blocking=False)
     if stats is not None:
         stats["rounds"] = rounds
     return labels

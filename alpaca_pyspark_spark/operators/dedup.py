@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import jaccard, tokens, word_shingles
+from ..session import scoped_persist
 from .text import normalized_fingerprint
 
 
@@ -278,7 +279,7 @@ def minhash_near_duplicates(
         shingle_k=shingle_k,
         num_hashes=num_hashes,
         portable=portable,
-    ).persist()
+    ).transform(scoped_persist)
     # persist pairs too: consumed by the candidate-id extraction AND the
     # verify join — without it the whole bucket-combination pass reruns.
     pairs = lsh_candidate_pairs(
@@ -287,7 +288,7 @@ def minhash_near_duplicates(
         num_bands=num_bands,
         rows_per_band=num_hashes // num_bands,
         exact_buckets=portable,
-    ).persist()
+    ).transform(scoped_persist)
     cand_ids = (
         pairs.select(F.col("id_a").alias(id_col))
         .union(pairs.select(F.col("id_b").alias(id_col)))
@@ -299,7 +300,7 @@ def minhash_near_duplicates(
     cand_docs = df.select(F.col(id_col), F.col(text_col)).join(cand_ids, id_col, "left_semi")
     sh = shingle_sets(
         cand_docs, id_col=id_col, text_col=text_col, shingle_k=shingle_k
-    ).persist()
+    ).transform(scoped_persist)
     verified = (
         pairs.join(sh.withColumnsRenamed({id_col: "id_a", "shingles": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({id_col: "id_b", "shingles": "sh_b"}), "id_b")
@@ -364,7 +365,7 @@ def simhash_near_duplicates(
     chunk_mask = (1 << chunk_bits) - 1
     sigs = simhash_signatures(
         df, id_col=id_col, text_col=text_col, portable=portable
-    ).persist()
+    ).transform(scoped_persist)
     chunks = F.array(
         *[
             F.struct(
@@ -441,7 +442,7 @@ def embedding_near_duplicates(
         v = v.withColumn("__b", sign_bucket(F.col("__v"), dim=dim, num_planes=num_planes))
     else:
         v = v.withColumn("__b", F.lit(0))
-    v = v.persist()
+    v = v.transform(scoped_persist)
     shuffle_n = int(vectors.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     a = v.select(
         "__b", F.col("__id").alias("id_a"), F.col("__v").alias("va"), F.col("__n").alias("na")
@@ -533,7 +534,7 @@ def setsim_prefix_join(
         raise ValueError(f"threshold must be in (0, 1]: {num}/{den}")
     # persisted: feeds the item-frequency pass AND both sides of the
     # exact verify join
-    sets = shingle_sets(df, id_col=id_col, text_col=text_col, shingle_k=shingle_k).persist()
+    sets = shingle_sets(df, id_col=id_col, text_col=text_col, shingle_k=shingle_k).transform(scoped_persist)
     # Candidate generation runs on 64-bit item HASHES, not the shingle
     # strings: the frequency pass and the prefix join then exchange 8
     # bytes per item instead of ~30-char strings (~4× less shuffle
@@ -651,7 +652,7 @@ def containment_pairs(
         _spread(df.select(F.col(id_col), F.col(text_col)))
         .select(F.col(id_col), F.concat_ws(" ", toks).alias("norm"))
         .filter(F.length("norm") > 0)
-        .persist()
+        .transform(scoped_persist)
     )
     toks_arr = F.split("norm", " ")
     g4 = norm.select(
@@ -811,7 +812,7 @@ def incremental_minhash_dedup(
         grouped.select(F.explode(combos).alias("__p"))
         .select("__p.new_id", "__p.old_id")
         .distinct()
-        .persist()
+        .transform(scoped_persist)
     )
     sh_new = shingle_sets(
         delta.join(

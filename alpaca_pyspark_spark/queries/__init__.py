@@ -12,6 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..session import release_scoped_caches
 from . import advanced, analytics, core, extended, llm, mining, scale, search, tpch, warehouse
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -19,6 +20,26 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
 
+
+def _boundary(fn: QueryFn) -> QueryFn:
+    """Query-boundary cache discipline: entering a registered query
+    releases every ``scoped_persist`` the PREVIOUS query took (its
+    consuming action — the driver's / bench's collect — has completed
+    by then), so a long-lived session never holds more than one
+    query's worth of operator caches.  Harnesses that want zero
+    residue between actions (tests, bench) additionally call
+    ``release_scoped_caches()`` right after consuming."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        release_scoped_caches()
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = fn.__name__
+    wrapped.__doc__ = fn.__doc__
+    wrapped.__wrapped__ = fn
+    return wrapped
+
+
 for mod in (core, extended, llm, scale, advanced, analytics, mining, warehouse, search, tpch):
-    QUERIES.update(mod.QUERIES)
+    QUERIES.update({k: _boundary(fn) for k, fn in mod.QUERIES.items()})
     ORACLE.update(mod.ORACLE)

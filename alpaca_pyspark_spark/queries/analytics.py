@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..session import tune
+from ..session import scoped_persist, tune
 from ..tables import load
 
 
@@ -1127,7 +1127,7 @@ def q129_cuped_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum(F.when(F.col("ts") >= cutoff, v_centi).otherwise(F.lit(0))).alias("y"),
         )
         .withColumn("variant", (F.col("user_id") % 2).cast("bigint"))
-    ).persist()
+    ).transform(scoped_persist)
     moments = per_user.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),

@@ -2406,10 +2406,128 @@ LIMIT 100
 """
 
 
+# ---------------------------------------------------------------- q182
+def q182_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-band quality filter — the CCNet/Gopher-style step
+    that sits between dedup and sampling in a pretraining pipeline:
+    score every document under the corpus's own q165 bigram LM and
+    report the quality-band mix the filter would keep/drop.
+
+    Hash-exactness: true log-probabilities would need ``ln`` (libm,
+    engine-divergent in the last ulp) or an order-dependent double
+    sum, so the per-transition surprisal is kept integer-rational:
+    ``inv_p_micro = (1_000_000 * first_count) DIV pair_count`` — the
+    transition's inverse probability (its per-step perplexity) in
+    micro-units, exact on both engines.  A document's score is the
+    integer mean over its transitions (by AM >= GM this upper-bounds
+    the geometric-mean perplexity, so band thresholds act as a
+    conservative filter with the same ranking discipline).
+
+    Scale shape: LM training is q165's one explode + map-side-partial
+    hash-agg over corpus bigrams, with the continuation total as a
+    window over the bigram-TYPE table (vocab-sized).  Scoring re-
+    explodes transitions and joins the LM **broadcast** (the LM is
+    vocab-bounded by construction — CCNet ships a fixed LM for the
+    same reason; past broadcast size the dial is a shuffle join on
+    w1), then aggregates per doc_id: every transition of a doc sits
+    contiguous in its scan partition, so partial aggregation collapses
+    the exchange to ~1 row per document.  The band rollup on top is
+    band-count-sized.  No corpus-scale shuffle beyond the explode+agg
+    pair; self-trained LM means every transition is in-vocabulary (no
+    smoothing term needed for exactness)."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    n = F.size(t)
+    trans = (
+        docs.filter(n >= 2)  # q165's zero/one-token guard
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(t, 1, n - 1).alias("w1"), F.slice(t, 2, n - 1).alias("w2")
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    lm = (
+        trans.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .withColumn(
+            "first_count", F.sum("pair_count").over(Window.partitionBy("w1"))
+        )
+        .withColumn(
+            "inv_p_micro",
+            F.expr("(1000000 * first_count) DIV pair_count"),
+        )
+        .select("w1", "w2", "inv_p_micro")
+    )
+    scored = (
+        trans.join(F.broadcast(lm), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trans"),
+            F.sum("inv_p_micro").alias("sum_inv"),
+        )
+        .select(
+            "doc_id",
+            "n_trans",
+            F.expr("sum_inv DIV n_trans").alias("avg_inv_p_micro"),
+        )
+    )
+    return (
+        scored.groupBy(
+            F.least(
+                F.expr("avg_inv_p_micro DIV 5000000"), F.lit(9).cast("bigint")
+            ).alias("quality_band")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_trans").alias("total_transitions"),
+            F.min("avg_inv_p_micro").alias("best_score_micro"),
+        )
+        .orderBy("quality_band")
+    )
+
+
+_Q182_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
+),
+trans AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+  FROM toks, unnest(range(1, len(t))) AS r(i)
+  WHERE len(t) >= 2
+),
+lm AS (
+  SELECT w1, w2,
+         (1000000 * CAST(sum(count(*)) OVER (PARTITION BY w1) AS BIGINT))
+           // count(*) AS inv_p_micro
+  FROM trans GROUP BY w1, w2
+),
+scored AS (
+  SELECT tr.doc_id,
+         CAST(count(*) AS BIGINT) AS n_trans,
+         CAST(sum(lm.inv_p_micro) AS BIGINT) AS sum_inv
+  FROM trans tr JOIN lm USING (w1, w2)
+  GROUP BY 1
+)
+SELECT LEAST(sum_inv // n_trans // 5000000, 9) AS quality_band,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_trans) AS BIGINT) AS total_transitions,
+       CAST(min(sum_inv // n_trans) AS BIGINT) AS best_score_micro
+FROM scored
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "q163_setsim_prefix_join": q163_setsim_prefix_join,
     "q164_containment_dedup": q164_containment_dedup,
     "q165_bigram_lm": q165_bigram_lm,
+    "q182_perplexity_filter": q182_perplexity_filter,
     "q166_ngram_novelty": q166_ngram_novelty,
     "q168_privacy_audit": q168_privacy_audit,
     "q169_incremental_dedup": q169_incremental_dedup,
@@ -2463,6 +2581,7 @@ ORACLE = {
     "q163_setsim_prefix_join": _Q163_SQL,
     "q164_containment_dedup": _Q164_SQL,
     "q165_bigram_lm": _Q165_SQL,
+    "q182_perplexity_filter": _Q182_SQL,
     "q166_ngram_novelty": _Q166_SQL,
     "q168_privacy_audit": _Q168_SQL,
     "q169_incremental_dedup": _Q169_SQL,

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import tokens, word_shingles
-from ..session import tune
+from ..session import scoped_persist, tune
 from ..tables import load
 
 #: Fixed retrieval query for q90 (terms chosen to exist in the corpus).
@@ -207,10 +207,10 @@ def q91_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = pairs.select(F.col("s").alias("src"), F.col("p").alias("dst")).unionByName(
         pairs.select(F.col("p").alias("src"), F.col("s").alias("dst"))
-    ).persist()
+    ).transform(scoped_persist)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).select(
         F.col("src").alias("node"), "outdeg"
-    ).persist()
+    ).transform(scoped_persist)
     ranks = deg.select("node", "outdeg", F.lit(1000000).cast("bigint").alias("r"))
     for _ in range(_ITERATIONS):
         contribs = (
@@ -836,7 +836,7 @@ def q120_domain_distinctive_tokens(spark: SparkSession, sf_dir: str) -> DataFram
         "source", F.explode(tokens(F.lower(F.col("text")))).alias("token")
     )
     dom = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("dom_count"))
-    dom = dom.persist()  # feeds corpus counts, domain totals, and the join
+    dom = dom.transform(scoped_persist)  # feeds corpus counts, domain totals, and the join
     corpus = dom.groupBy("token").agg(F.sum("dom_count").alias("corpus_count"))
     dom_tot = dom.groupBy("source").agg(F.sum("dom_count").alias("dom_total"))
     grand = dom.agg(F.sum("dom_count").alias("grand_total"))

@@ -32,6 +32,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
+from ..session import scoped_persist
+
 #: Column capturing the raw text of rows that failed to parse.
 CORRUPT_COL = "_corrupt_record"
 
@@ -86,8 +88,10 @@ def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     barrier between a corrupt-record read and a filter on the corrupt
     column (SPARK-21610: the pushdown would otherwise prune the very
     column being filtered); the caller owns when to materialize, so
-    the barrier here is a plain ``cache()`` marker."""
-    cached = df.cache()
+    the barrier here is a cache marker — a SCOPED one
+    (``session.scoped_persist``), released like every operator persist
+    at the next query boundary."""
+    cached = scoped_persist(df)
     clean = cached.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     quarantine = cached.filter(F.col(CORRUPT_COL).isNotNull()).select(
         F.col(CORRUPT_COL).alias("raw_line")

@@ -30,6 +30,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
 
 from alpaca_pyspark_spark.queries import QUERIES  # noqa: E402
+from alpaca_pyspark_spark.session import release_scoped_caches  # noqa: E402
 from alpaca_pyspark_spark.session import get_spark  # noqa: E402
 
 
@@ -58,6 +59,10 @@ def main() -> None:
         # are keyed by logical plan and were dropped, so they rebuild).
         spark.catalog.clearCache()
         fn(spark, sf_dir).count()
+        # drain the operator cache ledger (scoped_persist) then clear
+        # whatever else is cached so the timed run re-executes the
+        # ENTIRE plan from the scans
+        release_scoped_caches()
         spark.catalog.clearCache()
         # drop py-side plan references so the JVM ContextCleaner can
         # reclaim the previous queries' broadcasts/accumulators — 138
@@ -70,6 +75,7 @@ def main() -> None:
         df = fn(spark, sf_dir)
         n = df.count()
         dt = time.perf_counter() - t0
+        release_scoped_caches()  # query boundary: operator persists go
         del df
         timings[qid] = round(dt, 3)
         total += dt

@@ -24,6 +24,29 @@ def spark():
     yield s
 
 
+@pytest.fixture()
+def assert_no_cache_residue(spark):
+    """Round-5 persist-discipline gate: after a query's consuming
+    action, releasing the scoped-cache ledger must leave Catalyst's
+    CacheManager EMPTY — i.e. every ``persist()``/``cache()`` an
+    operator takes must go through ``session.scoped_persist`` (or be
+    scoped try/finally internally).  In a long-lived session (the
+    195-query bench is one JVM; a real deployment runs weeks)
+    unscoped cache entries accumulate until LRU eviction decides what
+    stays hot instead of the operators.  A persist that bypasses the
+    ledger fails here."""
+    from alpaca_pyspark_spark.session import release_scoped_caches
+
+    yield
+    release_scoped_caches()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty(), (
+        "CacheManager not empty after releasing the scoped ledger — an "
+        "operator persisted a DataFrame without session.scoped_persist "
+        "(or an internal try/finally unpersist)"
+    )
+
+
 @pytest.fixture(scope="session")
 def oracle():
     con = duckdb.connect()

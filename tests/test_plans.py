@@ -417,9 +417,10 @@ def test_q120_lift_single_corpus_exchange(spark):
     df = QUERIES["q120_domain_distinctive_tokens"](spark, SF_DIR)
     plan = formatted_plan(df)
     # the corpus is scanned/shuffled once into the cached vocab x
-    # domain table; corpus counts, domain totals and the grand total
-    # all attach back by broadcast; top-5-per-source uses the rank
-    # pushdown (WindowGroupLimit), not a full per-group sort+filter
+    # domain table (scoped_persist — released at the query boundary);
+    # corpus counts, domain totals and the grand total all attach back
+    # by broadcast; top-5-per-source uses the rank pushdown
+    # (WindowGroupLimit), not a full per-group sort+filter
     assert plan.count("InMemoryTableScan") >= 3, plan
     assert count_broadcasts(df) >= 3, plan
     assert "WindowGroupLimit" in plan, plan

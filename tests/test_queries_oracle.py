@@ -18,13 +18,13 @@ ROWS_ONLY = sorted(set(QUERIES) - set(ORACLE))
 
 
 @pytest.mark.parametrize("qid", ORACLE_PAIRED)
-def test_query_matches_oracle(spark, oracle, qid):
+def test_query_matches_oracle(spark, oracle, assert_no_cache_residue, qid):
     df = QUERIES[qid](spark, SF_DIR)
     assert_df_matches_oracle(df, oracle, ORACLE[qid])
 
 
 @pytest.mark.parametrize("qid", ROWS_ONLY)
-def test_rows_only_query_runs(spark, qid):
+def test_rows_only_query_runs(spark, assert_no_cache_residue, qid):
     df = QUERIES[qid](spark, SF_DIR)
     # full execution (not limit()) so a crash on ANY input row — the
     # q165 negative-slice class — surfaces here, like the driver's run

@@ -12,7 +12,7 @@ Usage: python tools/driver_mimic.py [SF_DIR] [--out ORACLE_LOCAL_rN.json]
 import sys; sys.path.insert(0, "/root/repo")
 import importlib.util, duckdb, json, math, sys
 
-from alpaca_pyspark_spark.session import get_spark
+from alpaca_pyspark_spark.session import get_spark, release_scoped_caches
 
 spec = importlib.util.spec_from_file_location('entry_mod', '/root/repo/__spark_entry__.py')
 m = importlib.util.module_from_spec(spec); spec.loader.exec_module(m)
@@ -34,6 +34,7 @@ def norm(v):
 qs, osql = m.queries(), m.oracle_sql()
 fail, results = [], {}
 for k in sorted(qs):
+    release_scoped_caches()  # previous query's operator persists
     try:
         df = qs[k](spark, SF)
         if k not in osql:
