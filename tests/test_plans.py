@@ -426,6 +426,18 @@ def test_q120_lift_single_corpus_exchange(spark):
     assert "WindowGroupLimit" in plan, plan
 
 
+def test_q182_lm_broadcast_scoring(spark):
+    df = QUERIES["q182_perplexity_filter"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    # the vocab-bounded bigram LM attaches to the corpus transition
+    # stream as a BROADCAST join (CCNet ships a fixed LM for the same
+    # reason); the per-doc score exchange partial-aggregates map-side,
+    # so no corpus-scale SMJ anywhere
+    assert count_broadcasts(df) >= 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "HashAggregate" in plan, plan
+
+
 def test_q121_cusum_single_shuffle(spark):
     df = QUERIES["q121_cusum_changepoint"](spark, SF_DIR)
     # totals window, cumsum window and argmax window all share the

@@ -1,0 +1,94 @@
+"""Round-5 scale-evidence run: execute the scale-claimed operator
+families at sf0.1 and at the 10x sf1 stress replica (tools/make_sf1.py)
+in ONE warm JVM, and report wall-times plus the ratio against naive
+10x-linear extrapolation.
+
+Families (VERDICT round-4 item 3):
+  dedup:     q12_text_dedup_portable, q163_setsim_prefix_join,
+             q169_incremental_dedup
+  ANN:       q13_embedding_sim_ann, q176_knn_graph_exact, q177_semdedup
+  iterative: q91_pagerank_suppliers, q123_bpe_train,
+             q33_near_dup_components_lsh
+  baseline:  q02_bars_tumbling (core scan+agg), q182_perplexity_filter
+
+Expected shapes: linear operators should land near ratio 1x of the
+extrapolation (sub-linear where fixed per-query overhead dominates at
+sf0.1); the EXACT quadratic family (q176, and q177's within-cell
+pairs) grows O(n^2) in compute by design — the written claim is that
+the blocked-triangle layout keeps per-task work bounded and the
+exchange linear, with the ANN/LSH twins as the sub-quadratic escape.
+
+Usage: python tools/stress_sf1.py [--sf1 /root/repo/.scratch/sf1]
+Writes STRESS_SF1.json and prints a table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from alpaca_pyspark_spark.queries import QUERIES
+from alpaca_pyspark_spark.session import get_spark, release_scoped_caches
+
+QUERIES_UNDER_TEST = [
+    "q02_bars_tumbling",
+    "q12_text_dedup_portable",
+    "q163_setsim_prefix_join",
+    "q169_incremental_dedup",
+    "q13_embedding_sim_ann",
+    "q176_knn_graph_exact",
+    "q177_semdedup",
+    "q91_pagerank_suppliers",
+    "q123_bpe_train",
+    "q33_near_dup_components_lsh",
+    "q182_perplexity_filter",
+]
+
+
+def run_once(spark, qid: str, sf_dir: str) -> tuple[float, int]:
+    spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    n = QUERIES[qid](spark, sf_dir).count()
+    dt = time.perf_counter() - t0
+    release_scoped_caches()
+    return dt, n
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf1", default="/root/repo/.scratch/sf1")
+    ap.add_argument("--sf01", default="/root/testdata/sf0.1")
+    args = ap.parse_args()
+    spark = get_spark("stress-sf1")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = {}
+    for qid in QUERIES_UNDER_TEST:
+        # warm codegen/page-cache on the small scale, then time both
+        run_once(spark, qid, args.sf01)
+        t01, n01 = run_once(spark, qid, args.sf01)
+        t1, n1 = run_once(spark, qid, args.sf1)
+        ratio = t1 / (10 * t01) if t01 > 0 else float("nan")
+        out[qid] = {
+            "sf0.1_sec": round(t01, 2),
+            "sf1_sec": round(t1, 2),
+            "sf0.1_rows": n01,
+            "sf1_rows": n1,
+            "vs_10x_linear": round(ratio, 2),
+        }
+        print(
+            f"{qid:35s} sf0.1 {t01:7.2f}s ({n01} rows)   "
+            f"sf1 {t1:8.2f}s ({n1} rows)   vs-linear {ratio:5.2f}x",
+            flush=True,
+        )
+    Path(__file__).resolve().parents[1].joinpath("STRESS_SF1.json").write_text(
+        json.dumps(out, indent=1) + "\n"
+    )
+
+
+if __name__ == "__main__":
+    main()
