@@ -1,0 +1,95 @@
+"""The scoped-cache ledger (session.scoped_persist) and the query
+boundary that drains it — the round-5 persist-discipline machinery."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from alpaca_pyspark_spark.session import (
+    release_scoped_caches,
+    scoped_caches,
+    scoped_persist,
+)
+
+from .conftest import SF_DIR
+
+
+def _cache_manager(spark):
+    return spark._jsparkSession.sharedState().cacheManager()
+
+
+def test_scoped_persist_registers_and_release_empties(spark):
+    release_scoped_caches()  # other tests may have left entries
+    spark.catalog.clearCache()
+    df = scoped_persist(
+        spark.read.parquet(f"{SF_DIR}/nation.parquet").select("n_nationkey")
+    )
+    assert df.count() == 25
+    assert not _cache_manager(spark).isEmpty()
+    released = release_scoped_caches()
+    assert released >= 1
+    assert _cache_manager(spark).isEmpty()
+
+
+def test_scoped_caches_context_manager(spark):
+    release_scoped_caches()
+    spark.catalog.clearCache()
+    with scoped_caches():
+        df = scoped_persist(spark.read.parquet(f"{SF_DIR}/region.parquet"))
+        assert df.count() == 5
+        assert not _cache_manager(spark).isEmpty()
+    assert _cache_manager(spark).isEmpty()
+
+
+def test_release_is_idempotent_and_safe_when_empty(spark):
+    release_scoped_caches()
+    assert release_scoped_caches() == 0
+
+
+def test_query_boundary_drains_previous_query(spark):
+    """Entering any registered query releases the PREVIOUS query's
+    operator persists, so the driver's sequential correctness run
+    holds at most one query's caches at a time."""
+    from alpaca_pyspark_spark.queries import QUERIES
+
+    release_scoped_caches()
+    spark.catalog.clearCache()
+    # q120 takes a scoped persist internally and returns lazily
+    df = QUERIES["q120_domain_distinctive_tokens"](spark, SF_DIR)
+    df.count()  # the consuming action
+    assert not _cache_manager(spark).isEmpty()
+    # driver moves on: the NEXT query's entry drains the ledger
+    QUERIES["q31_token_count"](spark, SF_DIR).count()
+    assert _cache_manager(spark).isEmpty()
+    release_scoped_caches()
+
+
+def test_streaming_gate_max_ts_memoized(spark):
+    """events_max_ts: one scan per (session, sf_dir) — N streaming
+    queries must not pay N full event scans for their sentinels."""
+    from alpaca_pyspark_spark.streaming import gate
+
+    gate._MAX_TS_CACHE.pop(SF_DIR, None)
+    t1 = gate.events_max_ts(spark, SF_DIR)
+    assert SF_DIR in gate._MAX_TS_CACHE
+    # poison the cached entry; a second call must NOT rescan
+    sentinel = object()
+    gate._MAX_TS_CACHE[SF_DIR] = sentinel
+    assert gate.events_max_ts(spark, SF_DIR) is sentinel
+    gate._MAX_TS_CACHE[SF_DIR] = t1
+
+
+def test_streaming_gate_sentinel_shift(spark):
+    """The second-drain sentinel moves every timestamp column exactly
+    +100 days so the watermark strictly advances past the first."""
+    import datetime
+
+    from alpaca_pyspark_spark.streaming.gate import _shift_ts_100d
+
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    df = spark.createDataFrame(
+        [(-1, base, 0.0)], "user_id long, ts timestamp_ntz, value double"
+    )
+    row = _shift_ts_100d(df).collect()[0]
+    assert row["ts"] == base + datetime.timedelta(days=100)
+    assert row["user_id"] == -1 and row["value"] == 0.0
