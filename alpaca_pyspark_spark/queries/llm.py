@@ -31,7 +31,7 @@ from ..operators.multimodal import audio_energy_windows, decode_media, synthesiz
 from ..operators.similarity import brute_force_topk_arrow, lsh_topk
 from ..operators.text import with_fingerprint, with_lang_id, with_text_stats
 from ..functions import char_ngrams, tokens
-from ..session import tune
+from ..session import scoped_persist, tune
 from ..tables import load
 
 
@@ -2523,11 +2523,274 @@ ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------- q183
+def q183_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, Table A1),
+    token-level: per document, the distinct-token ratio, the share of
+    2-gram slots taken by the single most frequent 2-gram, and the
+    fraction of 3-gram occurrences that are repeats — the intra-doc
+    repetition signals that catch boilerplate/looping text that
+    corpus-level dedup (inter-doc) never sees.  The keep rule uses
+    exact integer cross-multiplication (5*top2 <= n2 i.e. top-2-gram
+    share <= 20%, 10*dup3 <= 3*n3 i.e. repeated-3-gram share <= 30%),
+    so the filter decision is engine-exact; the reported fractions are
+    single divisions of identical integers.
+
+    Scale shape: three explode+agg passes over the doc's own n-grams,
+    every aggregate keyed by doc_id (or (doc_id, gram) then doc_id) —
+    all map-side-combinable, exchanges carry per-doc (or per-doc-gram)
+    partials, and the three doc-sized aggregate tables join on the
+    already-partitioned doc_id key.  No corpus-global state at all, so
+    the operator is embarrassingly data-parallel at 100 TB."""
+    from ..functions import tokens, word_shingles
+
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        F.size(t).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(t)).cast("bigint").alias("n_distinct"),
+        word_shingles(t, 2).alias("g2"),
+        word_shingles(t, 3).alias("g3"),
+    ).transform(scoped_persist)
+    top2 = (
+        base.select("doc_id", F.explode("g2").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top2"))
+    )
+    tri = base.select(
+        "doc_id",
+        F.size("g3").cast("bigint").alias("n3"),
+        F.size(F.array_distinct("g3")).cast("bigint").alias("d3"),
+    )
+    stats = (
+        base.select("doc_id", "n_tokens", "n_distinct",
+                    F.size("g2").cast("bigint").alias("n2"))
+        .join(top2, "doc_id", "left")
+        .join(tri, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_distinct").cast("double")
+             / F.col("n_tokens").cast("double")).alias("distinct_frac"),
+            F.coalesce(F.col("top2"), F.lit(0)).cast("bigint").alias("top2"),
+            "n2",
+            (F.col("n3") - F.col("d3")).alias("dup3"),
+            "n3",
+        )
+    )
+    return stats.select(
+        "doc_id",
+        "n_tokens",
+        "distinct_frac",
+        (F.col("top2").cast("double")
+         / F.nullif(F.col("n2"), F.lit(0)).cast("double")).alias("top2gram_frac"),
+        (F.col("dup3").cast("double")
+         / F.nullif(F.col("n3"), F.lit(0)).cast("double")).alias("dup3gram_frac"),
+        (
+            (F.lit(5) * F.col("top2") <= F.col("n2"))
+            & (F.lit(10) * F.col("dup3") <= F.lit(3) * F.col("n3"))
+        ).cast("bigint").alias("keep"),
+    )
+
+
+_Q183_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS t FROM documents
+),
+base AS (
+  SELECT doc_id,
+         CAST(len(t) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+         CAST(greatest(len(t) - 1, 0) AS BIGINT) AS n2,
+         CAST(greatest(len(t) - 2, 0) AS BIGINT) AS n3
+  FROM toks
+),
+g2 AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+  FROM toks, unnest(range(1, len(t))) AS r(i)
+),
+top2 AS (
+  SELECT doc_id, max(c) AS top2 FROM (
+    SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2
+  ) GROUP BY 1
+),
+g3 AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+  FROM toks, unnest(range(1, len(t) - 1)) AS r(i)
+),
+tri AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n3_occ,
+         CAST(count(DISTINCT g) AS BIGINT) AS d3
+  FROM g3 GROUP BY 1
+)
+SELECT b.doc_id,
+       b.n_tokens,
+       CAST(b.n_distinct AS DOUBLE) / CAST(b.n_tokens AS DOUBLE)
+         AS distinct_frac,
+       CAST(COALESCE(t2.top2, 0) AS DOUBLE)
+         / CAST(NULLIF(b.n2, 0) AS DOUBLE) AS top2gram_frac,
+       CAST(COALESCE(tr.n3_occ - tr.d3, 0) AS DOUBLE)
+         / CAST(NULLIF(b.n3, 0) AS DOUBLE) AS dup3gram_frac,
+       CAST(
+         5 * COALESCE(t2.top2, 0) <= b.n2
+         AND 10 * COALESCE(tr.n3_occ - tr.d3, 0) <= 3 * b.n3
+         AS BIGINT
+       ) AS keep
+FROM base b
+LEFT JOIN top2 t2 USING (doc_id)
+LEFT JOIN tri tr USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------- q184
+def q184_stopword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-derived stop-word quality signal (the CCNet/Gopher
+    "contains required stop words" filter, with the stop list LEARNED
+    from the corpus instead of shipped): the 20 tokens with the
+    highest document frequency become the stop set; each document
+    reports its stop-token fraction and the Gopher keep rule (>= 2
+    DISTINCT stop tokens present).  Ties at the df cutoff break by
+    token text so the set is deterministic on both engines.
+
+    Scale shape: stop-set discovery is one explode + (token, doc)
+    dedup + df-agg on the TOKEN-TYPE table, top-20 by (df desc, token)
+    — vocabulary-sized everywhere after the first agg.  Scoring joins
+    the 20-row stop set BROADCAST against the exploded corpus and
+    re-aggregates per doc (partial aggs collapse to ~1 row per doc
+    before the exchange).  Two corpus passes, no corpus-scale join
+    state."""
+    from ..functions import tokens
+
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    stop = (
+        tok.distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), "token")
+        .limit(20)
+    )
+    per_doc = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    hits = (
+        tok.join(F.broadcast(stop.select("token")), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("stop_occ"),
+            F.countDistinct("token").alias("stop_types"),
+        )
+    )
+    return (
+        per_doc.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("stop_occ"), F.lit(0)).cast("bigint").alias("stop_occ"),
+            F.coalesce(F.col("stop_types"), F.lit(0)).cast("bigint").alias("stop_types"),
+            (
+                F.coalesce(F.col("stop_occ"), F.lit(0)).cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("stop_frac"),
+            (F.coalesce(F.col("stop_types"), F.lit(0)) >= 2).cast("bigint").alias("keep"),
+        )
+    )
+
+
+_Q184_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(trim(text), '\S+')) AS token
+  FROM documents
+),
+stop AS (
+  SELECT token FROM (
+    SELECT token, count(*) AS df FROM (SELECT DISTINCT doc_id, token FROM tok)
+    GROUP BY 1
+  ) ORDER BY df DESC, token LIMIT 20
+),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens FROM tok GROUP BY 1
+),
+hits AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS stop_occ,
+         CAST(count(DISTINCT token) AS BIGINT) AS stop_types
+  FROM tok JOIN stop USING (token)
+  GROUP BY 1
+)
+SELECT p.doc_id, p.n_tokens,
+       COALESCE(h.stop_occ, 0) AS stop_occ,
+       COALESCE(h.stop_types, 0) AS stop_types,
+       CAST(COALESCE(h.stop_occ, 0) AS DOUBLE) / CAST(p.n_tokens AS DOUBLE)
+         AS stop_frac,
+       CAST(COALESCE(h.stop_types, 0) >= 2 AS BIGINT) AS keep
+FROM per_doc p LEFT JOIN hits h USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------- q185
+def q185_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture reweighting (alpha = 0.5, the
+    multilingual-pretraining upsampling rule): each (lang, source)
+    domain's sampling weight is proportional to its token mass raised
+    to alpha.  Reported as the UPSAMPLING RATIO relative to the
+    largest domain — sqrt(n_i)/sqrt(n_max) — because IEEE-754 sqrt is
+    correctly rounded on every engine (unlike ln/pow) and the ratio of
+    two sqrt values needs no order-dependent normalizing sum, keeping
+    the whole operator hash-exact.  A data-mixing config divides by
+    the (engine-local) weight sum at APPLY time; the ratios here are
+    the portable artifact.
+
+    Scale shape: one explode+agg for domain token mass (map-side
+    partials), then all arithmetic happens on the domain-count-sized
+    table with the max attached by a scalar window."""
+    from ..functions import tokens
+
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    per = docs.groupBy("lang", "source").agg(
+        F.sum(F.size(tokens(F.col("text"))).cast("bigint")).alias("n_tokens")
+    )
+    mx = F.max("n_tokens").over(Window.partitionBy())
+    return per.select(
+        "lang",
+        "source",
+        "n_tokens",
+        (
+            F.sqrt(F.col("n_tokens").cast("double"))
+            / F.sqrt(mx.cast("double"))
+        ).alias("temp_weight_rel"),
+    )
+
+
+_Q185_SQL = r"""
+WITH per AS (
+  SELECT lang, source,
+         CAST(sum(len(regexp_extract_all(trim(text), '\S+'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY 1, 2
+)
+SELECT lang, source, n_tokens,
+       sqrt(CAST(n_tokens AS DOUBLE))
+         / sqrt(CAST(max(n_tokens) OVER () AS DOUBLE)) AS temp_weight_rel
+FROM per
+"""
+
+
 QUERIES = {
     "q163_setsim_prefix_join": q163_setsim_prefix_join,
     "q164_containment_dedup": q164_containment_dedup,
     "q165_bigram_lm": q165_bigram_lm,
     "q182_perplexity_filter": q182_perplexity_filter,
+    "q183_repetition_filter": q183_repetition_filter,
+    "q184_stopword_filter": q184_stopword_filter,
+    "q185_temperature_mixture": q185_temperature_mixture,
     "q166_ngram_novelty": q166_ngram_novelty,
     "q168_privacy_audit": q168_privacy_audit,
     "q169_incremental_dedup": q169_incremental_dedup,
@@ -2582,6 +2845,9 @@ ORACLE = {
     "q164_containment_dedup": _Q164_SQL,
     "q165_bigram_lm": _Q165_SQL,
     "q182_perplexity_filter": _Q182_SQL,
+    "q183_repetition_filter": _Q183_SQL,
+    "q184_stopword_filter": _Q184_SQL,
+    "q185_temperature_mixture": _Q185_SQL,
     "q166_ngram_novelty": _Q166_SQL,
     "q168_privacy_audit": _Q168_SQL,
     "q169_incremental_dedup": _Q169_SQL,

@@ -438,6 +438,15 @@ def test_q182_lm_broadcast_scoring(spark):
     assert "HashAggregate" in plan, plan
 
 
+def test_q184_stop_set_broadcasts(spark):
+    df = QUERIES["q184_stopword_filter"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    # the 20-row learned stop set attaches to the exploded corpus as a
+    # broadcast; per-doc scoring partial-aggregates before exchanging
+    assert count_broadcasts(df) >= 1, plan
+    assert "partial_count" in plan, plan
+
+
 def test_q121_cusum_single_shuffle(spark):
     df = QUERIES["q121_cusum_changepoint"](spark, SF_DIR)
     # totals window, cumsum window and argmax window all share the
