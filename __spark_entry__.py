@@ -57,8 +57,13 @@ _SHOWCASE_ORDER = [
     "q13_embedding_sim_ann",
     "q176_knn_graph_exact", "q177_semdedup",
     "q122_audio_energy",
-    # text curation
+    # text curation / quality filtering (round 5: q182 perplexity
+    # banding + q183 Gopher repetition filters — the new quality-filter
+    # block between dedup and sampling — rotate in; the mining family
+    # stays represented by q78/q121, and q79/q102 remain oracle-paired
+    # in the registry + local gate)
     "q15_text_stats", "q32_corpus_curation", "q61_contamination_overlap",
+    "q182_perplexity_filter", "q183_repetition_filter",
     # reproducible sampling / packing
     "q37_deterministic_sample", "q38_sequence_packing",
     # search / graph (q92_cluster_representatives rotated out round 5
@@ -67,8 +72,7 @@ _SHOWCASE_ORDER = [
     "q123_bpe_train",
     "q114_repeated_passages", "q120_domain_distinctive_tokens",
     # mining
-    "q78_fuzzy_name_pairs", "q79_transition_matrix", "q102_mad_outliers",
-    "q121_cusum_changepoint",
+    "q78_fuzzy_name_pairs", "q121_cusum_changepoint",
     # TPC-H shapes
     "q84_pricing_summary", "q82_sole_late_shipper",
     "q110_cheapest_supplier", "q100_market_share",

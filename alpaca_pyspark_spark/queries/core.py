@@ -552,35 +552,26 @@ def q130_streaming_sessions_executed(spark: SparkSession, sf_dir: str) -> DataFr
     gaps-and-islands twin with session_window's end semantics
     (end = last event + gap).
 
-    The only batch step is staging the normalized events to a temp dir
-    (a file stream needs a directory source); everything after
-    ``readStream`` is the streaming engine's own plan."""
-    import tempfile
-    import uuid
-
+    Staging / micro-batch drain / memory sink live in
+    ``streaming.gate.run_streaming_gate`` (complete mode needs no
+    sentinel, so the source carries ``None``); only the session
+    aggregation is query-specific."""
+    from ..streaming.gate import run_streaming_gate
     from ..streaming.sessions import streaming_session_summary
 
     tune(spark)
-    spark.conf.set("spark.sql.shuffle.partitions", "8")  # state dial; next tune() restores
     e = load(spark, sf_dir, "events").select("user_id", "ts")
-    src = tempfile.mkdtemp(prefix="q130_src_")
-    e.write.mode("overwrite").parquet(src)
-    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
-    sessions = streaming_session_summary(
-        stream, key="user_id", ts="ts", gap="30 minutes", watermark_delay="1 hour"
+    sunk = run_streaming_gate(
+        spark,
+        [(e, None)],
+        lambda stream: streaming_session_summary(
+            stream, key="user_id", ts="ts", gap="30 minutes",
+            watermark_delay="1 hour",
+        ),
+        output_mode="complete",
+        prefix="q130",
     )
-    name = "q130_" + uuid.uuid4().hex[:8]
-    q = (
-        sessions.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name).select(
+    return sunk.select(
         "user_id",
         F.col("session_start").cast("timestamp_ntz").alias("session_start"),
         F.col("session_end").cast("timestamp_ntz").alias("session_end"),
@@ -598,36 +589,25 @@ def q131_streaming_dedup_executed(spark: SparkSession, sf_dir: str) -> DataFrame
     contain exactly the original table.  Duplicate rows are identical
     copies, so which arrival is kept cannot change the result — the
     output is deterministic and the oracle is simply ``SELECT * FROM
-    events``."""
-    import tempfile
-    import uuid
-
+    events``.  The replay is staged as ``events ∪ events`` through
+    ``run_streaming_gate`` (no sentinel — dedup emits on arrival, no
+    withheld tail to finalize)."""
     from ..streaming.dedup import dedup_stream
+    from ..streaming.gate import run_streaming_gate
 
     tune(spark)
-    spark.conf.set("spark.sql.shuffle.partitions", "8")  # state dial; next tune() restores
     e = load(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
-    src = tempfile.mkdtemp(prefix="q131_src_")
-    e.write.mode("overwrite").parquet(src)
-    e.write.mode("append").parquet(src)  # the replay
-    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
-    deduped = dedup_stream(
-        stream, keys=["event_id"], ts="ts", watermark_delay="45 days"
+    sunk = run_streaming_gate(
+        spark,
+        [(e.unionByName(e), None)],  # the replay
+        lambda stream: dedup_stream(
+            stream, keys=["event_id"], ts="ts", watermark_delay="45 days"
+        ),
+        prefix="q131",
     )
-    name = "q131_" + uuid.uuid4().hex[:8]
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name).select(
+    return sunk.select(
         "event_id",
         F.col("ts").cast("timestamp_ntz").alias("ts"),
         "user_id",
@@ -899,11 +879,11 @@ def q149_stream_static_enrich_executed(spark: SparkSession, sf_dir: str) -> Data
     so no watermark and no withheld tail: every micro-batch emits
     complete rows, and the dim side is re-read per batch (on a real
     pipeline that is what makes slowly-changing dims visible
-    mid-stream).  The stream side never shuffles."""
-    import tempfile
-    import uuid
-
+    mid-stream).  The stream side never shuffles.  Staging / drain /
+    memory sink live in ``run_streaming_gate`` (stateless → no
+    sentinel)."""
     from ..streaming.enrich import enrich_stream
+    from ..streaming.gate import run_streaming_gate
 
     tune(spark)
     e = load(spark, sf_dir, "events")
@@ -918,17 +898,13 @@ def q149_stream_static_enrich_executed(spark: SparkSession, sf_dir: str) -> Data
     clicks = e.filter(F.col("event_type") == "click").select(
         "event_id", "ts", "user_id"
     )
-    src = tempfile.mkdtemp(prefix="q149_src_")
-    clicks.write.mode("overwrite").parquet(src)
-    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
-    enriched = enrich_stream(stream, profile, on="user_id", how="left")
-    name = "q149_" + uuid.uuid4().hex[:8]
-    q = enriched.writeStream.format("memory").queryName(name).outputMode("append").start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name).select(
+    sunk = run_streaming_gate(
+        spark,
+        [(clicks, None)],
+        lambda stream: enrich_stream(stream, profile, on="user_id", how="left"),
+        prefix="q149",
+    )
+    return sunk.select(
         "event_id",
         "user_id",
         F.coalesce("n_purchases", F.lit(0)).cast("bigint").alias("n_purchases"),
