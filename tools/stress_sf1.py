@@ -9,7 +9,9 @@ Families (VERDICT round-4 item 3):
   ANN:       q13_embedding_sim_ann, q176_knn_graph_exact, q177_semdedup
   iterative: q91_pagerank_suppliers, q123_bpe_train,
              q33_near_dup_components_lsh
-  baseline:  q02_bars_tumbling (core scan+agg), q182_perplexity_filter
+  baseline:  q02_bars_tumbling (core scan+agg)
+  quality:   q182_perplexity_filter, q183_repetition_filter,
+             q184_stopword_filter, q185_temperature_mixture
 
 Expected shapes: linear operators should land near ratio 1x of the
 extrapolation (sub-linear where fixed per-query overhead dominates at
@@ -47,6 +49,9 @@ QUERIES_UNDER_TEST = [
     "q123_bpe_train",
     "q33_near_dup_components_lsh",
     "q182_perplexity_filter",
+    "q183_repetition_filter",
+    "q184_stopword_filter",
+    "q185_temperature_mixture",
 ]
 
 
