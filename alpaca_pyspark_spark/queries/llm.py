@@ -2783,6 +2783,99 @@ FROM per
 """
 
 
+# ---------------------------------------------------------------- q186
+def q186_span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-span REMOVAL accounting — the rewrite step of C4-style
+    corpus cleaning (Raffel et al. 2020 drop repeated three-sentence
+    spans; Lee et al. 2022 deduplicate exact substrings): q114 FINDS
+    repeated passages, this query decides, for every token of every
+    document, whether it survives.  An 8-token span occurrence is
+    canonical iff it is the globally first occurrence of that span
+    (ordered by doc_id, then position); every token covered by a
+    NON-canonical occurrence of a repeated span is dropped.  Output is
+    the per-document kept/dropped token ledger a rewrite job would act
+    on (the reconstructed text itself is a trivial per-doc filter once
+    the drop set exists).
+
+    Scale shape: one exchange keyed by span for the global
+    first-occurrence window (row_number over (doc_id, pos) — the same
+    key q114 aggregates on), then only the DUPLICATE occurrences — a
+    small fraction of a real corpus — explode ×8 into token indices,
+    de-duplicated and counted per doc_id.  At 100 TB the span STRING
+    is the shuffle-width risk exactly as documented on q114: hash
+    spans to 64-bit keys for the window pass (collision-checked or
+    accepted at 2^-64 per pair); exact text kept here for the oracle.
+    No corpus-global state beyond the span partitioning; every other
+    stage is keyed by doc_id."""
+    from ..functions import tokens, word_shingles
+
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    t = tokens(F.lower(F.col("text")))
+    toks = docs.select(
+        "doc_id",
+        F.size(t).cast("bigint").alias("n_tokens"),
+        word_shingles(t, 8).alias("spans"),
+    )
+    occ = toks.select("doc_id", F.posexplode("spans").alias("pos", "span"))
+    w = Window.partitionBy("span").orderBy("doc_id", "pos")
+    dup_occ = occ.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") > 1)
+    dropped = (
+        dup_occ.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(7))
+            ).alias("tok_idx"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dropped"))
+    )
+    return (
+        toks.select("doc_id", "n_tokens")
+        .join(dropped, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dropped", F.lit(0))
+            .cast("bigint")
+            .alias("n_tokens_dropped"),
+            (F.col("n_tokens") - F.coalesce("n_dropped", F.lit(0)))
+            .cast("bigint")
+            .alias("n_tokens_kept"),
+        )
+    )
+
+
+_Q186_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+  FROM documents
+), occ AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+7], ' ') AS span
+  FROM t, unnest(range(1, len(toks) - 6)) u(i)
+  WHERE len(toks) >= 8
+), dup AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+    FROM occ
+  ) WHERE rn > 1
+), dropped AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dropped FROM (
+    SELECT DISTINCT doc_id, pos + j AS tok_idx
+    FROM dup, unnest(range(0, 8)) v(j)
+  ) GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(coalesce(d.n_dropped, 0) AS BIGINT) AS n_tokens_dropped,
+       CAST(len(t.toks) - coalesce(d.n_dropped, 0) AS BIGINT)
+         AS n_tokens_kept
+FROM t LEFT JOIN dropped d USING (doc_id)
+"""
+
+
 QUERIES = {
     "q163_setsim_prefix_join": q163_setsim_prefix_join,
     "q164_containment_dedup": q164_containment_dedup,
@@ -2790,6 +2883,7 @@ QUERIES = {
     "q182_perplexity_filter": q182_perplexity_filter,
     "q183_repetition_filter": q183_repetition_filter,
     "q184_stopword_filter": q184_stopword_filter,
+    "q186_span_dedup_rewrite": q186_span_dedup_rewrite,
     "q185_temperature_mixture": q185_temperature_mixture,
     "q166_ngram_novelty": q166_ngram_novelty,
     "q168_privacy_audit": q168_privacy_audit,
@@ -2848,6 +2942,7 @@ ORACLE = {
     "q183_repetition_filter": _Q183_SQL,
     "q184_stopword_filter": _Q184_SQL,
     "q185_temperature_mixture": _Q185_SQL,
+    "q186_span_dedup_rewrite": _Q186_SQL,
     "q166_ngram_novelty": _Q166_SQL,
     "q168_privacy_audit": _Q168_SQL,
     "q169_incremental_dedup": _Q169_SQL,

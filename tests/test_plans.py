@@ -447,6 +447,17 @@ def test_q184_stop_set_broadcasts(spark):
     assert "partial_count" in plan, plan
 
 
+def test_q186_span_rewrite_three_exchanges(spark):
+    df = QUERIES["q186_span_dedup_rewrite"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    # one exchange keyed by span (global first-occurrence window), one
+    # for the (doc, tok_idx) distinct, one for the per-doc count — and
+    # never a sort-merge join on the corpus-sized side
+    assert count_shuffles(df) <= 3, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert has_whole_stage_codegen(df), plan
+
+
 def test_q121_cusum_single_shuffle(spark):
     df = QUERIES["q121_cusum_changepoint"](spark, SF_DIR)
     # totals window, cumsum window and argmax window all share the
