@@ -2783,6 +2783,155 @@ FROM per
 """
 
 
+# ---------------------------------------------------------------- q187
+def q187_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, Data Selection via
+    Importance Resampling): score every document by how target-like
+    its bigram distribution is — the importance ratio between a TARGET
+    LM (here: the English subset, standing in for the high-quality
+    domain) and the RAW corpus LM — then keep the top 20%.  This is
+    the selection step that follows the q182-q185 quality filters in a
+    modern curation pipeline: filters drop junk, DSIR re-weights what
+    remains toward the target distribution.
+
+    Hash-exactness (same discipline as q182): no logs, no float sums.
+    Per transition, the importance ratio p_target/p_raw is kept
+    integer-rational with add-one smoothing on the target side (raw is
+    self-trained, so every transition is raw-in-vocab):
+
+        ratio_micro = (1e6 * (pair_t + 1) * first_r)
+                      DIV ((first_t + B) * pair_r)
+
+    where B is the raw corpus's distinct-bigram-type count (the
+    Laplace denominator).  A document's weight is the integer mean of
+    its transition ratios (AM of ratios — a conservative, monotone
+    proxy for the geometric mean the paper uses; same note as q182).
+    Selection is exact: rank by (weight DESC, doc_id) and keep rows
+    with rank*5 <= n_scored (integer cross-multiplication, no
+    percent arithmetic).  BIGINT headroom: the numerator is bounded by
+    1e6 * max_pair * total_transitions — fine through ~sf1; past that
+    the documented dial is DECIMAL(38,0) for the two products.
+
+    Scale shape: one corpus explode feeds three consumers (raw LM,
+    target LM, scoring), so the transition table is scope-persisted
+    once; both LMs are vocab²-bounded and attach to the scoring pass
+    as broadcasts; per-doc aggregation partial-aggregates to ~1 row
+    per document.  The final rank is a GLOBAL window over the weight
+    table (~1 row/doc) — exact-deterministic for the gate, but a
+    single-partition sort at corpus scale; the 100 TB dial is a
+    two-pass threshold select (count n_scored, find the 80th-
+    percentile weight with a distributed sort, then a stateless
+    ``weight >= T`` filter), trading the strict doc_id tiebreak at
+    the boundary for a fully parallel final pass."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    n = F.size(t)
+    trans = (
+        docs.filter(n >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(t, 1, n - 1).alias("w1"), F.slice(t, 2, n - 1).alias("w2")
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "lang", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .transform(scoped_persist)
+    )
+    raw_lm = (
+        trans.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_r"))
+        .withColumn("first_r", F.sum("pair_r").over(Window.partitionBy("w1")))
+        .withColumn("n_bigram_types", F.count(F.lit(1)).over(Window.partitionBy()))
+    )
+    tgt_lm = (
+        trans.filter(F.col("lang") == "en")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_t"))
+        .withColumn("first_t", F.sum("pair_t").over(Window.partitionBy("w1")))
+    )
+    scored = (
+        trans.join(F.broadcast(raw_lm), ["w1", "w2"])
+        .join(F.broadcast(tgt_lm), ["w1", "w2"], "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.expr(
+                "(1000000 * (coalesce(pair_t, 0) + 1) * first_r)"
+                " DIV ((coalesce(first_t, 0) + n_bigram_types) * pair_r)"
+            ).alias("ratio_micro"),
+        )
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_trans"),
+            F.sum("ratio_micro").alias("sum_ratio"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_trans",
+            F.expr("sum_ratio DIV n_trans").alias("dsir_weight_micro"),
+        )
+    )
+    w = Window.orderBy(F.col("dsir_weight_micro").desc(), F.col("doc_id"))
+    total = Window.partitionBy()
+    return scored.select(
+        "doc_id",
+        "lang",
+        "n_trans",
+        "dsir_weight_micro",
+        (
+            F.row_number().over(w) * F.lit(5)
+            <= F.count(F.lit(1)).over(total)
+        ).cast("bigint").alias("selected"),
+    )
+
+
+_Q187_SQL = """
+WITH toks AS (
+  SELECT doc_id, lang, regexp_extract_all(text, '\\S+') AS t FROM documents
+),
+trans AS (
+  SELECT doc_id, lang, t[i] AS w1, t[i+1] AS w2
+  FROM toks, unnest(range(1, len(t))) AS r(i)
+  WHERE len(t) >= 2
+),
+raw_lm AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_r,
+         CAST(sum(count(*)) OVER (PARTITION BY w1) AS BIGINT) AS first_r,
+         CAST(count(*) OVER () AS BIGINT) AS n_bigram_types
+  FROM trans GROUP BY w1, w2
+),
+tgt_lm AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_t,
+         CAST(sum(count(*)) OVER (PARTITION BY w1) AS BIGINT) AS first_t
+  FROM trans WHERE lang = 'en' GROUP BY w1, w2
+),
+scored AS (
+  SELECT tr.doc_id, tr.lang,
+         CAST(count(*) AS BIGINT) AS n_trans,
+         CAST(sum(
+           (1000000 * (coalesce(tg.pair_t, 0) + 1) * r.first_r)
+           // ((coalesce(tg.first_t, 0) + r.n_bigram_types) * r.pair_r)
+         ) AS BIGINT) AS sum_ratio
+  FROM trans tr
+  JOIN raw_lm r USING (w1, w2)
+  LEFT JOIN tgt_lm tg USING (w1, w2)
+  GROUP BY 1, 2
+)
+SELECT doc_id, lang, n_trans,
+       sum_ratio // n_trans AS dsir_weight_micro,
+       CAST(
+         row_number() OVER (ORDER BY sum_ratio // n_trans DESC, doc_id) * 5
+           <= count(*) OVER ()
+         AS BIGINT) AS selected
+FROM scored
+"""
+
+
 # ---------------------------------------------------------------- q186
 def q186_span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-span REMOVAL accounting — the rewrite step of C4-style
@@ -2884,6 +3033,7 @@ QUERIES = {
     "q183_repetition_filter": q183_repetition_filter,
     "q184_stopword_filter": q184_stopword_filter,
     "q186_span_dedup_rewrite": q186_span_dedup_rewrite,
+    "q187_dsir_importance": q187_dsir_importance,
     "q185_temperature_mixture": q185_temperature_mixture,
     "q166_ngram_novelty": q166_ngram_novelty,
     "q168_privacy_audit": q168_privacy_audit,
@@ -2943,6 +3093,7 @@ ORACLE = {
     "q184_stopword_filter": _Q184_SQL,
     "q185_temperature_mixture": _Q185_SQL,
     "q186_span_dedup_rewrite": _Q186_SQL,
+    "q187_dsir_importance": _Q187_SQL,
     "q166_ngram_novelty": _Q166_SQL,
     "q168_privacy_audit": _Q168_SQL,
     "q169_incremental_dedup": _Q169_SQL,

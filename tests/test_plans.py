@@ -458,6 +458,16 @@ def test_q186_span_rewrite_three_exchanges(spark):
     assert has_whole_stage_codegen(df), plan
 
 
+def test_q187_dsir_lms_broadcast(spark):
+    df = QUERIES["q187_dsir_importance"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    # both vocab-bounded LMs attach to the corpus-sized scoring pass as
+    # broadcasts; the corpus side never sort-merge joins
+    assert count_broadcasts(df) >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert has_whole_stage_codegen(df), plan
+
+
 def test_q121_cusum_single_shuffle(spark):
     df = QUERIES["q121_cusum_changepoint"](spark, SF_DIR)
     # totals window, cumsum window and argmax window all share the
