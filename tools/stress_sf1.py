@@ -12,6 +12,9 @@ Families (VERDICT round-4 item 3):
   baseline:  q02_bars_tumbling (core scan+agg)
   quality:   q182_perplexity_filter, q183_repetition_filter,
              q184_stopword_filter, q185_temperature_mixture
+  curation:  q186_span_dedup_rewrite (global span canon + rewrite
+             ledger), q187_dsir_importance (corpus explode feeding
+             three consumers off one scoped persist)
 
 Expected shapes: linear operators should land near ratio 1x of the
 extrapolation (sub-linear where fixed per-query overhead dominates at
@@ -52,6 +55,8 @@ QUERIES_UNDER_TEST = [
     "q183_repetition_filter",
     "q184_stopword_filter",
     "q185_temperature_mixture",
+    "q186_span_dedup_rewrite",
+    "q187_dsir_importance",
 ]
 
 
