@@ -62,8 +62,16 @@ _SHOWCASE_ORDER = [
     # block between dedup and sampling — rotate in; the mining family
     # stays represented by q78/q121, and q79/q102 remain oracle-paired
     # in the registry + local gate)
-    "q15_text_stats", "q32_corpus_curation", "q61_contamination_overlap",
+    # (late round 5: q186 span-REMOVAL rewrite + q187 DSIR importance
+    # resampling complete the curation arc — dedup -> filter ->
+    # target-reweight -> sample.  q32_corpus_curation leaves the prefix
+    # (its composite-curation family is now repped by the four sharper
+    # single-step entries) as does q78_fuzzy_name_pairs (similarity-
+    # join family repped by q163's lossless PPJoin); both stay
+    # oracle-paired in the registry + local gate)
+    "q15_text_stats", "q61_contamination_overlap",
     "q182_perplexity_filter", "q183_repetition_filter",
+    "q186_span_dedup_rewrite", "q187_dsir_importance",
     # reproducible sampling / packing
     "q37_deterministic_sample", "q38_sequence_packing",
     # search / graph (q92_cluster_representatives rotated out round 5
@@ -72,7 +80,7 @@ _SHOWCASE_ORDER = [
     "q123_bpe_train",
     "q114_repeated_passages", "q120_domain_distinctive_tokens",
     # mining
-    "q78_fuzzy_name_pairs", "q121_cusum_changepoint",
+    "q121_cusum_changepoint",
     # TPC-H shapes
     "q84_pricing_summary", "q82_sole_late_shipper",
     "q110_cheapest_supplier", "q100_market_share",
