@@ -2932,6 +2932,96 @@ FROM scored
 """
 
 
+# ---------------------------------------------------------------- q188
+def q188_classifier_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-classifier quality filter — the FineWeb-Edu-style
+    selection step: score every item by a linear classifier in
+    embedding space and keep the top 20%.  The classifier here is the
+    nearest-class-mean direction for the positive seed class
+    (``label = 1`` stands in for "rated educational"): w = the
+    (unnormalized) centroid of the seed class, score = <w, x>.  This
+    completes the quality-filter block: q182 scores text under an LM,
+    q183/q184 apply surface heuristics, q188 scores the EMBEDDING —
+    the three signal families every modern curation pipeline combines.
+
+    Hash-exactness (same discipline as q182/q187, extended to float
+    vectors): each float component is quantized ONCE to integer
+    micro-units — ``floor(CAST(comp AS DOUBLE) * 1e6)`` — after which
+    the centroid sum, the dot product and the ranking are pure BIGINT
+    arithmetic, order-independent on both engines (a float centroid
+    mean would be an order-dependent double sum — engine-divergent).
+    Headroom: |comp| < 1 so each dot term is < 1e6 * n_pos * 1e6;
+    at sf1 (~5k positives) the 64-term score is < 1e17, well inside
+    BIGINT; past ~sf100 the documented dial is DECIMAL(38,0).
+
+    Scale shape: one posexplode of the corpus (64 rows/vec) is
+    scope-persisted and feeds BOTH the class-centroid aggregation
+    (dim-bounded: 64 rows out) and the scoring pass, where the
+    centroid attaches as a broadcast; per-vec dot products partial-
+    aggregate to ~1 row per vector before the exchange.  The final
+    top-20% rank is exact-deterministic for the gate (single global
+    window over ~1 row/vec); the 100 TB dial is the same two-pass
+    threshold select documented on q187."""
+    tune(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    comp = (
+        emb.select(
+            "vec_id", "label", F.posexplode("embedding").alias("dim", "comp")
+        )
+        .withColumn(
+            "comp_micro",
+            F.expr("CAST(floor(CAST(comp AS DOUBLE) * 1000000) AS BIGINT)"),
+        )
+        .drop("comp")
+        .transform(scoped_persist)
+    )
+    w_vec = (
+        comp.filter(F.col("label") == 1)
+        .groupBy("dim")
+        .agg(F.sum("comp_micro").alias("w_micro"))
+    )
+    scored = (
+        comp.join(F.broadcast(w_vec), "dim")
+        .groupBy("vec_id", "label")
+        .agg(F.sum(F.col("comp_micro") * F.col("w_micro")).alias("score_u"))
+    )
+    rank_w = Window.orderBy(F.col("score_u").desc(), F.col("vec_id"))
+    total = Window.partitionBy()
+    return scored.select(
+        "vec_id",
+        "label",
+        "score_u",
+        (F.row_number().over(rank_w) * F.lit(5) <= F.count(F.lit(1)).over(total))
+        .cast("bigint")
+        .alias("selected"),
+    )
+
+
+_Q188_SQL = """
+WITH comp AS (
+  SELECT vec_id, label, i - 1 AS dim,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+           AS comp_micro
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS r(i)
+),
+w_vec AS (
+  SELECT dim, CAST(sum(comp_micro) AS BIGINT) AS w_micro
+  FROM comp WHERE label = 1 GROUP BY dim
+),
+scored AS (
+  SELECT c.vec_id, c.label,
+         CAST(sum(c.comp_micro * w.w_micro) AS BIGINT) AS score_u
+  FROM comp c JOIN w_vec w USING (dim)
+  GROUP BY 1, 2
+)
+SELECT vec_id, label, score_u,
+       CAST(row_number() OVER (ORDER BY score_u DESC, vec_id) * 5
+              <= count(*) OVER ()
+            AS BIGINT) AS selected
+FROM scored
+"""
+
+
 # ---------------------------------------------------------------- q186
 def q186_span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-span REMOVAL accounting — the rewrite step of C4-style
@@ -3034,6 +3124,7 @@ QUERIES = {
     "q184_stopword_filter": q184_stopword_filter,
     "q186_span_dedup_rewrite": q186_span_dedup_rewrite,
     "q187_dsir_importance": q187_dsir_importance,
+    "q188_classifier_quality_filter": q188_classifier_quality_filter,
     "q185_temperature_mixture": q185_temperature_mixture,
     "q166_ngram_novelty": q166_ngram_novelty,
     "q168_privacy_audit": q168_privacy_audit,
@@ -3094,6 +3185,7 @@ ORACLE = {
     "q185_temperature_mixture": _Q185_SQL,
     "q186_span_dedup_rewrite": _Q186_SQL,
     "q187_dsir_importance": _Q187_SQL,
+    "q188_classifier_quality_filter": _Q188_SQL,
     "q166_ngram_novelty": _Q166_SQL,
     "q168_privacy_audit": _Q168_SQL,
     "q169_incremental_dedup": _Q169_SQL,

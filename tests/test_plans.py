@@ -468,6 +468,16 @@ def test_q187_dsir_lms_broadcast(spark):
     assert has_whole_stage_codegen(df), plan
 
 
+def test_q188_classifier_centroid_broadcast(spark):
+    df = QUERIES["q188_classifier_quality_filter"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    # the dim-bounded (64-row) centroid attaches to the corpus-sized
+    # scoring pass as a broadcast; the corpus never sort-merge joins
+    assert count_broadcasts(df) >= 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert has_whole_stage_codegen(df), plan
+
+
 def test_q121_cusum_single_shuffle(spark):
     df = QUERIES["q121_cusum_changepoint"](spark, SF_DIR)
     # totals window, cumsum window and argmax window all share the
