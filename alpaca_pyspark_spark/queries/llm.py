@@ -3022,6 +3022,298 @@ FROM scored
 """
 
 
+# ---------------------------------------------------------------- q189
+def q189_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation pipeline as ONE declarative plan — the
+    capstone over the round-5 quality-filter block: every document
+    flows through Gopher repetition filtering (q183's keep rule) ->
+    corpus-derived stop-word filtering (q184's rule) -> exact dedup
+    (md5 fingerprint, min-doc_id canonical, computed among filter
+    SURVIVORS) -> DSIR target reweighting (q187's integer importance
+    ratio, LMs trained on the POST-dedup survivor corpus, top-20%
+    kept), and the output is the per-document disposition ledger with
+    first-failing-stage attribution: ``drop_repetition``,
+    ``drop_stopword``, ``drop_exact_dup``, ``drop_dsir`` or ``keep``.
+    This is the query a pipeline operator actually runs: not one
+    filter at a time, but the composed selection function, staged so
+    every later stage's statistics (dedup canon, DSIR LMs) are
+    computed on exactly the population the stage would see in
+    production.
+
+    Correctness note: a document reaching the DSIR stage always has a
+    transition to score — the stop-word gate requires >= 2 DISTINCT
+    stop tokens, hence >= 2 tokens, hence >= 1 bigram — so the inner
+    weights join cannot silently drop survivors.
+
+    Scale shape: each stage keeps its own query's shape — the n-gram
+    and stop aggregations are doc-keyed (map-side combinable), the
+    stop set and both DSIR LMs attach as broadcasts, exact dedup is
+    one fingerprint-window shuffle, and the ledger reassembly is three
+    doc_id-keyed joins over ~1-row-per-doc tables.  The two corpus
+    fan-outs (token base, survivor transitions) are scope-persisted
+    so each is computed once.  The DSIR top-20% rank window is the
+    same documented two-pass-threshold dial as q187."""
+    from ..functions import tokens, word_shingles
+
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(t).cast("bigint").alias("n_tokens"),
+        word_shingles(t, 2).alias("g2"),
+        word_shingles(t, 3).alias("g3"),
+    ).transform(scoped_persist)
+    # -- stage 1a: Gopher repetition rule (q183) ----------------------
+    top2 = (
+        base.select("doc_id", F.explode("g2").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top2"))
+    )
+    rep = (
+        base.select(
+            "doc_id",
+            F.size("g2").cast("bigint").alias("n2"),
+            F.size("g3").cast("bigint").alias("n3"),
+            (F.size("g3") - F.size(F.array_distinct("g3")))
+            .cast("bigint")
+            .alias("dup3"),
+        )
+        .join(top2, "doc_id", "left")
+        .select(
+            "doc_id",
+            (
+                (F.lit(5) * F.coalesce(F.col("top2"), F.lit(0)) <= F.col("n2"))
+                & (F.lit(10) * F.col("dup3") <= F.lit(3) * F.col("n3"))
+            ).alias("rep_keep"),
+        )
+    )
+    # -- stage 1b: corpus-derived stop-word rule (q184) ---------------
+    tok = base.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    stop = (
+        tok.distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), "token")
+        .limit(20)
+    )
+    stopk = (
+        tok.join(F.broadcast(stop.select("token")), "token")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("token").alias("stop_types"))
+    )
+    flags = (
+        base.select("doc_id", "lang", "text", "n_tokens")
+        .join(rep, "doc_id")
+        .join(stopk, "doc_id", "left")
+        .withColumn("stop_keep", F.coalesce(F.col("stop_types"), F.lit(0)) >= 2)
+        .drop("stop_types")
+        .transform(scoped_persist)
+    )
+    surv1 = flags.filter(F.col("rep_keep") & F.col("stop_keep"))
+    # -- stage 2: exact dedup among survivors -------------------------
+    dedup = surv1.select(
+        "doc_id",
+        F.min("doc_id").over(Window.partitionBy(F.md5("text"))).alias("canon_id"),
+    )
+    surv2 = (
+        surv1.join(dedup, "doc_id")
+        .filter(F.col("canon_id") == F.col("doc_id"))
+        .drop("canon_id")
+    )
+    # -- stage 3: DSIR select over the post-dedup corpus (q187) -------
+    t2 = tokens(F.col("text"))
+    n2_ = F.size(t2)
+    trans = (
+        surv2.filter(n2_ >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(t2, 1, n2_ - 1).alias("w1"),
+                    F.slice(t2, 2, n2_ - 1).alias("w2"),
+                )
+            ).alias("bg"),
+        )
+        .select(
+            "doc_id", "lang", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+        )
+        .transform(scoped_persist)
+    )
+    raw_lm = (
+        trans.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_r"))
+        .withColumn("first_r", F.sum("pair_r").over(Window.partitionBy("w1")))
+        .withColumn("n_bigram_types", F.count(F.lit(1)).over(Window.partitionBy()))
+    )
+    tgt_lm = (
+        trans.filter(F.col("lang") == "en")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_t"))
+        .withColumn("first_t", F.sum("pair_t").over(Window.partitionBy("w1")))
+    )
+    weights = (
+        trans.join(F.broadcast(raw_lm), ["w1", "w2"])
+        .join(F.broadcast(tgt_lm), ["w1", "w2"], "left")
+        .select(
+            "doc_id",
+            F.expr(
+                "(1000000 * (coalesce(pair_t, 0) + 1) * first_r)"
+                " DIV ((coalesce(first_t, 0) + n_bigram_types) * pair_r)"
+            ).alias("ratio_micro"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trans"),
+            F.sum("ratio_micro").alias("sum_ratio"),
+        )
+        .select("doc_id", F.expr("sum_ratio DIV n_trans").alias("wgt"))
+    )
+    rank_w = Window.orderBy(F.col("wgt").desc(), F.col("doc_id"))
+    total = Window.partitionBy()
+    sel = weights.select(
+        "doc_id",
+        (
+            F.row_number().over(rank_w) * F.lit(5) <= F.count(F.lit(1)).over(total)
+        ).alias("dsir_sel"),
+    )
+    # -- ledger: first-failing-stage attribution ----------------------
+    return (
+        flags.join(dedup, "doc_id", "left")
+        .join(sel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.when(~F.col("rep_keep"), F.lit("drop_repetition"))
+            .when(~F.col("stop_keep"), F.lit("drop_stopword"))
+            .when(F.col("canon_id") != F.col("doc_id"), F.lit("drop_exact_dup"))
+            .when(~F.coalesce(F.col("dsir_sel"), F.lit(False)), F.lit("drop_dsir"))
+            .otherwise(F.lit("keep"))
+            .alias("disposition"),
+        )
+    )
+
+
+_Q189_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, lang, text, regexp_extract_all(trim(text), '\S+') AS t
+  FROM documents
+),
+base AS (
+  SELECT doc_id, lang, text,
+         CAST(len(t) AS BIGINT) AS n_tokens,
+         CAST(greatest(len(t) - 1, 0) AS BIGINT) AS n2,
+         CAST(greatest(len(t) - 2, 0) AS BIGINT) AS n3
+  FROM toks
+),
+g2 AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+  FROM toks, unnest(range(1, len(t))) AS r(i)
+),
+top2 AS (
+  SELECT doc_id, max(c) AS top2 FROM (
+    SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2
+  ) GROUP BY 1
+),
+g3 AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+  FROM toks, unnest(range(1, len(t) - 1)) AS r(i)
+),
+tri AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n3_occ,
+         CAST(count(DISTINCT g) AS BIGINT) AS d3
+  FROM g3 GROUP BY 1
+),
+rep AS (
+  SELECT b.doc_id,
+         (5 * COALESCE(t2.top2, 0) <= b.n2
+          AND 10 * COALESCE(tr.n3_occ - tr.d3, 0) <= 3 * b.n3) AS rep_keep
+  FROM base b
+  LEFT JOIN top2 t2 USING (doc_id)
+  LEFT JOIN tri tr USING (doc_id)
+),
+tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+stop AS (
+  SELECT token FROM (
+    SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+  ) ORDER BY df DESC, token LIMIT 20
+),
+stopk AS (
+  SELECT doc_id, count(DISTINCT token) AS stop_types
+  FROM tok JOIN stop USING (token) GROUP BY 1
+),
+flags AS (
+  SELECT b.doc_id, b.lang, b.text, b.n_tokens, r.rep_keep,
+         COALESCE(s.stop_types, 0) >= 2 AS stop_keep
+  FROM base b
+  JOIN rep r USING (doc_id)
+  LEFT JOIN stopk s USING (doc_id)
+),
+surv1 AS (SELECT * FROM flags WHERE rep_keep AND stop_keep),
+dedup AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canon_id
+  FROM surv1
+),
+surv2 AS (
+  SELECT f.* FROM surv1 f JOIN dedup d USING (doc_id)
+  WHERE d.canon_id = f.doc_id
+),
+trans AS (
+  SELECT doc_id, lang, t[i] AS w1, t[i+1] AS w2
+  FROM (
+    SELECT doc_id, lang, regexp_extract_all(trim(text), '\S+') AS t
+    FROM surv2
+  ), unnest(range(1, len(t))) AS r(i)
+  WHERE len(t) >= 2
+),
+raw_lm AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_r,
+         CAST(sum(count(*)) OVER (PARTITION BY w1) AS BIGINT) AS first_r,
+         CAST(count(*) OVER () AS BIGINT) AS n_bigram_types
+  FROM trans GROUP BY w1, w2
+),
+tgt_lm AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_t,
+         CAST(sum(count(*)) OVER (PARTITION BY w1) AS BIGINT) AS first_t
+  FROM trans WHERE lang = 'en' GROUP BY w1, w2
+),
+weights AS (
+  SELECT tr.doc_id,
+         CAST(count(*) AS BIGINT) AS n_trans,
+         CAST(sum(
+           (1000000 * (coalesce(tg.pair_t, 0) + 1) * r.first_r)
+           // ((coalesce(tg.first_t, 0) + r.n_bigram_types) * r.pair_r)
+         ) AS BIGINT) AS sum_ratio
+  FROM trans tr
+  JOIN raw_lm r USING (w1, w2)
+  LEFT JOIN tgt_lm tg USING (w1, w2)
+  GROUP BY 1
+),
+sel AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY sum_ratio // n_trans DESC, doc_id) * 5
+           <= count(*) OVER () AS dsir_sel
+  FROM weights
+)
+SELECT f.doc_id, f.lang, f.n_tokens,
+       CASE WHEN NOT f.rep_keep THEN 'drop_repetition'
+            WHEN NOT f.stop_keep THEN 'drop_stopword'
+            WHEN d.canon_id <> f.doc_id THEN 'drop_exact_dup'
+            WHEN NOT COALESCE(s.dsir_sel, false) THEN 'drop_dsir'
+            ELSE 'keep' END AS disposition
+FROM flags f
+LEFT JOIN dedup d USING (doc_id)
+LEFT JOIN sel s USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------- q186
 def q186_span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-span REMOVAL accounting — the rewrite step of C4-style
@@ -3125,6 +3417,7 @@ QUERIES = {
     "q186_span_dedup_rewrite": q186_span_dedup_rewrite,
     "q187_dsir_importance": q187_dsir_importance,
     "q188_classifier_quality_filter": q188_classifier_quality_filter,
+    "q189_curation_pipeline": q189_curation_pipeline,
     "q185_temperature_mixture": q185_temperature_mixture,
     "q166_ngram_novelty": q166_ngram_novelty,
     "q168_privacy_audit": q168_privacy_audit,
@@ -3186,6 +3479,7 @@ ORACLE = {
     "q186_span_dedup_rewrite": _Q186_SQL,
     "q187_dsir_importance": _Q187_SQL,
     "q188_classifier_quality_filter": _Q188_SQL,
+    "q189_curation_pipeline": _Q189_SQL,
     "q166_ngram_novelty": _Q166_SQL,
     "q168_privacy_audit": _Q168_SQL,
     "q169_incremental_dedup": _Q169_SQL,

@@ -478,6 +478,16 @@ def test_q188_classifier_centroid_broadcast(spark):
     assert has_whole_stage_codegen(df), plan
 
 
+def test_q189_pipeline_broadcasts_no_cartesian(spark):
+    df = QUERIES["q189_curation_pipeline"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    # the vocab-bounded tables (20-row stop set, both DSIR LMs) attach
+    # to corpus-scale passes as broadcasts; no nested-loop anywhere
+    assert count_broadcasts(df) >= 3, plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+    assert has_whole_stage_codegen(df), plan
+
+
 def test_q121_cusum_single_shuffle(spark):
     df = QUERIES["q121_cusum_changepoint"](spark, SF_DIR)
     # totals window, cumsum window and argmax window all share the
