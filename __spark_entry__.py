@@ -69,8 +69,11 @@ _SHOWCASE_ORDER = [
     # single-step entries) as does q78_fuzzy_name_pairs (similarity-
     # join family repped by q163's lossless PPJoin); both stay
     # oracle-paired in the registry + local gate)
+    # q189 composes the whole block (repetition -> stopword -> exact
+    # dedup -> DSIR) into one per-document disposition ledger and
+    # stands in for q183, whose keep rule runs verbatim inside it.
     "q15_text_stats", "q61_contamination_overlap",
-    "q182_perplexity_filter", "q183_repetition_filter",
+    "q182_perplexity_filter", "q189_curation_pipeline",
     "q186_span_dedup_rewrite", "q187_dsir_importance",
     # reproducible sampling / packing
     "q37_deterministic_sample", "q38_sequence_packing",

@@ -57,6 +57,8 @@ QUERIES_UNDER_TEST = [
     "q185_temperature_mixture",
     "q186_span_dedup_rewrite",
     "q187_dsir_importance",
+    "q188_classifier_quality_filter",
+    "q189_curation_pipeline",
 ]
 
 
