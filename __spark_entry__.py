@@ -57,11 +57,10 @@ _SHOWCASE_ORDER = [
     "q13_embedding_sim_ann",
     "q176_knn_graph_exact", "q177_semdedup",
     "q122_audio_energy",
-    # text curation / quality filtering (round 5: q182 perplexity
-    # banding + q183 Gopher repetition filters — the new quality-filter
-    # block between dedup and sampling — rotate in; the mining family
-    # stays represented by q78/q121, and q79/q102 remain oracle-paired
-    # in the registry + local gate)
+    # text curation / quality filtering (round 5: the quality-filter
+    # block between dedup and sampling rotates in; the mining family is
+    # repped by q121 below — q78/q79/q102 remain oracle-paired in the
+    # registry + local gate)
     # (late round 5: q186 span-REMOVAL rewrite + q187 DSIR importance
     # resampling complete the curation arc — dedup -> filter ->
     # target-reweight -> sample.  q32_corpus_curation leaves the prefix

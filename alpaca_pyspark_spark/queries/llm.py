@@ -30,7 +30,7 @@ from ..operators.dedup import (
 from ..operators.multimodal import audio_energy_windows, decode_media, synthesize_media
 from ..operators.similarity import brute_force_topk_arrow, lsh_topk
 from ..operators.text import with_fingerprint, with_lang_id, with_text_stats
-from ..functions import char_ngrams, tokens
+from ..functions import char_ngrams, tokens, word_shingles
 from ..session import scoped_persist, tune
 from ..tables import load
 
@@ -1387,7 +1387,6 @@ def q136_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     would be backwards; instead BOTH sides explode once and meet in
     one hash join on the gram (train grams deduped first), then one
     per-doc aggregate.  No all-pairs anything."""
-    from ..functions import tokens, word_shingles
     from ..operators.dedup import portable_hash60
 
     tune(spark)
@@ -1690,8 +1689,6 @@ def q141_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the in-array combination expansion: ≤ C(#sources,2) rows per gram,
     never a corpus-sized self-join (a two-branch join would scan,
     tokenize, and explode the corpus twice)."""
-    from ..functions import tokens, word_shingles
-
     tune(spark)
     docs = load(spark, sf_dir, "documents")
     grams = F.array_distinct(word_shingles(tokens(F.col("text")), 5))
@@ -2542,8 +2539,6 @@ def q183_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials, and the three doc-sized aggregate tables join on the
     already-partitioned doc_id key.  No corpus-global state at all, so
     the operator is embarrassingly data-parallel at 100 TB."""
-    from ..functions import tokens, word_shingles
-
     tune(spark)
     docs = load(spark, sf_dir, "documents")
     t = tokens(F.col("text"))
@@ -2664,8 +2659,6 @@ def q184_stopword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-aggregates per doc (partial aggs collapse to ~1 row per doc
     before the exchange).  Two corpus passes, no corpus-scale join
     state."""
-    from ..functions import tokens
-
     tune(spark)
     docs = load(spark, sf_dir, "documents")
     tok = docs.select(
@@ -2750,8 +2743,6 @@ def q185_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one explode+agg for domain token mass (map-side
     partials), then all arithmetic happens on the domain-count-sized
     table with the max attached by a scalar window."""
-    from ..functions import tokens
-
     tune(spark)
     docs = load(spark, sf_dir, "documents")
     per = docs.groupBy("lang", "source").agg(
@@ -3053,8 +3044,6 @@ def q189_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-outs (token base, survivor transitions) are scope-persisted
     so each is computed once.  The DSIR top-20% rank window is the
     same documented two-pass-threshold dial as q187."""
-    from ..functions import tokens, word_shingles
-
     tune(spark)
     docs = load(spark, sf_dir, "documents")
     t = tokens(F.col("text"))
@@ -3338,8 +3327,6 @@ def q186_span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     accepted at 2^-64 per pair); exact text kept here for the oracle.
     No corpus-global state beyond the span partitioning; every other
     stage is keyed by doc_id."""
-    from ..functions import tokens, word_shingles
-
     tune(spark)
     docs = load(spark, sf_dir, "documents")
     t = tokens(F.lower(F.col("text")))

@@ -111,24 +111,32 @@ def scoped_persist(df: DataFrame) -> DataFrame:
     return out
 
 
-def release_scoped_caches() -> int:
-    """Unpersist every ledger entry (blocking=False); returns how many
-    were released.  Call after the action that consumes a query."""
+def release_scoped_caches(mark: int = 0) -> int:
+    """Unpersist ledger entries past ``mark`` (blocking=False); returns
+    how many actually unpersisted.  Call with no argument after the
+    action that consumes a query (drains the whole ledger); a nested
+    scope passes its entry mark so it only drains its OWN persists."""
     n = 0
-    while _SCOPED:
-        with contextlib.suppress(Exception):  # session may be stopped
-            _SCOPED.pop().unpersist(blocking=False)
-        n += 1
+    while len(_SCOPED) > mark:
+        df = _SCOPED.pop()
+        try:
+            df.unpersist(blocking=False)
+            n += 1
+        except Exception:  # session may be stopped — entry still leaves
+            pass  # the ledger, but is not counted as released
     return n
 
 
 @contextlib.contextmanager
 def scoped_caches():
-    """Context manager form: release all operator persists on exit."""
+    """Context manager form: on exit, release the operator persists
+    made INSIDE the block (nesting-safe — an inner block never drains
+    an enclosing block's still-live persists)."""
+    mark = len(_SCOPED)
     try:
         yield
     finally:
-        release_scoped_caches()
+        release_scoped_caches(mark)
 
 
 def get_spark(app_name: str = "alpaca_pyspark_spark") -> SparkSession:

@@ -40,8 +40,26 @@ from pyspark.sql import functions as F
 
 from ..tables import load
 
-#: (sf_dir) -> max event timestamp; one scan per session per scale.
-_MAX_TS_CACHE: dict[str, datetime.datetime] = {}
+#: (sf_dir, events-files fingerprint) -> max event timestamp; one
+#: scan per session per scale per on-disk version of the table.
+_MAX_TS_CACHE: dict[tuple[str, tuple], datetime.datetime] = {}
+
+
+def _events_fingerprint(sf_dir: str) -> tuple:
+    """Cheap on-disk version of ``events`` (sorted name/mtime/size per
+    file) — a directory LISTING, never a data scan."""
+    import os
+
+    path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(path):
+        entries = sorted(os.listdir(path))
+        return tuple(
+            (e, int(os.path.getmtime(os.path.join(path, e))),
+             os.path.getsize(os.path.join(path, e)))
+            for e in entries
+        )
+    st = os.stat(path)
+    return ((os.path.basename(path), int(st.st_mtime), st.st_size),)
 
 
 def events_max_ts(spark: SparkSession, sf_dir: str) -> datetime.datetime:
@@ -49,12 +67,17 @@ def events_max_ts(spark: SparkSession, sf_dir: str) -> datetime.datetime:
 
     Every sentinel-protocol streaming query needs this one scalar; at
     scale an extra full scan per query is real money, so it is fetched
-    once per (session, sf_dir) and reused."""
-    if sf_dir not in _MAX_TS_CACHE:
-        _MAX_TS_CACHE[sf_dir] = (
+    once per (session, sf_dir, table version) and reused.  The cache
+    key includes a file-listing fingerprint of the events table, so a
+    long-lived session that rewrites or appends to the table gets a
+    fresh max (a stale max would place the sentinel too early and the
+    watermark would silently withhold the new tail)."""
+    key = (sf_dir, _events_fingerprint(sf_dir))
+    if key not in _MAX_TS_CACHE:
+        _MAX_TS_CACHE[key] = (
             load(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
         )
-    return _MAX_TS_CACHE[sf_dir]
+    return _MAX_TS_CACHE[key]
 
 
 def run_streaming_gate(
@@ -82,6 +105,11 @@ def run_streaming_gate(
     parquet) and returns the streaming result to sink.  Sentinel-key
     filtering is the CALLER's job, after this returns (never inside
     ``transform`` — see module docstring)."""
+    # State-store instance count is fixed at stream start from this
+    # conf; set it for the stream, restore the caller's value after
+    # (leaking 8 into follow-on batch work would silently narrow every
+    # wide shuffle until the next tune()).
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     dirs: list[str] = []
     streams: list[DataFrame] = []
@@ -115,6 +143,7 @@ def run_streaming_gate(
             q.processAllAvailable()
     finally:
         q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
     return spark.table(name)
 
 

@@ -75,7 +75,7 @@ def main() -> None:
         df = fn(spark, sf_dir)
         n = df.count()
         dt = time.perf_counter() - t0
-        release_scoped_caches()  # query boundary: operator persists go
+        release_scoped_caches()  # query boundary: operator persists released
         del df
         timings[qid] = round(dt, 3)
         total += dt

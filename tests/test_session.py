@@ -41,6 +41,23 @@ def test_scoped_caches_context_manager(spark):
     assert _cache_manager(spark).isEmpty()
 
 
+def test_scoped_caches_nested_scopes_release_independently(spark):
+    """An inner scoped_caches block must drain only its OWN persists —
+    the enclosing scope's still-live persist survives to its action."""
+    release_scoped_caches()
+    spark.catalog.clearCache()
+    with scoped_caches():
+        outer = scoped_persist(spark.read.parquet(f"{SF_DIR}/nation.parquet"))
+        assert outer.count() == 25
+        with scoped_caches():
+            inner = scoped_persist(spark.read.parquet(f"{SF_DIR}/region.parquet"))
+            assert inner.count() == 5
+        # inner released, outer still cached
+        assert outer.storageLevel.useMemory, "outer persist was drained early"
+        assert not _cache_manager(spark).isEmpty()
+    assert _cache_manager(spark).isEmpty()
+
+
 def test_release_is_idempotent_and_safe_when_empty(spark):
     release_scoped_caches()
     assert release_scoped_caches() == 0
@@ -69,14 +86,20 @@ def test_streaming_gate_max_ts_memoized(spark):
     queries must not pay N full event scans for their sentinels."""
     from alpaca_pyspark_spark.streaming import gate
 
-    gate._MAX_TS_CACHE.pop(SF_DIR, None)
+    key = (SF_DIR, gate._events_fingerprint(SF_DIR))
+    gate._MAX_TS_CACHE.pop(key, None)
     t1 = gate.events_max_ts(spark, SF_DIR)
-    assert SF_DIR in gate._MAX_TS_CACHE
+    assert key in gate._MAX_TS_CACHE
     # poison the cached entry; a second call must NOT rescan
     sentinel = object()
-    gate._MAX_TS_CACHE[SF_DIR] = sentinel
+    gate._MAX_TS_CACHE[key] = sentinel
     assert gate.events_max_ts(spark, SF_DIR) is sentinel
-    gate._MAX_TS_CACHE[SF_DIR] = t1
+    gate._MAX_TS_CACHE[key] = t1
+    # the key carries an on-disk fingerprint: a REWRITTEN events table
+    # (different file listing) must miss the cache and rescan — a stale
+    # max would stall the watermark on the new tail
+    stale_only = {k: v for k, v in gate._MAX_TS_CACHE.items() if k[0] == SF_DIR}
+    assert all(k == key for k in stale_only), "one live key per sf_dir expected"
 
 
 def test_streaming_gate_sentinel_shift(spark):

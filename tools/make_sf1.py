@@ -42,32 +42,47 @@ from alpaca_pyspark_spark.tables import load
 SRC = "/root/testdata/sf0.1"
 REPLICAS = 10
 
-#: key columns to shift per table (referential integrity preserved:
-#: the same shift constant is applied to a key and every foreign
-#: reference to it).
-KEY_COLS = {
-    "customer": ["c_custkey", "c_nationkey"],
-    "orders": ["o_orderkey", "o_custkey"],
-    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
-    "part": ["p_partkey"],
-    "supplier": ["s_suppkey", "s_nationkey"],
-    "events": ["event_id", "user_id"],
-    "documents": ["doc_id"],
-    "embeddings": ["vec_id"],
+#: key DOMAINS: every (table, column) drawing from the same key space
+#: shares ONE shift span = max over ALL of the domain's columns + 1.
+#: Computing the span per column instead would silently break
+#: referential integrity whenever a parent max-key row has no child
+#: reference (spans diverge and each replica's FKs point past/below
+#: the replica's PKs) — so parent key and every foreign reference move
+#: by the same constant, unconditionally.
+#: nation/region FKs never shift (those dimensions are static).
+KEY_DOMAINS: dict[str, list[tuple[str, str]]] = {
+    "custkey": [("customer", "c_custkey"), ("orders", "o_custkey")],
+    "orderkey": [("orders", "o_orderkey"), ("lineitem", "l_orderkey")],
+    "partkey": [("part", "p_partkey"), ("lineitem", "l_partkey")],
+    "suppkey": [("supplier", "s_suppkey"), ("lineitem", "l_suppkey")],
+    "event_id": [("events", "event_id")],
+    "user_id": [("events", "user_id")],
+    "doc_id": [("documents", "doc_id")],
+    "vec_id": [("embeddings", "vec_id")],
 }
+#: replicated fact/entity tables (derived from the domains).
+SCALED = sorted({t for cols in KEY_DOMAINS.values() for t, _ in cols})
 #: dimension tables copied once, unscaled (as in TPC-H).
 STATIC = ["region", "nation"]
-#: nation FKs must NOT shift (nation is static).
-UNSHIFTED = {"c_nationkey", "s_nationkey"}
 
 
-def scale_table(spark, name: str, dest: str) -> int:
+def domain_spans(spark) -> dict[tuple[str, str], int]:
+    """(table, column) -> shift span, one shared span per key domain."""
+    spans: dict[tuple[str, str], int] = {}
+    for cols in KEY_DOMAINS.values():
+        m = max(
+            load(spark, SRC, t).agg(F.max(c)).collect()[0][0] for t, c in cols
+        )
+        for t, c in cols:
+            spans[(t, c)] = m + 1
+    return spans
+
+
+def scale_table(
+    spark, name: str, dest: str, spans: dict[tuple[str, str], int]
+) -> int:
     df = load(spark, SRC, name)
-    shifts = {
-        c: df.agg(F.max(c)).collect()[0][0] + 1
-        for c in KEY_COLS[name]
-        if c not in UNSHIFTED
-    }
+    shifts = {c: s for (t, c), s in spans.items() if t == name}
     parts = []
     for r in range(REPLICAS):
         rep = df
@@ -104,8 +119,9 @@ def main() -> None:
             f"{args.dest}/{name}.parquet"
         )
         print(f"{name}: copied static")
-    for name in KEY_COLS:
-        n = scale_table(spark, name, args.dest)
+    spans = domain_spans(spark)
+    for name in SCALED:
+        n = scale_table(spark, name, args.dest, spans)
         print(f"{name}: {n} rows")
 
 
