@@ -3013,6 +3013,111 @@ FROM scored
 """
 
 
+# ---------------------------------------------------------------- q190
+def q190_streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q183 Gopher repetition filter EXECUTED AS A LIVE STREAM —
+    the ingest-time shape of quality filtering: documents arriving on
+    a stream are scored and flagged per micro-batch, stateless, and
+    the streamed result is hash-gated against the batch oracle (same
+    rule, two execution modes — the q181 discipline applied to the
+    curation block).
+
+    The streaming rewrite changes the SHAPE, not the semantics: batch
+    q183 finds the top-2-gram count via explode + per-(doc, gram)
+    aggregation (right at rest, where partial aggs collapse the
+    exchange); a stream must not shuffle per batch, so here the same
+    count is computed ROW-LOCALLY — sort the doc's own 2-gram array
+    and fold it once (``aggregate`` over ``array_sort``, max run
+    length = top-2-gram count; the fold's lambdas touch only their
+    accumulator and element, so nothing upstream is re-evaluated per
+    position).  Zero shuffles, zero state store entries: each doc is
+    scored inside its scan task, which is exactly how an ingest
+    filter holds up at 100 TB/day.
+
+    No watermark/sentinel protocol needed (stateless projection in
+    append mode), so the gate runs with ``sentinel=None``."""
+    from ..streaming.gate import run_streaming_gate
+
+    tune(spark)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def score(stream: DataFrame) -> DataFrame:
+        t = tokens(F.col("text"))
+        g2 = word_shingles(t, 2)
+        g3 = word_shingles(t, 3)
+        zero = F.lit(0).cast("bigint")
+        one = F.lit(1).cast("bigint")
+        top2 = F.aggregate(
+            F.array_sort(g2),
+            F.struct(F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc["prev"], acc["run"] + one).otherwise(one).alias("run"),
+                F.greatest(
+                    acc["best"],
+                    F.when(x == acc["prev"], acc["run"] + one).otherwise(one),
+                ).alias("best"),
+            ),
+            lambda acc: acc["best"],
+        )
+        n2 = F.size(g2).cast("bigint")
+        n3 = F.size(g3).cast("bigint")
+        dup3 = (F.size(g3) - F.size(F.array_distinct(g3))).cast("bigint")
+        return stream.select(
+            "doc_id",
+            F.size(t).cast("bigint").alias("n_tokens"),
+            top2.alias("top2"),
+            dup3.alias("dup3"),
+            ((F.lit(5) * top2 <= n2) & (F.lit(10) * dup3 <= F.lit(3) * n3))
+            .cast("bigint")
+            .alias("rep_keep"),
+        )
+
+    return run_streaming_gate(spark, [(docs, None)], score, prefix="q190")
+
+
+_Q190_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS t FROM documents
+),
+base AS (
+  SELECT doc_id,
+         CAST(len(t) AS BIGINT) AS n_tokens,
+         CAST(greatest(len(t) - 1, 0) AS BIGINT) AS n2,
+         CAST(greatest(len(t) - 2, 0) AS BIGINT) AS n3
+  FROM toks
+),
+g2 AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+  FROM toks, unnest(range(1, len(t))) AS r(i)
+),
+top2 AS (
+  SELECT doc_id, max(c) AS top2 FROM (
+    SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2
+  ) GROUP BY 1
+),
+g3 AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+  FROM toks, unnest(range(1, len(t) - 1)) AS r(i)
+),
+tri AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n3_occ,
+         CAST(count(DISTINCT g) AS BIGINT) AS d3
+  FROM g3 GROUP BY 1
+)
+SELECT b.doc_id, b.n_tokens,
+       CAST(COALESCE(t2.top2, 0) AS BIGINT) AS top2,
+       CAST(COALESCE(tr.n3_occ - tr.d3, 0) AS BIGINT) AS dup3,
+       CAST(5 * COALESCE(t2.top2, 0) <= b.n2
+            AND 10 * COALESCE(tr.n3_occ - tr.d3, 0) <= 3 * b.n3
+            AS BIGINT) AS rep_keep
+FROM base b
+LEFT JOIN top2 t2 USING (doc_id)
+LEFT JOIN tri tr USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------- q189
 def q189_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END curation pipeline as ONE declarative plan — the
@@ -3405,6 +3510,7 @@ QUERIES = {
     "q187_dsir_importance": q187_dsir_importance,
     "q188_classifier_quality_filter": q188_classifier_quality_filter,
     "q189_curation_pipeline": q189_curation_pipeline,
+    "q190_streaming_quality_filter": q190_streaming_quality_filter,
     "q185_temperature_mixture": q185_temperature_mixture,
     "q166_ngram_novelty": q166_ngram_novelty,
     "q168_privacy_audit": q168_privacy_audit,
@@ -3467,6 +3573,7 @@ ORACLE = {
     "q187_dsir_importance": _Q187_SQL,
     "q188_classifier_quality_filter": _Q188_SQL,
     "q189_curation_pipeline": _Q189_SQL,
+    "q190_streaming_quality_filter": _Q190_SQL,
     "q166_ngram_novelty": _Q166_SQL,
     "q168_privacy_audit": _Q168_SQL,
     "q169_incremental_dedup": _Q169_SQL,
