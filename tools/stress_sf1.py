@@ -59,6 +59,7 @@ QUERIES_UNDER_TEST = [
     "q187_dsir_importance",
     "q188_classifier_quality_filter",
     "q189_curation_pipeline",
+    "q190_streaming_quality_filter",
 ]
 
 
