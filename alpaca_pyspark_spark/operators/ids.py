@@ -37,11 +37,19 @@ def assign_stable_ids(
     *,
     id_col: str = "row_id",
     num_partitions: int = 32,
+    total_col: str | None = None,
 ) -> DataFrame:
     """Add ``id_col`` = 1-based global rank of the row under
     ``ORDER BY order_cols`` (which must be a total order — include a
     unique key as the last column, or equal rows get an arbitrary but
-    stable relative numbering)."""
+    stable relative numbering).
+
+    ``total_col`` (optional) additionally attaches the table's total
+    row count to every row — it falls out of the same per-partition
+    count job for free, so top-share selections (``rank * K <=
+    total``) need no extra single-partition count window.  Descending
+    order on an integer key: negate the key into a helper column
+    (exact for BIGINT) and rank on that."""
     cols = [F.col(c) for c in order_cols]
     parts = df.repartitionByRange(num_partitions, *cols).sortWithinPartitions(*cols)
     # The sorted layout feeds BOTH the count job below and the final
@@ -64,9 +72,11 @@ def assign_stable_ids(
         offsets[pid] = acc
         acc += sizes.get(pid, 0)
 
-    out_schema = StructType(
-        list(parts.schema.fields) + [StructField(id_col, LongType())]
-    )
+    total = acc
+    extra = [StructField(id_col, LongType())]
+    if total_col is not None:
+        extra.append(StructField(total_col, LongType()))
+    out_schema = StructType(list(parts.schema.fields) + extra)
 
     def number(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         from pyspark import TaskContext
@@ -76,6 +86,8 @@ def assign_stable_ids(
         for pdf in batches:
             pdf = pdf.copy()
             pdf[id_col] = range(start + seen + 1, start + seen + 1 + len(pdf))
+            if total_col is not None:
+                pdf[total_col] = total
             seen += len(pdf)
             yield pdf
 

@@ -27,6 +27,7 @@ from ..operators.dedup import (
     ngram_jaccard_on_pairs,
     simhash_near_duplicates,
 )
+from ..operators.ids import assign_stable_ids
 from ..operators.multimodal import audio_energy_windows, decode_media, synthesize_media
 from ..operators.similarity import brute_force_topk_arrow, lsh_topk
 from ..operators.text import with_fingerprint, with_lang_id, with_text_stats
@@ -2775,6 +2776,67 @@ FROM per
 
 
 # ---------------------------------------------------------------- q187
+def _q187_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q187's SCORING stage (everything up to the per-doc weight table,
+    ~1 row/doc) — exposed separately so plan tests can assert the
+    broadcast-LM shape on the stage itself: the distributed rank that
+    follows starts with a ``localCheckpoint``, which truncates the
+    visible plan of the full query."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    n = F.size(t)
+    trans = (
+        docs.filter(n >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(t, 1, n - 1).alias("w1"), F.slice(t, 2, n - 1).alias("w2")
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "lang", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .transform(scoped_persist)
+    )
+    raw_lm = (
+        trans.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_r"))
+        .withColumn("first_r", F.sum("pair_r").over(Window.partitionBy("w1")))
+        .withColumn("n_bigram_types", F.count(F.lit(1)).over(Window.partitionBy()))
+    )
+    tgt_lm = (
+        trans.filter(F.col("lang") == "en")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_t"))
+        .withColumn("first_t", F.sum("pair_t").over(Window.partitionBy("w1")))
+    )
+    return (
+        trans.join(F.broadcast(raw_lm), ["w1", "w2"])
+        .join(F.broadcast(tgt_lm), ["w1", "w2"], "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.expr(
+                "(1000000 * (coalesce(pair_t, 0) + 1) * first_r)"
+                " DIV ((coalesce(first_t, 0) + n_bigram_types) * pair_r)"
+            ).alias("ratio_micro"),
+        )
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_trans"),
+            F.sum("ratio_micro").alias("sum_ratio"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_trans",
+            F.expr("sum_ratio DIV n_trans").alias("dsir_weight_micro"),
+        )
+    )
+
+
 def q187_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style data selection (Xie et al. 2023, Data Selection via
     Importance Resampling): score every document by how target-like
@@ -2807,77 +2869,28 @@ def q187_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     target LM, scoring), so the transition table is scope-persisted
     once; both LMs are vocab²-bounded and attach to the scoring pass
     as broadcasts; per-doc aggregation partial-aggregates to ~1 row
-    per document.  The final rank is a GLOBAL window over the weight
-    table (~1 row/doc) — exact-deterministic for the gate, but a
-    single-partition sort at corpus scale; the 100 TB dial is a
-    two-pass threshold select (count n_scored, find the 80th-
-    percentile weight with a distributed sort, then a stateless
-    ``weight >= T`` filter), trading the strict doc_id tiebreak at
-    the boundary for a fully parallel final pass."""
-    tune(spark)
-    docs = load(spark, sf_dir, "documents")
-    t = tokens(F.col("text"))
-    n = F.size(t)
-    trans = (
-        docs.filter(n >= 2)
-        .select(
-            "doc_id",
-            "lang",
-            F.explode(
-                F.arrays_zip(
-                    F.slice(t, 1, n - 1).alias("w1"), F.slice(t, 2, n - 1).alias("w2")
-                )
-            ).alias("bg"),
-        )
-        .select("doc_id", "lang", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-        .transform(scoped_persist)
+    per document.  The final top-20% rank is DISTRIBUTED: the
+    range-partition rank operator (``assign_stable_ids``,
+    operators/ids.py — descending via exact BIGINT negation,
+    per-partition counts -> offsets, map-only Arrow numbering, total
+    count attached from the same count job), so no corpus-scale
+    single-partition sort exists anywhere in the plan and the
+    selection is pure column arithmetic — bit-identical to the
+    single-partition window, strict (weight DESC, doc_id) tiebreak
+    included."""
+    scored = _q187_scored(spark, sf_dir)
+    ranked = assign_stable_ids(
+        scored.withColumn("_neg", -F.col("dsir_weight_micro")),
+        ["_neg", "doc_id"],
+        id_col="_rank",
+        total_col="_n",
     )
-    raw_lm = (
-        trans.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("pair_r"))
-        .withColumn("first_r", F.sum("pair_r").over(Window.partitionBy("w1")))
-        .withColumn("n_bigram_types", F.count(F.lit(1)).over(Window.partitionBy()))
-    )
-    tgt_lm = (
-        trans.filter(F.col("lang") == "en")
-        .groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("pair_t"))
-        .withColumn("first_t", F.sum("pair_t").over(Window.partitionBy("w1")))
-    )
-    scored = (
-        trans.join(F.broadcast(raw_lm), ["w1", "w2"])
-        .join(F.broadcast(tgt_lm), ["w1", "w2"], "left")
-        .select(
-            "doc_id",
-            "lang",
-            F.expr(
-                "(1000000 * (coalesce(pair_t, 0) + 1) * first_r)"
-                " DIV ((coalesce(first_t, 0) + n_bigram_types) * pair_r)"
-            ).alias("ratio_micro"),
-        )
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_trans"),
-            F.sum("ratio_micro").alias("sum_ratio"),
-        )
-        .select(
-            "doc_id",
-            "lang",
-            "n_trans",
-            F.expr("sum_ratio DIV n_trans").alias("dsir_weight_micro"),
-        )
-    )
-    w = Window.orderBy(F.col("dsir_weight_micro").desc(), F.col("doc_id"))
-    total = Window.partitionBy()
-    return scored.select(
+    return ranked.select(
         "doc_id",
         "lang",
         "n_trans",
         "dsir_weight_micro",
-        (
-            F.row_number().over(w) * F.lit(5)
-            <= F.count(F.lit(1)).over(total)
-        ).cast("bigint").alias("selected"),
+        (F.col("_rank") * F.lit(5) <= F.col("_n")).cast("bigint").alias("selected"),
     )
 
 
@@ -2924,6 +2937,34 @@ FROM scored
 
 
 # ---------------------------------------------------------------- q188
+def _q188_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q188's SCORING stage (per-vec integer dot products, ~1 row/vec)
+    — exposed for plan tests, same reason as :func:`_q187_scored`."""
+    tune(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    comp = (
+        emb.select(
+            "vec_id", "label", F.posexplode("embedding").alias("dim", "comp")
+        )
+        .withColumn(
+            "comp_micro",
+            F.expr("CAST(floor(CAST(comp AS DOUBLE) * 1000000) AS BIGINT)"),
+        )
+        .drop("comp")
+        .transform(scoped_persist)
+    )
+    w_vec = (
+        comp.filter(F.col("label") == 1)
+        .groupBy("dim")
+        .agg(F.sum("comp_micro").alias("w_micro"))
+    )
+    return (
+        comp.join(F.broadcast(w_vec), "dim")
+        .groupBy("vec_id", "label")
+        .agg(F.sum(F.col("comp_micro") * F.col("w_micro")).alias("score_u"))
+    )
+
+
 def q188_classifier_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-classifier quality filter — the FineWeb-Edu-style
     selection step: score every item by a linear classifier in
@@ -2950,41 +2991,21 @@ def q188_classifier_quality_filter(spark: SparkSession, sf_dir: str) -> DataFram
     (dim-bounded: 64 rows out) and the scoring pass, where the
     centroid attaches as a broadcast; per-vec dot products partial-
     aggregate to ~1 row per vector before the exchange.  The final
-    top-20% rank is exact-deterministic for the gate (single global
-    window over ~1 row/vec); the 100 TB dial is the same two-pass
-    threshold select documented on q187."""
-    tune(spark)
-    emb = load(spark, sf_dir, "embeddings")
-    comp = (
-        emb.select(
-            "vec_id", "label", F.posexplode("embedding").alias("dim", "comp")
-        )
-        .withColumn(
-            "comp_micro",
-            F.expr("CAST(floor(CAST(comp AS DOUBLE) * 1000000) AS BIGINT)"),
-        )
-        .drop("comp")
-        .transform(scoped_persist)
+    top-20% rank uses the same distributed range-partition rank
+    operator as q187 (``assign_stable_ids`` — no single-partition
+    sort; exact tiebreak (score DESC, vec_id) preserved)."""
+    scored = _q188_scored(spark, sf_dir)
+    ranked = assign_stable_ids(
+        scored.withColumn("_neg", -F.col("score_u")),
+        ["_neg", "vec_id"],
+        id_col="_rank",
+        total_col="_n",
     )
-    w_vec = (
-        comp.filter(F.col("label") == 1)
-        .groupBy("dim")
-        .agg(F.sum("comp_micro").alias("w_micro"))
-    )
-    scored = (
-        comp.join(F.broadcast(w_vec), "dim")
-        .groupBy("vec_id", "label")
-        .agg(F.sum(F.col("comp_micro") * F.col("w_micro")).alias("score_u"))
-    )
-    rank_w = Window.orderBy(F.col("score_u").desc(), F.col("vec_id"))
-    total = Window.partitionBy()
-    return scored.select(
+    return ranked.select(
         "vec_id",
         "label",
         "score_u",
-        (F.row_number().over(rank_w) * F.lit(5) <= F.count(F.lit(1)).over(total))
-        .cast("bigint")
-        .alias("selected"),
+        (F.col("_rank") * F.lit(5) <= F.col("_n")).cast("bigint").alias("selected"),
     )
 
 
@@ -3147,8 +3168,9 @@ def q189_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     one fingerprint-window shuffle, and the ledger reassembly is three
     doc_id-keyed joins over ~1-row-per-doc tables.  The two corpus
     fan-outs (token base, survivor transitions) are scope-persisted
-    so each is computed once.  The DSIR top-20% rank window is the
-    same documented two-pass-threshold dial as q187."""
+    so each is computed once.  The DSIR top-20% rank is distributed
+    (``assign_stable_ids`` range-partition rank, as in q187 — no
+    single-partition sort in the composed plan either)."""
     tune(spark)
     docs = load(spark, sf_dir, "documents")
     t = tokens(F.col("text"))
@@ -3268,14 +3290,12 @@ def q189_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.expr("sum_ratio DIV n_trans").alias("wgt"))
     )
-    rank_w = Window.orderBy(F.col("wgt").desc(), F.col("doc_id"))
-    total = Window.partitionBy()
-    sel = weights.select(
-        "doc_id",
-        (
-            F.row_number().over(rank_w) * F.lit(5) <= F.count(F.lit(1)).over(total)
-        ).alias("dsir_sel"),
-    )
+    sel = assign_stable_ids(
+        weights.withColumn("_neg", -F.col("wgt")),
+        ["_neg", "doc_id"],
+        id_col="_rank",
+        total_col="_n",
+    ).select("doc_id", (F.col("_rank") * F.lit(5) <= F.col("_n")).alias("dsir_sel"))
     # -- ledger: first-failing-stage attribution ----------------------
     return (
         flags.join(dedup, "doc_id", "left")

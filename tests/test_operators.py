@@ -958,6 +958,32 @@ def test_assign_stable_ids_partition_count_independent(spark):
         assert got == want, f"numbering diverged at num_partitions={n_parts}"
 
 
+def test_assign_stable_ids_total_col_and_descending(spark):
+    """total_col attaches the exact global row count to every row, and
+    descending order via BIGINT negation ranks highest-first — the
+    top-share selection pattern (rank*K <= total) q187/q188/q189 use."""
+    from alpaca_pyspark_spark.operators.ids import assign_stable_ids
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    n_docs = docs.count()
+    out = assign_stable_ids(
+        docs.withColumn("_neg", -F.col("n_chars")),
+        ["_neg", "doc_id"],
+        id_col="rk",
+        num_partitions=7,
+        total_col="n_total",
+    ).collect()
+    assert all(r["n_total"] == n_docs for r in out)
+    ranked = sorted(out, key=lambda r: r["rk"])
+    assert [r["rk"] for r in ranked] == list(range(1, n_docs + 1))
+    # rank 1 = largest n_chars; ties broken by doc_id ascending
+    assert ranked[0]["n_chars"] == max(r["n_chars"] for r in out)
+    for a, b in zip(ranked, ranked[1:]):
+        assert (a["n_chars"], -a["doc_id"]) >= (b["n_chars"], -b["doc_id"])
+
+
 def test_frequent_items_mg_guarantees(spark):
     from alpaca_pyspark_spark.operators.sketches import frequent_items
 

@@ -459,23 +459,46 @@ def test_q186_span_rewrite_three_exchanges(spark):
 
 
 def test_q187_dsir_lms_broadcast(spark):
+    from alpaca_pyspark_spark.queries.llm import _q187_scored
+
+    # scoring stage: both vocab-bounded LMs attach to the corpus-sized
+    # pass as broadcasts; the corpus side never sort-merge joins.
+    # (asserted on the stage — the distributed rank that follows starts
+    # with a localCheckpoint, which truncates the full query's visible
+    # plan to the post-checkpoint part)
+    scored = _q187_scored(spark, SF_DIR)
+    splan = formatted_plan(scored)
+    assert count_broadcasts(scored) >= 2, splan
+    assert "SortMergeJoin" not in splan, splan
+    assert has_whole_stage_codegen(scored), splan
+    # full query: the top-20% select rides the distributed range-
+    # partition rank (map-only Arrow numbering), NOT a single-partition
+    # global window
     df = QUERIES["q187_dsir_importance"](spark, SF_DIR)
     plan = formatted_plan(df)
-    # both vocab-bounded LMs attach to the corpus-sized scoring pass as
-    # broadcasts; the corpus side never sort-merge joins
-    assert count_broadcasts(df) >= 2, plan
-    assert "SortMergeJoin" not in plan, plan
-    assert has_whole_stage_codegen(df), plan
+    assert "MapInPandas" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Window" not in plan, plan
 
 
 def test_q188_classifier_centroid_broadcast(spark):
+    from alpaca_pyspark_spark.queries.llm import _q188_scored
+
+    # scoring stage: the dim-bounded (64-row) centroid attaches to the
+    # corpus-sized pass as a broadcast; the corpus never sort-merge
+    # joins (stage-level assert — see q187 note on checkpoint
+    # truncation)
+    scored = _q188_scored(spark, SF_DIR)
+    splan = formatted_plan(scored)
+    assert count_broadcasts(scored) >= 1, splan
+    assert "SortMergeJoin" not in splan, splan
+    assert has_whole_stage_codegen(scored), splan
+    # full query: distributed rank, no single-partition window
     df = QUERIES["q188_classifier_quality_filter"](spark, SF_DIR)
     plan = formatted_plan(df)
-    # the dim-bounded (64-row) centroid attaches to the corpus-sized
-    # scoring pass as a broadcast; the corpus never sort-merge joins
-    assert count_broadcasts(df) >= 1, plan
-    assert "SortMergeJoin" not in plan, plan
-    assert has_whole_stage_codegen(df), plan
+    assert "MapInPandas" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Window" not in plan, plan
 
 
 def test_q189_pipeline_broadcasts_no_cartesian(spark):
