@@ -59,3 +59,42 @@ def test_showcase_prefix_is_graded_cross_section():
     assert all(k in QUERIES for k in so), set(so) - set(QUERIES)
     assert all(k in ORACLE for k in so[:50])
     assert list(m.queries())[:50] == so[:50]
+
+
+def test_curation_invariants_span_ledger(spark, assert_no_cache_residue):
+    """q186: the kept/dropped token ledger is a PARTITION of each
+    document's tokens — rewrite accounting that doesn't conserve
+    tokens would silently corrupt a corpus rewrite."""
+    rows = QUERIES["q186_span_dedup_rewrite"](spark, SF_DIR).collect()
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert len(rows) == n_docs
+    for r in rows:
+        assert r["n_tokens_kept"] + r["n_tokens_dropped"] == r["n_tokens"]
+        assert 0 <= r["n_tokens_dropped"] <= r["n_tokens"]
+
+
+def test_curation_invariants_pipeline_disposition(spark, assert_no_cache_residue):
+    """q189: exactly one disposition per document, only the five
+    defined stages, and the DSIR keep count is the exact top-20% rule
+    over the stage's survivor population."""
+    from collections import Counter
+
+    rows = QUERIES["q189_curation_pipeline"](spark, SF_DIR).collect()
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert len(rows) == n_docs
+    c = Counter(r["disposition"] for r in rows)
+    assert set(c) <= {
+        "drop_repetition", "drop_stopword", "drop_exact_dup",
+        "drop_dsir", "keep",
+    }
+    n_survivors = c.get("drop_dsir", 0) + c.get("keep", 0)
+    assert c.get("keep", 0) == n_survivors // 5
+
+
+def test_curation_invariants_top20_selects(spark, assert_no_cache_residue):
+    """q187/q188: `selected` marks exactly floor(n/5) rows — the
+    integer cross-multiplied rank rule, independent of the distributed
+    rank's partitioning."""
+    for qid in ("q187_dsir_importance", "q188_classifier_quality_filter"):
+        rows = QUERIES[qid](spark, SF_DIR).collect()
+        assert sum(r["selected"] for r in rows) == len(rows) // 5, qid
