@@ -50,6 +50,15 @@ def assign_stable_ids(
     total``) need no extra single-partition count window.  Descending
     order on an integer key: negate the key into a helper column
     (exact for BIGINT) and rank on that."""
+    taken = set(df.columns)
+    clash = {c for c in (id_col, total_col) if c is not None and c in taken}
+    if clash:
+        raise ValueError(
+            f"assign_stable_ids: output column(s) {sorted(clash)} already "
+            "exist on the input — pick different id_col/total_col names "
+            "(a collision would make the Arrow schema diverge from the "
+            "pandas batch at runtime)"
+        )
     cols = [F.col(c) for c in order_cols]
     parts = df.repartitionByRange(num_partitions, *cols).sortWithinPartitions(*cols)
     # The sorted layout feeds BOTH the count job below and the final

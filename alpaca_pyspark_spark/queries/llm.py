@@ -2593,7 +2593,10 @@ def q183_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q183_SQL = r"""
+# shared CTE block for the Gopher repetition rule — q183 (batch, full
+# report) and q190 (streaming twin's batch oracle) gate the SAME rule,
+# so they derive from ONE spec string and cannot drift apart.
+_GOPHER_REP_CTES = r"""
 WITH toks AS (
   SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS t FROM documents
 ),
@@ -2624,6 +2627,9 @@ tri AS (
          CAST(count(DISTINCT g) AS BIGINT) AS d3
   FROM g3 GROUP BY 1
 )
+"""
+
+_Q183_SQL = _GOPHER_REP_CTES + r"""
 SELECT b.doc_id,
        b.n_tokens,
        CAST(b.n_distinct AS DOUBLE) / CAST(b.n_tokens AS DOUBLE)
@@ -3081,15 +3087,30 @@ def q190_streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame
             ),
             lambda acc: acc["best"],
         )
-        n2 = F.size(g2).cast("bigint")
-        n3 = F.size(g3).cast("bigint")
-        dup3 = (F.size(g3) - F.size(F.array_distinct(g3))).cast("bigint")
-        return stream.select(
+        # two chained selects, deliberately: higher-order functions are
+        # excluded from subexpression elimination (SPARK-35410), so
+        # referencing the sorted fold twice in ONE projection would run
+        # it twice per row; aliasing it once here and deriving the keep
+        # rule from plain attributes below evaluates it once
+        # (CollapseProject keeps non-cheap multi-referenced aliases
+        # un-inlined, SPARK-36718).
+        stats = stream.select(
             "doc_id",
             F.size(t).cast("bigint").alias("n_tokens"),
             top2.alias("top2"),
-            dup3.alias("dup3"),
-            ((F.lit(5) * top2 <= n2) & (F.lit(10) * dup3 <= F.lit(3) * n3))
+            F.size(g2).cast("bigint").alias("n2"),
+            F.size(g3).cast("bigint").alias("n3"),
+            (F.size(g3) - F.size(F.array_distinct(g3))).cast("bigint").alias("dup3"),
+        )
+        return stats.select(
+            "doc_id",
+            "n_tokens",
+            "top2",
+            "dup3",
+            (
+                (F.lit(5) * F.col("top2") <= F.col("n2"))
+                & (F.lit(10) * F.col("dup3") <= F.lit(3) * F.col("n3"))
+            )
             .cast("bigint")
             .alias("rep_keep"),
         )
@@ -3097,36 +3118,7 @@ def q190_streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame
     return run_streaming_gate(spark, [(docs, None)], score, prefix="q190")
 
 
-_Q190_SQL = r"""
-WITH toks AS (
-  SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS t FROM documents
-),
-base AS (
-  SELECT doc_id,
-         CAST(len(t) AS BIGINT) AS n_tokens,
-         CAST(greatest(len(t) - 1, 0) AS BIGINT) AS n2,
-         CAST(greatest(len(t) - 2, 0) AS BIGINT) AS n3
-  FROM toks
-),
-g2 AS (
-  SELECT doc_id, t[i] || ' ' || t[i+1] AS g
-  FROM toks, unnest(range(1, len(t))) AS r(i)
-),
-top2 AS (
-  SELECT doc_id, max(c) AS top2 FROM (
-    SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2
-  ) GROUP BY 1
-),
-g3 AS (
-  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
-  FROM toks, unnest(range(1, len(t) - 1)) AS r(i)
-),
-tri AS (
-  SELECT doc_id,
-         CAST(count(*) AS BIGINT) AS n3_occ,
-         CAST(count(DISTINCT g) AS BIGINT) AS d3
-  FROM g3 GROUP BY 1
-)
+_Q190_SQL = _GOPHER_REP_CTES + r"""
 SELECT b.doc_id, b.n_tokens,
        CAST(COALESCE(t2.top2, 0) AS BIGINT) AS top2,
        CAST(COALESCE(tr.n3_occ - tr.d3, 0) AS BIGINT) AS dup3,
@@ -3171,6 +3163,40 @@ def q189_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     so each is computed once.  The DSIR top-20% rank is distributed
     (``assign_stable_ids`` range-partition rank, as in q187 — no
     single-partition sort in the composed plan either)."""
+    flags, dedup, weights = _q189_stages(spark, sf_dir)
+    sel = assign_stable_ids(
+        weights.withColumn("_neg", -F.col("wgt")),
+        ["_neg", "doc_id"],
+        id_col="_rank",
+        total_col="_n",
+    ).select("doc_id", (F.col("_rank") * F.lit(5) <= F.col("_n")).alias("dsir_sel"))
+    # -- ledger: first-failing-stage attribution ----------------------
+    return (
+        flags.join(dedup, "doc_id", "left")
+        .join(sel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.when(~F.col("rep_keep"), F.lit("drop_repetition"))
+            .when(~F.col("stop_keep"), F.lit("drop_stopword"))
+            .when(F.col("canon_id") != F.col("doc_id"), F.lit("drop_exact_dup"))
+            .when(~F.coalesce(F.col("dsir_sel"), F.lit(False)), F.lit("drop_dsir"))
+            .otherwise(F.lit("keep"))
+            .alias("disposition"),
+        )
+    )
+
+
+def _q189_stages(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """q189's batch stages up to the DSIR weight table — returns
+    ``(flags, dedup, weights)``.  Exposed so plan tests can pin the
+    weights branch's broadcast-LM shape stage-level: the distributed
+    rank that consumes ``weights`` starts with a ``localCheckpoint``,
+    which truncates the full query's visible plan (same pattern as
+    :func:`_q187_scored`)."""
     tune(spark)
     docs = load(spark, sf_dir, "documents")
     t = tokens(F.col("text"))
@@ -3290,28 +3316,7 @@ def q189_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.expr("sum_ratio DIV n_trans").alias("wgt"))
     )
-    sel = assign_stable_ids(
-        weights.withColumn("_neg", -F.col("wgt")),
-        ["_neg", "doc_id"],
-        id_col="_rank",
-        total_col="_n",
-    ).select("doc_id", (F.col("_rank") * F.lit(5) <= F.col("_n")).alias("dsir_sel"))
-    # -- ledger: first-failing-stage attribution ----------------------
-    return (
-        flags.join(dedup, "doc_id", "left")
-        .join(sel, "doc_id", "left")
-        .select(
-            "doc_id",
-            "lang",
-            "n_tokens",
-            F.when(~F.col("rep_keep"), F.lit("drop_repetition"))
-            .when(~F.col("stop_keep"), F.lit("drop_stopword"))
-            .when(F.col("canon_id") != F.col("doc_id"), F.lit("drop_exact_dup"))
-            .when(~F.coalesce(F.col("dsir_sel"), F.lit(False)), F.lit("drop_dsir"))
-            .otherwise(F.lit("keep"))
-            .alias("disposition"),
-        )
-    )
+    return flags, dedup, weights
 
 
 _Q189_SQL = r"""

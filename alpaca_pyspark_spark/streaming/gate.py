@@ -31,6 +31,7 @@ throughput-matched 8.
 from __future__ import annotations
 
 import datetime
+import shutil
 import tempfile
 import uuid
 from collections.abc import Callable, Sequence
@@ -144,7 +145,20 @@ def run_streaming_gate(
     finally:
         q.stop()
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
-    return spark.table(name)
+    # Decouple the result from the gate's resources before returning:
+    # an eager localCheckpoint copies the sink rows into RDD blocks the
+    # ContextCleaner frees when the caller drops the DataFrame, after
+    # which the memory-sink view and the staged parquet dirs can go
+    # immediately — a long-lived session (the one-JVM 203-query bench,
+    # the sf1 stress sweep) no longer accumulates one staged table copy
+    # + one pinned result table per streaming-gate execution.  (The
+    # gate is harness plumbing for the hash-check; result tables are
+    # query outputs, far below corpus scale.)
+    result = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    for src in dirs:
+        shutil.rmtree(src, ignore_errors=True)
+    return result
 
 
 def sentinel_row(

@@ -984,6 +984,25 @@ def test_assign_stable_ids_total_col_and_descending(spark):
         assert (a["n_chars"], -a["doc_id"]) >= (b["n_chars"], -b["doc_id"])
 
 
+def test_assign_stable_ids_rejects_column_collisions(spark):
+    """id_col/total_col colliding with an input column must fail at
+    call time with a clear error, not at runtime with an Arrow schema
+    mismatch."""
+    import pytest
+
+    from alpaca_pyspark_spark.operators.ids import assign_stable_ids
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    with pytest.raises(ValueError, match="already"):
+        assign_stable_ids(docs, ["n_chars", "doc_id"], id_col="doc_id")
+    with pytest.raises(ValueError, match="already"):
+        assign_stable_ids(
+            docs, ["n_chars", "doc_id"], id_col="rk", total_col="n_chars"
+        )
+
+
 def test_frequent_items_mg_guarantees(spark):
     from alpaca_pyspark_spark.operators.sketches import frequent_items
 

@@ -502,11 +502,21 @@ def test_q188_classifier_centroid_broadcast(spark):
 
 
 def test_q189_pipeline_broadcasts_no_cartesian(spark):
+    from alpaca_pyspark_spark.queries.llm import _q189_stages
+
+    # stage-level: the DSIR weights branch sits behind the distributed
+    # rank's localCheckpoint in the full query, so its broadcast-LM
+    # shape is pinned on the stage itself — both vocab-bounded LMs
+    # broadcast, and the (w1, w2)-keyed joins never sort-merge the
+    # corpus-scale transition table
+    _, _, weights = _q189_stages(spark, SF_DIR)
+    wplan = formatted_plan(weights)
+    assert count_broadcasts(weights) >= 2, wplan
+    assert "SortMergeJoin [w1" not in wplan, wplan
+    # full query: stop-set broadcast + ledger joins; no nested-loop
     df = QUERIES["q189_curation_pipeline"](spark, SF_DIR)
     plan = formatted_plan(df)
-    # the vocab-bounded tables (20-row stop set, both DSIR LMs) attach
-    # to corpus-scale passes as broadcasts; no nested-loop anywhere
-    assert count_broadcasts(df) >= 3, plan
+    assert count_broadcasts(df) >= 1, plan
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
     assert has_whole_stage_codegen(df), plan
 
