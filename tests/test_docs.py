@@ -26,3 +26,31 @@ def test_usage_registry_counts():
 
 def test_oracle_is_subset_of_queries():
     assert set(ORACLE) <= set(QUERIES)
+
+
+def test_round_artifacts_cover_live_registry():
+    """The committed round artifacts must not go stale against the
+    registry (round-4 VERDICT flagged ORACLE_LOCAL missing the two
+    newest queries): the LATEST ORACLE_LOCAL_r*.json and
+    BENCH_DETAIL.json must record exactly the live query set.
+    Intentionally fails between adding a query and regenerating the
+    artifacts — regeneration is part of 'done'."""
+    import json
+
+    locals_ = sorted(
+        REPO.glob("ORACLE_LOCAL_r*.json"),
+        key=lambda p: int(re.search(r"_r(\d+)", p.name).group(1)),
+    )
+    assert locals_, "no ORACLE_LOCAL_r*.json committed"
+    oracle_local = json.loads(locals_[-1].read_text())
+    assert set(oracle_local) == set(QUERIES), (
+        f"{locals_[-1].name} stale: "
+        f"missing={sorted(set(QUERIES) - set(oracle_local))[:5]} "
+        f"extra={sorted(set(oracle_local) - set(QUERIES))[:5]}"
+    )
+    bench = json.loads((REPO / "BENCH_DETAIL.json").read_text())["queries"]
+    assert set(bench) == set(QUERIES), (
+        f"BENCH_DETAIL.json stale: "
+        f"missing={sorted(set(QUERIES) - set(bench))[:5]} "
+        f"extra={sorted(set(bench) - set(QUERIES))[:5]}"
+    )
