@@ -44,18 +44,32 @@ _SHOWCASE_ORDER = [
     # executed streaming (real micro-batch engine under the hash gate;
     # round 5: q181 — the reference's flagship D5 bar construction run
     # as a live stream — rotates into the graded prefix)
+    # (round 6: q190 — streaming quality filter at ingest, executed
+    # micro-batch, never driver-graded — rotates in; q114_repeated_
+    # passages leaves to make room: its n-gram-overlap mining family
+    # is repped by q61_contamination_overlap below, and it stays
+    # oracle-paired in the registry + local gate)
     "q130_streaming_sessions_executed", "q145_streaming_outer_join_executed",
-    "q181_streaming_bars_executed",
+    "q181_streaming_bars_executed", "q190_streaming_quality_filter",
     # LLM dedup / similarity (round 5 rotation: q13_embedding_sim and
     # q12_embedding_dedup_lsh leave the prefix — their families remain
     # represented by q13_embedding_sim_ann (same cosine top-k, ANN
     # path) and q176/q177/q12_text_dedup_portable — both stay
     # oracle-paired in the registry + local gate)
-    "q12_exact_dedup", "q12_text_dedup_portable",
+    # (round 6 rotation: q169 incremental delta-vs-corpus dedup and
+    # q164 substring-containment dedup — never driver-graded — rotate
+    # in; q12_exact_dedup leaves (exact-dedup family runs verbatim
+    # inside q189's pipeline stage and q169's delta-vs-corpus exact
+    # stage) and q176_knn_graph_exact leaves (blocked exact-pairs
+    # kernel family repped by q177_semdedup, which drives the same
+    # all_pairs_above_blocked kernel; both stay oracle-paired in the
+    # registry + local gate)
+    "q12_text_dedup_portable", "q169_incremental_dedup",
+    "q164_containment_dedup",
     "q33_near_dup_components_lsh",
     "q163_setsim_prefix_join",
     "q13_embedding_sim_ann",
-    "q176_knn_graph_exact", "q177_semdedup",
+    "q177_semdedup",
     "q122_audio_energy",
     # text curation / quality filtering (round 5: the quality-filter
     # block between dedup and sampling rotates in; the mining family is
@@ -80,15 +94,19 @@ _SHOWCASE_ORDER = [
     # — clustering family repped by q33/q177; stays in the local gate)
     "q89_inverted_index", "q90_bm25_topk", "q91_pagerank_suppliers",
     "q123_bpe_train",
-    "q114_repeated_passages", "q120_domain_distinctive_tokens",
+    "q120_domain_distinctive_tokens",
     # mining
     "q121_cusum_changepoint",
     # TPC-H shapes
     "q84_pricing_summary", "q82_sole_late_shipper",
     "q110_cheapest_supplier", "q100_market_share",
-    # advanced analytics
+    # advanced analytics (round 6: q129 CUPED experiment readout —
+    # never driver-graded — rotates in; q118_chi_square leaves: the
+    # experiment-statistics family is repped by q129's variance-
+    # reduced readout, and q118 stays oracle-paired in the registry +
+    # local gate)
     "q105_lambda_serving", "q116_incremental_view_update",
-    "q118_chi_square_independence", "q107_session_paths",
+    "q129_cuped_experiment_readout", "q107_session_paths",
     "q139_exact_group_quantiles", "q45_variant_extract",
     # warehouse / scale
     "q60_scd2_history", "q34_salted_heavy_hitters",

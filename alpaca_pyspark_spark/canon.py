@@ -1,0 +1,57 @@
+"""The driver's pandas canonicalization, replicated verbatim in ONE
+place so the local gates (tests/conftest.py's per-query guard and
+tools/driver_mimic.py's full-registry sweep) can never diverge from
+each other or from the driver.
+
+The driver hashes every query result as: pandas DataFrame →
+``sort_values`` over all columns (sorted by name) →
+``hash_pandas_object`` — with NO exception handling.  Outputs whose
+cells pandas cannot factorize/hash (``bytearray`` from BinaryType,
+``list`` from ArrayType, ``Row``/tuple from StructType, dicts from
+MapType, numpy arrays) make the driver raise ``TypeError: unhashable
+type`` and score the query red regardless of content — the round-3
+q89/q114 (arrays) and round-5 q148 (BinaryType) failure class.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+#: cell types the driver's sort/hash path cannot handle; rejected
+#: explicitly (with the offending column named) before the pandas
+#: traceback would fire, so failures are diagnosable.
+DRIVER_UNHASHABLE_CELLS = (bytearray, bytes, memoryview, list, dict, set, tuple)
+
+
+def reject_unhashable_cells(rows: Iterable[Sequence], cols: Sequence[str]) -> None:
+    """Raise AssertionError naming the first column whose cell is a
+    container type the driver cannot canonicalize."""
+    import numpy as np
+
+    cols = list(cols)
+    for r in rows:
+        for c, v in zip(cols, r):
+            if isinstance(v, DRIVER_UNHASHABLE_CELLS) or isinstance(
+                v, np.ndarray
+            ):
+                raise AssertionError(
+                    f"column {c!r} holds a {type(v).__name__} cell — the "
+                    "driver's pandas canonicalizer cannot sort/hash it "
+                    "(BinaryType collects as bytearray; arrays/structs as "
+                    "list/Row). Project to STRING/hex or scalar columns."
+                )
+
+
+def driver_canon_hash(rows: Iterable[Sequence], cols: Sequence[str]) -> int:
+    """The driver's exact canonicalization: DataFrame → sort_values
+    (all columns) → hash_pandas_object summed.  NO exception handling
+    — a TypeError here is precisely what the driver raises, and
+    swallowing it is how round 5 shipped q148 red (the old conftest
+    guard caught the sort's TypeError; the old driver_mimic compared
+    repr-sorted tuples, where bytearrays compare fine)."""
+    import pandas as pd
+
+    cols = list(cols)
+    pdf = pd.DataFrame(list(rows), columns=cols)
+    pdf = pdf.sort_values(cols, ignore_index=True)
+    return int(pd.util.hash_pandas_object(pdf, index=False).sum())

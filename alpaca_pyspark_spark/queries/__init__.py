@@ -28,7 +28,10 @@ def _boundary(fn: QueryFn) -> QueryFn:
     by then), so a long-lived session never holds more than one
     query's worth of operator caches.  Harnesses that want zero
     residue between actions (tests, bench) additionally call
-    ``release_scoped_caches()`` right after consuming."""
+    ``release_scoped_caches()`` right after consuming.  The bare
+    release respects an active ``scoped_caches()`` floor, so calling
+    a registered query inside a user's scoped block never unpersists
+    the enclosing scope's still-live persists."""
 
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         release_scoped_caches()

@@ -101,41 +101,70 @@ def tune(spark: SparkSession) -> SparkSession:
 # --------------------------------------------------------------------
 
 _SCOPED: list[DataFrame] = []
+#: Number of ``scoped_caches()`` blocks currently open.  While any is
+#: active, a bare ``release_scoped_caches()`` (the query-boundary
+#: call) is a NO-OP: the ledger is a stack, so the top entries belong
+#: to the active scopes and a bare pop-down would unpersist the
+#: enclosing block's still-live persists (the round-5 advice bug).
+#: Scope exits drain their own entries; pre-scope leftovers drain at
+#: the first boundary hit OUTSIDE all scopes.
+_SCOPE_DEPTH: int = 0
+_LEDGER_LOCK = __import__("threading").Lock()
 
 
 def scoped_persist(df: DataFrame) -> DataFrame:
     """``df.persist()`` recorded in the session's cache ledger; released
     by :func:`release_scoped_caches` at the next query boundary."""
     out = df.persist()
-    _SCOPED.append(out)
+    with _LEDGER_LOCK:
+        _SCOPED.append(out)
     return out
 
 
-def release_scoped_caches(mark: int = 0) -> int:
+def release_scoped_caches(mark: int | None = None) -> int:
     """Unpersist ledger entries past ``mark`` (blocking=False); returns
     how many actually unpersisted.  Call with no argument after the
-    action that consumes a query (drains the whole ledger); a nested
-    scope passes its entry mark so it only drains its OWN persists."""
+    action that consumes a query: it drains the whole ledger — unless
+    a ``scoped_caches()`` block is active, in which case it is a no-op
+    (the block owns the top of the stack and releases its own entries
+    on exit; draining would violate the nesting guarantee).  A scope
+    exit passes its entry mark so it drains exactly its OWN persists.
+
+    The ledger is guarded by a lock so concurrent ``scoped_persist``
+    calls don't corrupt the list, but scope depth is process-global:
+    the harnesses that drive query boundaries (bench, driver mimic,
+    tests) are single-threaded by design."""
     n = 0
-    while len(_SCOPED) > mark:
-        df = _SCOPED.pop()
+    while True:
+        with _LEDGER_LOCK:
+            if mark is None and _SCOPE_DEPTH > 0:
+                return n
+            floor = 0 if mark is None else mark
+            if len(_SCOPED) <= floor:
+                return n
+            df = _SCOPED.pop()
         try:
             df.unpersist(blocking=False)
             n += 1
         except Exception:  # session may be stopped — entry still leaves
             pass  # the ledger, but is not counted as released
-    return n
 
 
 @contextlib.contextmanager
 def scoped_caches():
     """Context manager form: on exit, release the operator persists
     made INSIDE the block (nesting-safe — an inner block never drains
-    an enclosing block's still-live persists)."""
-    mark = len(_SCOPED)
+    an enclosing block's still-live persists, and query boundaries
+    hit inside the block are no-ops rather than ledger drains)."""
+    global _SCOPE_DEPTH
+    with _LEDGER_LOCK:
+        mark = len(_SCOPED)
+        _SCOPE_DEPTH += 1
     try:
         yield
     finally:
+        with _LEDGER_LOCK:
+            _SCOPE_DEPTH -= 1
         release_scoped_caches(mark)
 
 

@@ -47,20 +47,25 @@ _MAX_TS_CACHE: dict[tuple[str, tuple], datetime.datetime] = {}
 
 
 def _events_fingerprint(sf_dir: str) -> tuple:
-    """Cheap on-disk version of ``events`` (sorted name/mtime/size per
-    file) — a directory LISTING, never a data scan."""
+    """Cheap on-disk version of ``events`` (sorted name/mtime_ns/size
+    per file) — a directory LISTING, never a data scan.  Nanosecond
+    mtime (not whole seconds): a table rewritten within the same
+    second with identical names/sizes must MISS the cache, else
+    ``events_max_ts`` returns a stale max and the sentinel lands too
+    early (the exact watermark-withheld-tail hazard this fingerprint
+    exists to prevent)."""
     import os
 
     path = os.path.join(sf_dir, "events.parquet")
     if os.path.isdir(path):
         entries = sorted(os.listdir(path))
         return tuple(
-            (e, int(os.path.getmtime(os.path.join(path, e))),
-             os.path.getsize(os.path.join(path, e)))
+            (e, os.stat(p).st_mtime_ns, os.stat(p).st_size)
             for e in entries
+            for p in (os.path.join(path, e),)
         )
     st = os.stat(path)
-    return ((os.path.basename(path), int(st.st_mtime), st.st_size),)
+    return ((os.path.basename(path), st.st_mtime_ns, st.st_size),)
 
 
 def events_max_ts(spark: SparkSession, sf_dir: str) -> datetime.datetime:
@@ -109,30 +114,37 @@ def run_streaming_gate(
     # State-store instance count is fixed at stream start from this
     # conf; set it for the stream, restore the caller's value after
     # (leaking 8 into follow-on batch work would silently narrow every
-    # wide shuffle until the next tune()).
+    # wide shuffle until the next tune()).  EVERYTHING after the conf
+    # save — staging, transform(), start(), drains — runs inside the
+    # try, so an exception anywhere still restores the conf and
+    # removes the staged dirs (a leaked 8 would silently narrow every
+    # follow-on wide shuffle; leaked staged dirs accumulate one table
+    # copy per failed gate in a long-lived session).
     prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     dirs: list[str] = []
-    streams: list[DataFrame] = []
-    sentinels: list[DataFrame | None] = []
-    for df, sent in sources:
-        src = tempfile.mkdtemp(prefix=f"{prefix}_")
-        staged = df if sent is None else df.unionByName(sent)
-        staged.write.mode("overwrite").parquet(src)
-        dirs.append(src)
-        sentinels.append(sent)
-        streams.append(
-            spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
-        )
-    result = transform(*streams)
-    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .start()
-    )
+    name: str | None = None
+    q = None
     try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        streams: list[DataFrame] = []
+        sentinels: list[DataFrame | None] = []
+        for df, sent in sources:
+            src = tempfile.mkdtemp(prefix=f"{prefix}_")
+            dirs.append(src)
+            staged = df if sent is None else df.unionByName(sent)
+            staged.write.mode("overwrite").parquet(src)
+            sentinels.append(sent)
+            streams.append(
+                spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+            )
+        result = transform(*streams)
+        name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .start()
+        )
         q.processAllAvailable()
         late = [(s, x) for s, x in zip(dirs, sentinels) if x is not None]
         if late:
@@ -142,23 +154,26 @@ def run_streaming_gate(
             for src, sent in late:
                 _shift_ts_100d(sent).write.mode("append").parquet(src)
             q.processAllAvailable()
-    finally:
         q.stop()
+        q = None
+        # Decouple the result from the gate's resources before
+        # returning: an eager localCheckpoint copies the sink rows into
+        # RDD blocks the ContextCleaner frees when the caller drops the
+        # DataFrame, after which the memory-sink view and the staged
+        # parquet dirs can go immediately — a long-lived session (the
+        # one-JVM 203-query bench, the sf1 stress sweep) accumulates no
+        # staged table copies or pinned result tables.  (The gate is
+        # harness plumbing for the hash-check; result tables are query
+        # outputs, far below corpus scale.)
+        return spark.table(name).localCheckpoint(eager=True)
+    finally:
+        if q is not None:
+            q.stop()
+        if name is not None:
+            spark.catalog.dropTempView(name)
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
-    # Decouple the result from the gate's resources before returning:
-    # an eager localCheckpoint copies the sink rows into RDD blocks the
-    # ContextCleaner frees when the caller drops the DataFrame, after
-    # which the memory-sink view and the staged parquet dirs can go
-    # immediately — a long-lived session (the one-JVM 203-query bench,
-    # the sf1 stress sweep) no longer accumulates one staged table copy
-    # + one pinned result table per streaming-gate execution.  (The
-    # gate is harness plumbing for the hash-check; result tables are
-    # query outputs, far below corpus scale.)
-    result = spark.table(name).localCheckpoint(eager=True)
-    spark.catalog.dropTempView(name)
-    for src in dirs:
-        shutil.rmtree(src, ignore_errors=True)
-    return result
+        for src in dirs:
+            shutil.rmtree(src, ignore_errors=True)
 
 
 def sentinel_row(

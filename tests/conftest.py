@@ -72,21 +72,24 @@ def _norm_cell(v):
 def assert_driver_canonicalizable(rows, cols):
     """Mirror the driver's pandas canonicalization (sort_values +
     hash_pandas_object) over already-collected rows.  Any top-level
-    array/struct output cell makes ``hash_pandas_object`` raise
-    ``TypeError: unhashable type`` — exactly the failure class that
-    made q89/q114 driver-red in round 3 despite correct content.
-    Running it here guarantees no registered query can ship an
-    output the driver cannot hash."""
-    import pandas as pd
+    array/struct output cell makes the driver raise ``TypeError:
+    unhashable type`` — the failure class that made q89/q114
+    driver-red in round 3 (arrays) and q148 in round 5 (BinaryType →
+    bytearray).  The round-5 version of this guard swallowed the
+    sort's TypeError, which is exactly the exception the real driver
+    does NOT catch — so it passed q148.  Shared implementation in
+    ``alpaca_pyspark_spark.canon`` (driver_mimic uses the same code),
+    which rejects container cells with the offending column named and
+    then runs the driver's exact sort+hash with no exception
+    handling."""
+    from alpaca_pyspark_spark.canon import (
+        driver_canon_hash,
+        reject_unhashable_cells,
+    )
 
-    pdf = pd.DataFrame(rows, columns=list(cols))
-    try:
-        pdf = pdf.sort_values(list(cols), ignore_index=True)
-    except TypeError:
-        # mixed-None object sorts differ by pandas version; hashing
-        # below is the part the driver hard-requires
-        pass
-    pd.util.hash_pandas_object(pdf, index=False).sum()
+    rows = list(rows)
+    reject_unhashable_cells(rows, cols)
+    driver_canon_hash(rows, cols)
 
 
 def assert_df_matches_oracle(df, con, sql, *, check_values=True):

@@ -81,6 +81,71 @@ def test_query_boundary_drains_previous_query(spark):
     release_scoped_caches()
 
 
+def test_registered_query_inside_scoped_block_respects_floor(spark):
+    """A registered query's boundary release must NOT drain an
+    enclosing scoped_caches() block's still-live persists (round-5
+    advice: the bare release used to drain the ENTIRE ledger)."""
+    from alpaca_pyspark_spark.queries import QUERIES
+
+    release_scoped_caches()
+    spark.catalog.clearCache()
+    with scoped_caches():
+        outer = scoped_persist(spark.read.parquet(f"{SF_DIR}/nation.parquet"))
+        assert outer.count() == 25
+        # entering a registered query calls release_scoped_caches()
+        # with no mark — it must stop at the scope floor
+        QUERIES["q31_token_count"](spark, SF_DIR).count()
+        assert outer.storageLevel.useMemory, (
+            "query boundary drained the enclosing scope's persist"
+        )
+    assert _cache_manager(spark).isEmpty()
+
+
+def test_streaming_gate_error_path_restores_conf_and_cleans_staging(spark, tmp_path):
+    """An exception inside transform() must still restore
+    spark.sql.shuffle.partitions and remove the staged temp dirs
+    (round-5 advice: the pre-try section leaked both)."""
+    import glob
+
+    from alpaca_pyspark_spark.streaming.gate import run_streaming_gate
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    df = spark.range(3).selectExpr("id", "timestamp'2024-01-01' as ts")
+    marker = "sgate_errtest"
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="boom"):
+        def bad_transform(s):
+            raise RuntimeError("boom")
+
+        run_streaming_gate(
+            spark, [(df, None)], bad_transform, prefix=marker
+        )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    import tempfile
+
+    leaked = glob.glob(f"{tempfile.gettempdir()}/{marker}_*")
+    assert leaked == [], f"staged dirs leaked on error path: {leaked}"
+
+
+def test_events_fingerprint_uses_nanosecond_mtime(tmp_path):
+    """A same-second rewrite with identical names/sizes must change
+    the fingerprint (round-5 advice: whole-second getmtime could
+    return a stale cached max — the watermark-withheld-tail hazard)."""
+    import os
+
+    from alpaca_pyspark_spark.streaming.gate import _events_fingerprint
+
+    p = tmp_path / "events.parquet"
+    p.write_bytes(b"x" * 64)
+    os.utime(p, ns=(1_700_000_000_000_000_000, 1_700_000_000_000_000_000))
+    fp1 = _events_fingerprint(str(tmp_path))
+    # rewrite within the same wall-clock second: +1 microsecond
+    os.utime(p, ns=(1_700_000_000_000_000_000, 1_700_000_000_000_001_000))
+    fp2 = _events_fingerprint(str(tmp_path))
+    assert fp1 != fp2, "same-second rewrite produced an identical fingerprint"
+
+
 def test_streaming_gate_max_ts_memoized(spark):
     """events_max_ts: one scan per (session, sf_dir) — N streaming
     queries must not pay N full event scans for their sentinels."""

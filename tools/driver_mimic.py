@@ -31,6 +31,15 @@ def norm(v):
     if isinstance(v, float):
         return 'NaN' if math.isnan(v) else v
     return v
+
+# The driver's pandas canonicalization, verbatim (shared with the
+# conftest guard so the two local gates cannot drift).  Round 5
+# shipped q148 driver-red because this tool compared repr-sorted
+# collect tuples (bytearray reprs compare fine) while the driver's
+# sort_values raises TypeError on bytearray cells — running the
+# driver's exact path on BOTH sides means the local gate can never
+# diverge from the driver on a type class again.
+from alpaca_pyspark_spark.canon import driver_canon_hash as canon_hash
 qs, osql = m.queries(), m.oracle_sql()
 fail, results = [], {}
 for k in sorted(qs):
@@ -52,15 +61,24 @@ for k in sorted(qs):
                           "hash_match": False, "spark_rows": None,
                           "oracle_rows": None, "err": "schema_mismatch"}
             continue
-        got = sorted([tuple(norm(r[c]) for c in cols) for r in df.collect()], key=repr)
+        got_raw = [tuple(r[c] for c in cols) for r in df.collect()]
         idx = [ec.index(c) for c in cols]
-        want = sorted([tuple(norm(r[i]) for i in idx) for r in exp.fetchall()], key=repr)
-        status = 'MATCH' if got == want else 'MISMATCH'
+        want_raw = [tuple(r[i] for i in idx) for r in exp.fetchall()]
+        # the driver's exact canonicalization path on both sides: an
+        # output type its sort/hash cannot handle must error HERE too
+        spark_canon = canon_hash(got_raw, cols)
+        oracle_canon = canon_hash(want_raw, cols)
+        got = sorted([tuple(norm(v) for v in t) for t in got_raw], key=repr)
+        want = sorted([tuple(norm(v) for v in t) for t in want_raw], key=repr)
+        ok = got == want and spark_canon == oracle_canon
+        status = 'MATCH' if ok else 'MISMATCH'
+        if got == want and spark_canon != oracle_canon:
+            status = 'MISMATCH (values equal by repr but driver canon hashes differ)'
         print(k, status, len(got), 'rows')
         results[k] = {"rows_match": len(got) == len(want), "schema_match": True,
-                      "hash_match": got == want, "spark_rows": len(got),
+                      "hash_match": ok, "spark_rows": len(got),
                       "oracle_rows": len(want), "err": None}
-        if got != want: fail.append(k)
+        if not ok: fail.append(k)
     except Exception as e:  # record, keep going — the artifact must be complete
         print(k, 'ERROR', repr(e)[:200]); fail.append(k)
         results[k] = {"rows_match": None, "schema_match": None,
