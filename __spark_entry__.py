@@ -49,8 +49,15 @@ _SHOWCASE_ORDER = [
     # passages leaves to make room: its n-gram-overlap mining family
     # is repped by q61_contamination_overlap below, and it stays
     # oracle-paired in the registry + local gate)
+    # (late round 6: q191 — the q189 curation ledger executed as a
+    # live ingest stream over batch-trained artifacts, the round's new
+    # flagship — rotates in; q105_lambda_serving leaves: its batch-
+    # train/stream-serve lambda family is exactly the composition q191
+    # exercises end-to-end, and q105 stays oracle-paired in the
+    # registry + local gate)
     "q130_streaming_sessions_executed", "q145_streaming_outer_join_executed",
     "q181_streaming_bars_executed", "q190_streaming_quality_filter",
+    "q191_streaming_curation",
     # LLM dedup / similarity (round 5 rotation: q13_embedding_sim and
     # q12_embedding_dedup_lsh leave the prefix — their families remain
     # represented by q13_embedding_sim_ann (same cosine top-k, ANN
@@ -105,7 +112,7 @@ _SHOWCASE_ORDER = [
     # experiment-statistics family is repped by q129's variance-
     # reduced readout, and q118 stays oracle-paired in the registry +
     # local gate)
-    "q105_lambda_serving", "q116_incremental_view_update",
+    "q116_incremental_view_update",
     "q129_cuped_experiment_readout", "q107_session_paths",
     "q139_exact_group_quantiles", "q45_variant_extract",
     # warehouse / scale

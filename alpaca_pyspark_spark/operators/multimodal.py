@@ -2,7 +2,11 @@
 
 At 100 TB, media sits in parquet as ``binary`` payload columns plus a
 typed metadata struct; decode/resize/frame-sample run as Arrow-batched
-``mapInPandas`` stages so bytes never round-trip row-at-a-time.  The
+map stages so bytes never round-trip row-at-a-time — ``mapInArrow``
+where the kernel consumes raw bytes/numpy directly (frame_sample,
+audio_energy_windows; measured 1.2-1.3x over mapInPandas,
+ARROW_PROBE_r6.json), ``mapInPandas`` where pandas construction is not
+the bottleneck (decode, resize; arrow measured ≤1.0x there).  The
 actual codec work needs libs not present in this container, so the
 codec call itself is STUBBED: ``decode_media`` tries the real library
 imports and otherwise produces a deterministic fake decode — the
@@ -125,9 +129,17 @@ def decode_media(media: DataFrame, *, batch_hint: int = 1024) -> DataFrame:
 
 def frame_sample(media: DataFrame, *, every_n_bytes: int = 64) -> DataFrame:
     """'Video' frame sampling stand-in: slice the payload every N bytes
-    into frame records via a generator mapInPandas (one input row can
-    emit many frame rows — the real fan-out shape of frame extraction).
-    """
+    into frame records via a generator ``mapInArrow`` (one input row
+    can emit many frame rows — the real fan-out shape of frame
+    extraction).
+
+    Arrow, not pandas: the kernel treats cells as raw ``bytes``
+    immediately, so the pandas Series layer was pure conversion
+    overhead — Spark 4's ``mapInArrow`` hands the worker Arrow
+    RecordBatches directly.  Measured 1.26x over the mapInPandas
+    version on a 20x-amplified sf0.1 media table
+    (tools/arrow_probe.py, ARROW_PROBE_r6.json); byte-identical
+    output."""
     schema = StructType(
         [
             StructField("doc_id", LongType()),
@@ -136,23 +148,30 @@ def frame_sample(media: DataFrame, *, every_n_bytes: int = 64) -> DataFrame:
         ]
     )
 
-    def sample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import pandas as pd
+    def sample(batches):
+        import pyarrow as pa
 
-        for pdf in batches:
+        for rb in batches:
             ids, frame_nos, frames = [], [], []
-            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+            for doc_id, content in zip(
+                rb.column(0).to_pylist(), rb.column(1).to_pylist()
+            ):
                 for j, off in enumerate(range(0, len(content), every_n_bytes)):
                     ids.append(doc_id)
                     frame_nos.append(j)
-                    frames.append(bytes(content[off : off + every_n_bytes]))
-            yield pd.DataFrame(
-                {"doc_id": ids, "frame_no": frame_nos, "frame": frames}
+                    frames.append(content[off : off + every_n_bytes])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(frame_nos, pa.int64()),
+                    pa.array(frames, pa.binary()),
+                ],
+                names=["doc_id", "frame_no", "frame"],
             )
 
     return media.filter(F.col("media_type") == "video").select(
         "doc_id", "content"
-    ).mapInPandas(sample, schema)
+    ).mapInArrow(sample, schema)
 
 
 def resize_media(media: DataFrame, *, target_len: int = 16) -> DataFrame:
@@ -162,7 +181,11 @@ def resize_media(media: DataFrame, *, target_len: int = 16) -> DataFrame:
     a real image path would decode W×H and bilinear-sample, occupying
     exactly this Arrow ``mapInPandas`` slot).  Exact integer
     positions, so the stub is SQL-replicable on the ASCII fixture
-    (q18/q122 honest-stub pattern).
+    (q18/q122 honest-stub pattern).  Stays mapInPandas deliberately:
+    the round-6 ``mapInArrow`` probe measured 0.93x (slower) for this
+    operator — its output is mostly small scalar columns where the
+    pandas construction is not the bottleneck (tools/arrow_probe.py,
+    ARROW_PROBE_r6.json).
 
     Returns (doc_id, n_bytes, out_len, resized, resample_checksum);
     ``resized`` is the resampled payload decoded as ASCII."""
@@ -218,8 +241,12 @@ def audio_energy_windows(media: DataFrame, *, window_bytes: int = 32) -> DataFra
     the payload, the shape of any frame-level audio featurizer (RMS /
     mel filterbank): one input row fans out to one row per fixed-size
     sample window, computed vectorized inside an Arrow-batched
-    ``mapInPandas`` stage (numpy square-sum per window — a real
-    featurizer would drop in at exactly this point).
+    ``mapInArrow`` stage (numpy square-sum per window — a real
+    featurizer would drop in at exactly this point; Arrow rather than
+    pandas because the payload goes straight to ``np.frombuffer``, so
+    the Series layer was pure overhead — measured 1.23x in
+    tools/arrow_probe.py / ARROW_PROBE_r6.json, byte-identical
+    output).
 
     Exactness: samples are the raw payload bytes (0–255); per window
     the operator emits the integer sum of squares ``ssq`` and
@@ -236,13 +263,15 @@ def audio_energy_windows(media: DataFrame, *, window_bytes: int = 32) -> DataFra
         ]
     )
 
-    def featurize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    def featurize(batches):
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
 
-        for pdf in batches:
+        for rb in batches:
             ids, wins, ns, ssqs = [], [], [], []
-            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+            for doc_id, content in zip(
+                rb.column(0).to_pylist(), rb.column(1).to_pylist()
+            ):
                 arr = np.frombuffer(content, dtype=np.uint8).astype(np.int64)
                 for w, off in enumerate(range(0, len(arr), window_bytes)):
                     seg = arr[off : off + window_bytes]
@@ -252,18 +281,21 @@ def audio_energy_windows(media: DataFrame, *, window_bytes: int = 32) -> DataFra
                     ssqs.append(int((seg * seg).sum()))
             n = np.asarray(ns, dtype=np.int64)
             ssq = np.asarray(ssqs, dtype=np.int64)
-            yield pd.DataFrame(
-                {
-                    "doc_id": np.asarray(ids, dtype=np.int64),
-                    "window_no": np.asarray(wins, dtype=np.int64),
-                    "n_samples": n,
-                    "ssq": ssq,
-                    "energy_milli": np.where(n > 0, (1000 * ssq) // np.maximum(n, 1), 0),
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.asarray(ids, dtype=np.int64)),
+                    pa.array(np.asarray(wins, dtype=np.int64)),
+                    pa.array(n),
+                    pa.array(ssq),
+                    pa.array(
+                        np.where(n > 0, (1000 * ssq) // np.maximum(n, 1), 0)
+                    ),
+                ],
+                names=["doc_id", "window_no", "n_samples", "ssq", "energy_milli"],
             )
 
     from . import spread
 
     return spread(
         media.filter(F.col("media_type") == "audio").select("doc_id", "content")
-    ).mapInPandas(featurize, schema)
+    ).mapInArrow(featurize, schema)

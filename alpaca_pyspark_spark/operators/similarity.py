@@ -229,7 +229,12 @@ def all_pairs_above_blocked(
     (the classic O(n·B) triangle-join replication — pick
     B ≈ √tasks_wanted).  The quadratic COMPUTE is inherent to the
     exact operator; the scale dial for avoiding it is the LSH-bucketed
-    path, not this."""
+    path, not this.
+
+    Stays ``applyInPandas`` deliberately: the round-6 ``applyInArrow``
+    twin measured only 1.06x (under the 10% conversion bar) — the wall
+    here is the O(n²/B²) BLAS block products, not the pandas
+    conversion (tools/arrow_probe.py, ARROW_PROBE_r6.json)."""
     B = int(num_blocks)
     pair_rows = [
         (i * B + j, i, j) for i in range(B) for j in range(i, B)

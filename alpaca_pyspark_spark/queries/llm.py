@@ -3050,6 +3050,31 @@ FROM scored
 """
 
 
+def _rowlocal_top2(g2):
+    """Top-2-gram occurrence count computed ROW-LOCALLY: sort the
+    doc's own 2-gram array and fold it once (max run length = top
+    2-gram count).  The fold's lambdas touch only their accumulator
+    and element, so nothing upstream re-evaluates per position.  This
+    is the streaming-safe shape of q183's explode + per-(doc, gram)
+    aggregation — zero shuffles, zero state — shared by q190 and q191
+    so the two streaming quality paths cannot drift."""
+    zero = F.lit(0).cast("bigint")
+    one = F.lit(1).cast("bigint")
+    return F.aggregate(
+        F.array_sort(g2),
+        F.struct(F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + one).otherwise(one).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + one).otherwise(one),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+
+
 # ---------------------------------------------------------------- q190
 def q190_streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The q183 Gopher repetition filter EXECUTED AS A LIVE STREAM —
@@ -3082,21 +3107,7 @@ def q190_streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame
         t = tokens(F.col("text"))
         g2 = word_shingles(t, 2)
         g3 = word_shingles(t, 3)
-        zero = F.lit(0).cast("bigint")
-        one = F.lit(1).cast("bigint")
-        top2 = F.aggregate(
-            F.array_sort(g2),
-            F.struct(F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")),
-            lambda acc, x: F.struct(
-                x.alias("prev"),
-                F.when(x == acc["prev"], acc["run"] + one).otherwise(one).alias("run"),
-                F.greatest(
-                    acc["best"],
-                    F.when(x == acc["prev"], acc["run"] + one).otherwise(one),
-                ).alias("best"),
-            ),
-            lambda acc: acc["best"],
-        )
+        top2 = _rowlocal_top2(g2)
         # two chained selects, deliberately: higher-order functions are
         # excluded from subexpression elimination (SPARK-35410), so
         # referencing the sorted fold twice in ONE projection would run
@@ -3139,6 +3150,200 @@ FROM base b
 LEFT JOIN top2 t2 USING (doc_id)
 LEFT JOIN tri tr USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------- q191
+def _q191_artifacts(spark: SparkSession, sf_dir: str):
+    """Batch-train the streaming-ingest artifacts from q189's OWN
+    stage objects (so the two execution modes cannot drift):
+
+    * ``stops`` — the corpus top-20 document-frequency stop tokens
+      (q184's rule), 20 strings → a literal array in the stream plan.
+    * ``canon_fp`` — md5 fingerprint → min-doc_id canonical among
+      stage-1 survivors, eagerly checkpointed so each micro-batch's
+      stream-static join scans materialized blocks instead of
+      re-running the batch stage graph.
+    * ``lm`` — the two DSIR bigram LMs as plain dicts for a Python
+      broadcast: vocab-bounded MODEL artifacts (the same memory class
+      as the batch query's ``F.broadcast(raw_lm)``), not corpus-sized
+      tables.
+    * ``cutoff`` — the (weight, doc_id) of the LAST selected document
+      under the batch top-20% rank (wgt desc, doc_id asc tie-break),
+      so ingest-side selection is the pure row-local predicate
+      ``wgt > w* OR (wgt = w* AND doc_id <= id*)`` — exactly the
+      batch membership, no global rank in the stream.
+    """
+    p = _q189_pipeline(spark, sf_dir)
+    stops = [r["token"] for r in p.stop.collect()]
+    canon_fp = (
+        p.surv1.groupBy(F.md5("text").alias("fp"))
+        .agg(F.min("doc_id").alias("canon_id"))
+        .localCheckpoint(eager=True)
+    )
+    raw_rows = p.raw_lm.collect()
+    raw = {(r["w1"], r["w2"]): (r["pair_r"], r["first_r"]) for r in raw_rows}
+    nbt = raw_rows[0]["n_bigram_types"] if raw_rows else 1
+    tgt = {
+        (r["w1"], r["w2"]): (r["pair_t"], r["first_t"])
+        for r in p.tgt_lm.collect()
+    }
+    ranked = assign_stable_ids(
+        p.weights.withColumn("_neg", -F.col("wgt")),
+        ["_neg", "doc_id"],
+        id_col="_rank",
+        total_col="_n",
+    )
+    last = (
+        ranked.filter(F.col("_rank") * F.lit(5) <= F.col("_n"))
+        .orderBy(F.col("_rank").desc())
+        .limit(1)
+        .collect()
+    )
+    cutoff = (last[0]["wgt"], last[0]["doc_id"]) if last else None
+    return stops, canon_fp, (raw, nbt, tgt), cutoff
+
+
+def q191_streaming_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q189's END-TO-END curation ledger EXECUTED AS A LIVE INGEST
+    STREAM — the round-6 flagship: documents arriving on a stream flow
+    through the SAME composed selection function (Gopher repetition ->
+    corpus stop-word gate -> exact dedup -> DSIR top-20%) and emit the
+    same per-document disposition ledger, hash-gated against q189's
+    batch oracle SQL.
+
+    This is the production lambda shape for corpus curation: the
+    corpus-level statistics are BATCH-TRAINED artifacts (stop set,
+    survivor fingerprint canon, DSIR bigram LMs, selection cutoff —
+    ``_q191_artifacts``, derived from q189's own stage objects), and
+    the stream applies them per arriving document with ZERO stateful
+    operators:
+
+    * repetition + stop-word scores are row-local array folds (q190's
+      pattern; the stop gate intersects the doc's distinct tokens with
+      the 20-token literal) — no explode, no shuffle;
+    * exact dedup is a stream-static LEFT join against the fingerprint
+      canon — per-micro-batch, state-free, the Spark expression of
+      "ingest dedup against the historical corpus index".  (The
+      in-stream alternative, ``dropDuplicatesWithinWatermark``, keeps
+      the FIRST arrival — arrival order under file-source batching is
+      nondeterministic, so it cannot hash-match the batch ledger's
+      min-doc_id canon; the state-free static join both matches
+      exactly and is the shape a 100 TB/day ingest actually uses);
+    * the DSIR importance weight is computed row-locally in ONE Arrow
+      ``mapInPandas`` stage over the broadcast LM dicts (exact integer
+      arithmetic, identical to the batch DIV formula), and selection
+      compares against the broadcast batch cutoff — no global rank,
+      no window, in the stream.
+
+    State: zero entries (no watermark/sentinel needed — every operator
+    is a stateless projection/join, append mode).  The one per-batch
+    exchange is the canon join, proportional to the BATCH, never the
+    corpus."""
+    from ..session import release_scoped_caches
+    from ..streaming.gate import run_streaming_gate
+
+    tune(spark)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    stops, canon_fp, lm_payload, cutoff = _q191_artifacts(spark, sf_dir)
+    # artifacts are materialized (collected / checkpointed): drop the
+    # batch stages' operator persists before the stream starts
+    release_scoped_caches()
+    bc = spark.sparkContext.broadcast(lm_payload)
+    transform = _q191_transform(stops, canon_fp, bc, cutoff)
+    try:
+        return run_streaming_gate(spark, [(docs, None)], transform, prefix="q191")
+    finally:
+        bc.unpersist(blocking=False)
+
+
+def _q191_transform(stops, canon_fp, bc, cutoff):
+    """The stream-side plan builder for q191 (exposed so plan tests
+    can pin the stateless shape on the batch-equivalent input)."""
+
+    out_schema = (
+        "doc_id bigint, lang string, n_tokens bigint, "
+        "rep_keep boolean, stop_keep boolean, fp string, dsir_sel boolean"
+    )
+
+    def dsir_score(batches):
+        import pandas as pd
+
+        raw, nbt, tgt = bc.value
+        cut = cutoff
+        for pdf in batches:
+            sels = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                ts = text.split()
+                num = 0
+                cnt = 0
+                for w1, w2 in zip(ts, ts[1:]):
+                    pr = raw.get((w1, w2))
+                    if pr is None:  # bigram unseen by the survivor LM
+                        continue  # (batch inner join drops it too)
+                    pair_r, first_r = pr
+                    pair_t, first_t = tgt.get((w1, w2), (0, 0))
+                    num += (1000000 * (pair_t + 1) * first_r) // (
+                        (first_t + nbt) * pair_r
+                    )
+                    cnt += 1
+                if cnt == 0 or cut is None:
+                    sels.append(False)
+                else:
+                    wgt = num // cnt
+                    sels.append(
+                        wgt > cut[0] or (wgt == cut[0] and doc_id <= cut[1])
+                    )
+            out = pdf.drop(columns=["text"]).copy()
+            out["dsir_sel"] = pd.Series(sels, dtype="bool", index=pdf.index)
+            yield out
+
+    def transform(stream: DataFrame) -> DataFrame:
+        t = tokens(F.col("text"))
+        g2 = word_shingles(t, 2)
+        g3 = word_shingles(t, 3)
+        stop_arr = F.array(*(F.lit(s) for s in stops))
+        flagged = stream.select(
+            "doc_id",
+            "lang",
+            F.size(t).cast("bigint").alias("n_tokens"),
+            _rowlocal_top2(g2).alias("top2"),
+            F.size(g2).cast("bigint").alias("n2"),
+            F.size(g3).cast("bigint").alias("n3"),
+            (F.size(g3) - F.size(F.array_distinct(g3)))
+            .cast("bigint")
+            .alias("dup3"),
+            F.size(F.array_intersect(F.array_distinct(t), stop_arr)).alias(
+                "stop_types"
+            ),
+            F.md5("text").alias("fp"),
+            "text",
+        ).select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            (
+                (F.lit(5) * F.col("top2") <= F.col("n2"))
+                & (F.lit(10) * F.col("dup3") <= F.lit(3) * F.col("n3"))
+            ).alias("rep_keep"),
+            (F.col("stop_types") >= F.lit(2)).alias("stop_keep"),
+            "fp",
+            "text",
+        )
+        scored = flagged.mapInPandas(dsir_score, out_schema)
+        enriched = scored.join(canon_fp, "fp", "left")
+        return enriched.select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.when(~F.col("rep_keep"), F.lit("drop_repetition"))
+            .when(~F.col("stop_keep"), F.lit("drop_stopword"))
+            .when(F.col("canon_id") != F.col("doc_id"), F.lit("drop_exact_dup"))
+            .when(~F.coalesce(F.col("dsir_sel"), F.lit(False)), F.lit("drop_dsir"))
+            .otherwise(F.lit("keep"))
+            .alias("disposition"),
+        )
+
+    return transform
 
 
 # ---------------------------------------------------------------- q189
@@ -3207,6 +3412,19 @@ def _q189_stages(
     rank that consumes ``weights`` starts with a ``localCheckpoint``,
     which truncates the full query's visible plan (same pattern as
     :func:`_q187_scored`)."""
+    p = _q189_pipeline(spark, sf_dir)
+    return p.flags, p.dedup, p.weights
+
+
+def _q189_pipeline(spark: SparkSession, sf_dir: str):
+    """The full q189 stage graph with every intermediate exposed
+    (SimpleNamespace: flags, stop, surv1, dedup, raw_lm, tgt_lm,
+    weights) — q189 consumes the ledger inputs; q191 trains its
+    streaming-ingest artifacts (stop set, survivor fingerprint canon,
+    DSIR LMs, selection cutoff) from the SAME stage objects so the two
+    execution modes cannot drift."""
+    from types import SimpleNamespace
+
     tune(spark)
     docs = load(spark, sf_dir, "documents")
     t = tokens(F.col("text"))
@@ -3326,7 +3544,15 @@ def _q189_stages(
         )
         .select("doc_id", F.expr("sum_ratio DIV n_trans").alias("wgt"))
     )
-    return flags, dedup, weights
+    return SimpleNamespace(
+        flags=flags,
+        stop=stop,
+        surv1=surv1,
+        dedup=dedup,
+        raw_lm=raw_lm,
+        tgt_lm=tgt_lm,
+        weights=weights,
+    )
 
 
 _Q189_SQL = r"""
@@ -3546,6 +3772,7 @@ QUERIES = {
     "q188_classifier_quality_filter": q188_classifier_quality_filter,
     "q189_curation_pipeline": q189_curation_pipeline,
     "q190_streaming_quality_filter": q190_streaming_quality_filter,
+    "q191_streaming_curation": q191_streaming_curation,
     "q185_temperature_mixture": q185_temperature_mixture,
     "q166_ngram_novelty": q166_ngram_novelty,
     "q168_privacy_audit": q168_privacy_audit,
@@ -3609,6 +3836,8 @@ ORACLE = {
     "q188_classifier_quality_filter": _Q188_SQL,
     "q189_curation_pipeline": _Q189_SQL,
     "q190_streaming_quality_filter": _Q190_SQL,
+    # q191 is q189's ledger executed as a live stream: same oracle
+    "q191_streaming_curation": _Q189_SQL,
     "q166_ngram_novelty": _Q166_SQL,
     "q168_privacy_audit": _Q168_SQL,
     "q169_incremental_dedup": _Q169_SQL,

@@ -521,6 +521,52 @@ def test_q189_pipeline_broadcasts_no_cartesian(spark):
     assert has_whole_stage_codegen(df), plan
 
 
+def test_q191_stream_plan_stateless(spark, tmp_path):
+    """q191's streaming ledger must hold ZERO state: every stage is a
+    row-local projection, a mapInPandas over broadcast LM dicts, or a
+    stream-static join — no stateful streaming operator anywhere, so
+    ingest memory is flat at any corpus size.  Pinned on BOTH the
+    analyzed streaming plan (no stateful node classes) and the
+    batch-equivalent physical plan (map-only scoring, no global
+    window/single-partition exchange)."""
+    from alpaca_pyspark_spark.queries.llm import _q191_artifacts, _q191_transform
+    from alpaca_pyspark_spark.session import release_scoped_caches
+    from alpaca_pyspark_spark.tables import load
+
+    stops, canon_fp, lm, cutoff = _q191_artifacts(spark, SF_DIR)
+    release_scoped_caches()
+    bc = spark.sparkContext.broadcast(lm)
+    try:
+        docs = load(spark, SF_DIR, "documents").select("doc_id", "lang", "text")
+        src = str(tmp_path / "docs")
+        docs.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).parquet(src)
+        out = _q191_transform(stops, canon_fp, bc, cutoff)(stream)
+        assert out.isStreaming
+        logical = out._jdf.queryExecution().analyzed().toString()
+        for stateful in (
+            "Aggregate [",  # grouped agg => state store (the row-local
+            # fold prints lowercase 'aggregate(' — a HOF, not a node)
+            "Deduplicate",
+            "FlatMapGroupsWithState",
+            "TransformWithState",
+            "EventTimeWatermark",
+        ):
+            assert stateful not in logical, (stateful, logical)
+        # batch-equivalent physical plan: Arrow scoring stage present,
+        # no global rank artifacts; the only join is the canon enrich
+        bout = _q191_transform(stops, canon_fp, bc, cutoff)(docs)
+        plan = formatted_plan(bout)
+        assert "MapInPandas" in plan, plan
+        assert "Exchange SinglePartition" not in plan, plan
+        assert "Window" not in plan, plan
+        assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+    finally:
+        bc.unpersist(blocking=False)
+
+
 def test_q121_cusum_single_shuffle(spark):
     df = QUERIES["q121_cusum_changepoint"](spark, SF_DIR)
     # totals window, cumsum window and argmax window all share the
@@ -534,8 +580,9 @@ def test_q122_audio_featurizer_map_only(spark):
     plan = formatted_plan(df)
     # Arrow-batched fan-out inside the Python worker: the only
     # exchange is the spread() round-robin repartition (no hash
-    # shuffle, no join); featurizer runs via mapInPandas
-    assert "MapInPandas" in plan, plan
+    # shuffle, no join); featurizer runs via mapInArrow (round 6:
+    # pandas layer dropped, measured 1.23x — ARROW_PROBE_r6.json)
+    assert "MapInArrow" in plan, plan
     assert "hashpartitioning" not in plan, plan
 
 
@@ -650,9 +697,11 @@ def test_q147_cc_edges_built_once(spark):
 def test_q148_frame_fanout_is_arrow_generator(spark):
     df = QUERIES["q148_frame_sampling"](spark, SF_DIR)
     plan = formatted_plan(df)
-    # 1->N frame expansion happens inside mapInPandas (Arrow batches),
-    # never a per-row Python UDF, and nothing shuffles
-    assert "MapInPandas" in plan, plan
+    # 1->N frame expansion happens inside mapInArrow (round 6: raw
+    # RecordBatches, no pandas layer — measured 1.26x,
+    # ARROW_PROBE_r6.json), never a per-row Python UDF, and nothing
+    # shuffles
+    assert "MapInArrow" in plan, plan
     assert count_shuffles(df) == 0, plan
 
 

@@ -27,8 +27,14 @@ def main() -> None:
     os.environ.setdefault("SPARK_DRIVER_MEM", "8g")
 
     from alpaca_pyspark_spark.queries import QUERIES
-    from alpaca_pyspark_spark.session import get_spark, release_scoped_caches
+    from alpaca_pyspark_spark.session import get_spark
     from alpaca_pyspark_spark.tables import TABLE_NAMES, load
+
+    try:  # the scoped-cache ledger arrived in round 5; older refs lack it
+        from alpaca_pyspark_spark.session import release_scoped_caches
+    except ImportError:
+        def release_scoped_caches():
+            return 0
 
     spark = get_spark("ab-probe")
     spark.sparkContext.setLogLevel("ERROR")

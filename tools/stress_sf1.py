@@ -60,6 +60,10 @@ QUERIES_UNDER_TEST = [
     "q188_classifier_quality_filter",
     "q189_curation_pipeline",
     "q190_streaming_quality_filter",
+    # round 6: the fixed frame fan-out and the streaming curation
+    # flagship get measured decade rows too
+    "q148_frame_sampling",
+    "q191_streaming_curation",
 ]
 
 
