@@ -20,6 +20,20 @@ from typing import Iterable, Sequence
 #: cell types the driver's sort/hash path cannot handle; rejected
 #: explicitly (with the offending column named) before the pandas
 #: traceback would fire, so failures are diagnosable.
+#:
+#: DELIBERATELY CONSERVATIVE, wider than "what makes the driver
+#: raise": ``bytes`` and ``tuple`` are pandas-hashable and sortable,
+#: so the driver's sort_values + hash_pandas_object would *succeed*
+#: on them — but the comparison could not be trusted.  Spark collects
+#: BinaryType as ``bytearray`` and StructType as ``Row`` (a tuple
+#: subclass) while the DuckDB oracle yields ``bytes`` / ``dict`` for
+#: the same logical values, so the two sides hash different Python
+#: objects and match only by accident; plain ``bytes``/``tuple`` cells
+#: can't even arise from a Spark ``collect()``, only from a
+#: hand-built fixture.  Rejecting the whole container class keeps the
+#: rule teachable (scalars or strings, nothing else) at the cost of
+#: occasionally demanding a projection the driver would technically
+#: survive.
 DRIVER_UNHASHABLE_CELLS = (bytearray, bytes, memoryview, list, dict, set, tuple)
 
 

@@ -3266,14 +3266,22 @@ def _q191_transform(stops, canon_fp, bc, cutoff):
     )
 
     def dsir_score(batches):
+        import re
+
         import pandas as pd
 
+        # EXACTLY the batch path's token class: tokens() splits on Java
+        # \s+ = [ \t\n\x0B\f\r] (ASCII), as does the DuckDB oracle's
+        # regexp_extract_all('\S+').  Python str.split() would also
+        # split on Unicode whitespace (\xa0, \x85, \u2028, \x1c-\x1f),
+        # yielding different bigrams and a divergent DSIR disposition.
+        ascii_tok = re.compile(r"[^ \t\n\x0b\f\r]+")
         raw, nbt, tgt = bc.value
         cut = cutoff
         for pdf in batches:
             sels = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                ts = text.split()
+                ts = ascii_tok.findall(text)
                 num = 0
                 cnt = 0
                 for w1, w2 in zip(ts, ts[1:]):

@@ -59,10 +59,14 @@ def _events_fingerprint(sf_dir: str) -> tuple:
     path = os.path.join(sf_dir, "events.parquet")
     if os.path.isdir(path):
         entries = sorted(os.listdir(path))
+        # ONE stat per entry: two stats could straddle a concurrent
+        # rewrite and pair one version's mtime with another's size — a
+        # fingerprint matching neither state, i.e. the stale-cache
+        # window this function exists to close.
         return tuple(
-            (e, os.stat(p).st_mtime_ns, os.stat(p).st_size)
+            (e, st.st_mtime_ns, st.st_size)
             for e in entries
-            for p in (os.path.join(path, e),)
+            for st in (os.stat(os.path.join(path, e)),)
         )
     st = os.stat(path)
     return ((os.path.basename(path), st.st_mtime_ns, st.st_size),)
@@ -167,11 +171,24 @@ def run_streaming_gate(
         # outputs, far below corpus scale.)
         return spark.table(name).localCheckpoint(eager=True)
     finally:
+        # Each cleanup step is independent; none may mask the others.
+        # If q.stop() raises (session already stopped, stream in a
+        # terminal error), the conf restore and staged-dir rmtree must
+        # still run — leaking them is exactly what this block prevents.
         if q is not None:
-            q.stop()
+            try:
+                q.stop()
+            except Exception:
+                pass
         if name is not None:
-            spark.catalog.dropTempView(name)
-        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+            try:
+                spark.catalog.dropTempView(name)
+            except Exception:
+                pass
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        except Exception:
+            pass
         for src in dirs:
             shutil.rmtree(src, ignore_errors=True)
 

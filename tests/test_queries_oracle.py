@@ -98,3 +98,47 @@ def test_curation_invariants_top20_selects(spark, assert_no_cache_residue):
     for qid in ("q187_dsir_importance", "q188_classifier_quality_filter"):
         rows = QUERIES[qid](spark, SF_DIR).collect()
         assert sum(r["selected"] for r in rows) == len(rows) // 5, qid
+
+
+def test_q191_dsir_score_uses_ascii_whitespace_class(spark):
+    """The stream-side dsir_score tokenizer must use the SAME ASCII
+    whitespace class as tokens() (Java ``\\s`` = ``[ \\t\\n\\x0B\\f\\r]``)
+    and the DuckDB oracle's ``regexp_extract_all('\\S+')``.  Python
+    ``str.split()`` would also split on Unicode whitespace (\\xa0,
+    \\u2028, \\x85): a document whose only LM-known bigram spans a
+    \\xa0 would lose its DSIR weight and flip disposition vs the q189
+    batch oracle.  Fixture: one doc whose ASCII-class bigram IS in the
+    LM (must keep) and one whose bigram exists ONLY under Unicode
+    splitting (must drop_dsir)."""
+    from pyspark.sql import functions as F
+
+    from alpaca_pyspark_spark.queries.llm import _q191_transform
+
+    docs = spark.createDataFrame(
+        [
+            # ASCII tokens: [alpha\xa0beta, gamma, one..five] — the
+            # LM bigram (alpha\xa0beta, gamma) only exists if \xa0 is
+            # NOT treated as a token separator
+            (1, "en", "alpha\xa0beta gamma one two three four five"),
+            # ASCII tokens: [alpha, beta(U+2028)gamma, one..five] — the
+            # LM bigram (beta, gamma) exists ONLY under Unicode
+            # splitting; ASCII tokenization must score cnt=0
+            (2, "en", "alpha beta\u2028gamma one two three four five"),
+        ],
+        "doc_id bigint, lang string, text string",
+    )
+    canon = docs.select(
+        F.md5("text").alias("fp"), F.col("doc_id").alias("canon_id")
+    )
+    lm = {("alpha\xa0beta", "gamma"): (1, 1), ("beta", "gamma"): (1, 1)}
+    bc = spark.sparkContext.broadcast((lm, 1, dict(lm)))
+    try:
+        out = {
+            r["doc_id"]: r["disposition"]
+            for r in _q191_transform(["one", "two"], canon, bc, (1, 0))(
+                docs
+            ).collect()
+        }
+    finally:
+        bc.unpersist(blocking=False)
+    assert out == {1: "keep", 2: "drop_dsir"}
