@@ -55,8 +55,13 @@ _SHOWCASE_ORDER = [
     # train/stream-serve lambda family is exactly the composition q191
     # exercises end-to-end, and q105 stays oracle-paired in the
     # registry + local gate)
+    # (round 7 rotation: q131 streaming dedup executed — never
+    # driver-graded, the in-stream dropDuplicates state family —
+    # rotates in; q190 leaves: its repetition-fold quality gate runs
+    # verbatim as q191's first stage, and q190 stays oracle-paired in
+    # the registry + local gate)
     "q130_streaming_sessions_executed", "q145_streaming_outer_join_executed",
-    "q181_streaming_bars_executed", "q190_streaming_quality_filter",
+    "q181_streaming_bars_executed", "q131_streaming_dedup_executed",
     "q191_streaming_curation",
     # LLM dedup / similarity (round 5 rotation: q13_embedding_sim and
     # q12_embedding_dedup_lsh leave the prefix — their families remain
@@ -99,14 +104,23 @@ _SHOWCASE_ORDER = [
     "q37_deterministic_sample", "q38_sequence_packing",
     # search / graph (q92_cluster_representatives rotated out round 5
     # — clustering family repped by q33/q177; stays in the local gate)
-    "q89_inverted_index", "q90_bm25_topk", "q91_pagerank_suppliers",
+    # (round 7: q192 hybrid lexical+dense retrieval with RRF fusion —
+    # the round's new flagship — rotates in; q90_bm25_topk leaves:
+    # the ranked-lexical-retrieval family is repped by q192's fused
+    # lexical branch, and q90 stays oracle-paired in the registry +
+    # local gate)
+    "q89_inverted_index", "q192_hybrid_retrieval", "q91_pagerank_suppliers",
     "q123_bpe_train",
     "q120_domain_distinctive_tokens",
     # mining
     "q121_cusum_changepoint",
-    # TPC-H shapes
+    # TPC-H shapes (round 7: q100_market_share leaves — the
+    # multi-join share-of-total family is repped by q82/q110 below
+    # and q83 in the local gate; q40's bucketed KEYLESS range join —
+    # never driver-graded, the no-equi-key interval family beyond
+    # q03's keyed interval join — rotates in)
     "q84_pricing_summary", "q82_sole_late_shipper",
-    "q110_cheapest_supplier", "q100_market_share",
+    "q110_cheapest_supplier", "q40_range_join_no_key",
     # advanced analytics (round 6: q129 CUPED experiment readout —
     # never driver-graded — rotates in; q118_chi_square leaves: the
     # experiment-statistics family is repped by q129's variance-
@@ -115,8 +129,15 @@ _SHOWCASE_ORDER = [
     "q116_incremental_view_update",
     "q129_cuped_experiment_readout", "q107_session_paths",
     "q139_exact_group_quantiles", "q45_variant_extract",
-    # warehouse / scale
-    "q60_scd2_history", "q34_salted_heavy_hitters",
+    # warehouse / scale (round 7: q60_scd2_history leaves — the
+    # slowly-changing-history family is repped by q161's CDC
+    # merge-upsert, which builds the same validity-interval history
+    # from a change stream; q34_salted_heavy_hitters leaves — the
+    # skew-salting family is repped by q155's salted join, the
+    # harder two-sided variant; both stay oracle-paired in the
+    # registry + local gate.  q161 and q155 have never been
+    # driver-graded)
+    "q161_cdc_merge_upsert", "q155_salted_skew_join",
     "q150_partitioned_roundtrip",
     # multimodal (round 5: q180 media-resize — the decode/feature/
     # resize/frame-sample plumbing completer — rotates in)

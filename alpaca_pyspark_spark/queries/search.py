@@ -994,6 +994,167 @@ def q157_frequent_tokens_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- q192
+#: RRF constant (Cormack et al. 2009's k=60), candidate depth per
+#: retrieval system, and fused output depth.
+_RRF_K = 60
+_HY_CAND = 50
+_HY_OUT = 10
+
+
+def q192_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+dense retrieval with reciprocal-rank fusion —
+    the round-7 flagship: for each query document (doc_id < 4), rank
+    the corpus twice — lexically by distinct-token Jaccard overlap
+    and densely by embedding cosine — take each system's top-50
+    candidates, and fuse with RRF
+    ``score = Σ_systems 1_000_000 DIV (60 + rank)`` (Cormack et al.,
+    SIGIR 2009), emitting the fused top-10 per query.  This is the
+    standard first stage of a RAG / hard-negative-mining stack: no
+    single ranker's score scale has to be calibrated because fusion
+    consumes only RANKS, which also makes the whole query exactly
+    integer-reproducible end to end (the one float — cosine — is used
+    purely for ordering, the regime q13 already proves bit-identical
+    across engines).
+
+    Scale shape: the lexical branch broadcasts the |Q| query token
+    sets over the corpus (BroadcastNestedLoopJoin on a 4-row side —
+    map-side scoring, the corpus never shuffles to score) and the
+    dense branch is the q13 Arrow kernel (query block rides in the
+    UDF closure, corpus partitions score locally).  Both branches end
+    in a per-query top-k window over |corpus|x|Q| scalar candidate
+    rows — the documented local-to-cluster swap (SCALE.md: replace
+    with per-partition heap top-k + re-rank of P*k survivors when |Q|
+    is small enough to skew the rank exchange).  Fusion itself is a
+    tiny shuffled full-outer join over two |Q|x50-row candidate lists
+    (Spark cannot broadcast full_outer) — trivially flat at any
+    corpus size."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import brute_force_topk_arrow
+
+    tune(spark)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tk = docs.select(
+        "doc_id",
+        F.array_distinct(tokens(F.lower(F.col("text")))).alias("toks"),
+    )
+    qk = tk.filter(F.col("doc_id") < 4).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("toks").alias("qt"),
+        F.size("toks").cast("bigint").alias("qn"),
+    )
+    lex_scored = (
+        tk.join(F.broadcast(qk), F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("doc_id").alias("item_id"),
+            F.size(F.array_intersect("toks", "qt")).cast("bigint").alias("inter"),
+            (F.size("toks").cast("bigint") + F.col("qn")).alias("sz"),
+        )
+        .filter(F.col("inter") > 0)
+        # Jaccard = inter/(|A|+|B|-inter) as an exact micro-unit
+        # rational; ranking ties broken by item_id in both engines
+        .select(
+            "query_id",
+            "item_id",
+            F.expr("(1000000 * inter) DIV (sz - inter)").alias("score_micro"),
+        )
+    )
+    wl = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("item_id").asc()
+    )
+    lex = (
+        lex_scored.withColumn("lex_rank", F.row_number().over(wl).cast("long"))
+        .filter(F.col("lex_rank") <= _HY_CAND)
+        .select("query_id", "item_id", "lex_rank")
+    )
+    emb = load(spark, sf_dir, "embeddings")
+    dense = brute_force_topk_arrow(
+        emb,
+        emb.filter(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ),
+        id_col="vec_id",
+        vec_col="embedding",
+        query_id="query_id",
+        k=_HY_CAND,
+    ).select("query_id", F.col("vec_id").alias("item_id"), F.col("rank").alias("dense_rank"))
+    fused = lex.join(dense, ["query_id", "item_id"], "full_outer").select(
+        "query_id",
+        "item_id",
+        (
+            F.coalesce(F.expr(f"1000000 DIV ({_RRF_K} + lex_rank)"), F.lit(0))
+            + F.coalesce(F.expr(f"1000000 DIV ({_RRF_K} + dense_rank)"), F.lit(0))
+        ).cast("bigint").alias("rrf_micro"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_micro").desc(), F.col("item_id").asc()
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf).cast("long"))
+        .filter(F.col("fused_rank") <= _HY_OUT)
+        .select("query_id", "item_id", "fused_rank", "rrf_micro")
+        .orderBy("query_id", "fused_rank")
+    )
+
+
+_Q192_SQL = rf"""
+WITH tk AS (
+  SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '\S+')) AS toks
+  FROM documents
+),
+q AS (SELECT doc_id AS query_id, toks AS qt FROM tk WHERE doc_id < 4),
+lexs AS (
+  SELECT q.query_id, c.doc_id AS item_id,
+         CAST(len(list_intersect(c.toks, q.qt)) AS BIGINT) AS inter,
+         CAST(len(c.toks) + len(q.qt) AS BIGINT) AS sz
+  FROM q, tk c
+  WHERE c.doc_id <> q.query_id
+),
+lexr AS (
+  SELECT query_id, item_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY (1000000 * inter) // (sz - inter) DESC, item_id
+         ) AS BIGINT) AS lex_rank
+  FROM lexs WHERE inter > 0
+  QUALIFY lex_rank <= {_HY_CAND}
+),
+E AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+dens AS (
+  SELECT qe.vec_id AS query_id, c.vec_id AS item_id,
+         list_cosine_similarity(qe.v, c.v) AS cos_sim
+  FROM E qe JOIN E c ON c.vec_id <> qe.vec_id
+  WHERE qe.vec_id < 4
+),
+denr AS (
+  SELECT query_id, item_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY cos_sim DESC, item_id
+         ) AS BIGINT) AS dense_rank
+  FROM dens
+  QUALIFY dense_rank <= {_HY_CAND}
+),
+fused AS (
+  SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+         COALESCE(l.item_id, d.item_id) AS item_id,
+         CAST(COALESCE(1000000 // ({_RRF_K} + l.lex_rank), 0)
+            + COALESCE(1000000 // ({_RRF_K} + d.dense_rank), 0) AS BIGINT) AS rrf_micro
+  FROM lexr l
+  FULL OUTER JOIN denr d
+    ON l.query_id = d.query_id AND l.item_id = d.item_id
+)
+SELECT query_id, item_id,
+       CAST(row_number() OVER (
+         PARTITION BY query_id ORDER BY rrf_micro DESC, item_id
+       ) AS BIGINT) AS fused_rank,
+       rrf_micro
+FROM fused
+QUALIFY fused_rank <= {_HY_OUT}
+"""
+
+
 QUERIES = {
     "q170_bpe_encode": q170_bpe_encode,
     "q178_corpus_tokenize": q178_corpus_tokenize,
@@ -1002,6 +1163,7 @@ QUERIES = {
     "q137_collocation_lift": q137_collocation_lift,
     "q157_frequent_tokens_sketch": q157_frequent_tokens_sketch,
     "q90_bm25_topk": q90_bm25_topk,
+    "q192_hybrid_retrieval": q192_hybrid_retrieval,
     "q91_pagerank_suppliers": q91_pagerank_suppliers,
     "q92_cluster_representatives": q92_cluster_representatives,
     "q93_bpe_merge_pairs": q93_bpe_merge_pairs,
@@ -1017,6 +1179,7 @@ ORACLE = {
     "q89_inverted_index": _Q89_SQL,
     "q137_collocation_lift": _Q137_SQL,
     "q90_bm25_topk": _Q90_SQL,
+    "q192_hybrid_retrieval": _Q192_SQL,
     "q91_pagerank_suppliers": _Q91_SQL,
     "q92_cluster_representatives": _Q92_SQL,
     "q93_bpe_merge_pairs": _Q93_SQL,

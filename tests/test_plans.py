@@ -754,3 +754,18 @@ def test_q152_delay_quantiles_partition_by_day(spark):
     # the selection windows hash-partition on the day key — the
     # quantile sort is distributed, no single-partition global window
     assert "partitioning: [day" in plan or "hashpartitioning(day" in plan, plan
+
+
+def test_q192_hybrid_retrieval_plan(spark):
+    """q192: the |Q|-row query token sets ride a broadcast (corpus
+    scores map-side, never shuffles to score), both rank windows get
+    per-partition WindowGroupLimit pruning (the rank exchange moves
+    <= partitions*k candidate rows, not |corpus|x|Q|), and the dense
+    branch runs the Arrow kernel."""
+    df = QUERIES["q192_hybrid_retrieval"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert count_broadcasts(df) >= 1, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("WindowGroupLimit") >= 4, plan
+    assert "MapInPandas" in plan, plan

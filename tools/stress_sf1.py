@@ -64,6 +64,8 @@ QUERIES_UNDER_TEST = [
     # flagship get measured decade rows too
     "q148_frame_sampling",
     "q191_streaming_curation",
+    # round 7: hybrid lexical+dense retrieval with RRF fusion
+    "q192_hybrid_retrieval",
 ]
 
 
