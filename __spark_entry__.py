@@ -76,7 +76,13 @@ _SHOWCASE_ORDER = [
     # kernel family repped by q177_semdedup, which drives the same
     # all_pairs_above_blocked kernel; both stay oracle-paired in the
     # registry + local gate)
-    "q12_text_dedup_portable", "q169_incremental_dedup",
+    # (round 7: q193 — the q169 ingest gate EXECUTED AS A LIVE STREAM
+    # against a batch-built corpus LSH index, zero state — rotates in;
+    # q12_text_dedup_portable leaves: the portable banded-MinHash-LSH
+    # family runs verbatim inside q193's index build + candidate
+    # pipeline, and q12 stays oracle-paired in the registry + local
+    # gate)
+    "q193_streaming_ingest_neardup", "q169_incremental_dedup",
     "q164_containment_dedup",
     "q33_near_dup_components_lsh",
     "q163_setsim_prefix_join",

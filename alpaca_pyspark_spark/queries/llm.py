@@ -31,7 +31,7 @@ from ..operators.ids import assign_stable_ids
 from ..operators.multimodal import audio_energy_windows, decode_media, synthesize_media
 from ..operators.similarity import brute_force_topk_arrow, lsh_topk
 from ..operators.text import with_fingerprint, with_lang_id, with_text_stats
-from ..functions import char_ngrams, tokens, word_shingles
+from ..functions import char_ngrams, jaccard, tokens, word_shingles
 from ..session import scoped_persist, tune
 from ..tables import load
 
@@ -2143,6 +2143,301 @@ SELECT new_id, old_id, jaccard_sim FROM verified WHERE jaccard_sim >= 0.2
 _Q169_SQL = _incremental_portable_sql()
 
 
+# ---------------------------------------------------------------- q193
+def _q193_artifacts(spark: SparkSession, sf_dir: str):
+    """Batch-build the ingest near-dup INDEX from the corpus side
+    (``doc_id % 5 != 0``), the artifact a production crawl pipeline
+    maintains incrementally:
+
+    * ``index`` — one row per surviving (corpus doc × LSH band):
+      ``(band, k1..k4, old_id, sig_o, okb)``.  Buckets with more than
+      1000 corpus members are dropped AT INDEX BUILD (the stream-side
+      guard has to live here: a stateless stream cannot count bucket
+      membership).  ``okb`` is the doc's 16-slot surviving-band mask —
+      the stream's first-matching-band pair dedup must skip bands
+      whose bucket was pruned, or a pair whose earliest sig-matching
+      band is a pruned one would be dropped entirely.
+    * ``sh_o`` — old_id → distinct 3-shingle set, for the exact-Jaccard
+      verify join.
+
+    Both are eagerly checkpointed (q191's pattern) so each micro-batch
+    joins materialized blocks instead of re-running the batch stages."""
+    from ..operators.dedup import minhash_signatures, shingle_sets
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    sig_o = minhash_signatures(
+        corpus, id_col="doc_id", text_col="text", shingle_k=3,
+        num_hashes=64, portable=True,
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                *[
+                    F.col("sig").getItem(b * 4 + r).alias(f"k{r + 1}")
+                    for r in range(4)
+                ],
+            )
+            for b in range(16)
+        ]
+    )
+    brows = sig_o.select(
+        F.col("doc_id").alias("old_id"), F.col("sig").alias("sig_o"),
+        F.explode(bands).alias("bb"),
+    ).select("old_id", "sig_o", "bb.band", "bb.k1", "bb.k2", "bb.k3", "bb.k4")
+    ok = (
+        brows.groupBy("band", "k1", "k2", "k3", "k4")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") <= 1000)
+        .drop("__n")
+    )
+    surv = brows.join(ok, ["band", "k1", "k2", "k3", "k4"], "left_semi")
+    mask = (
+        surv.groupBy("old_id")
+        .agg(F.collect_set("band").alias("__bs"))
+        .select(
+            "old_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(15)),
+                lambda b: F.exists("__bs", lambda x: x == b).cast("int"),
+            ).alias("okb"),
+        )
+    )
+    index = surv.join(mask, "old_id").localCheckpoint(eager=True)
+    sh_o = (
+        shingle_sets(corpus, id_col="doc_id", text_col="text", shingle_k=3)
+        .select(F.col("doc_id").alias("old_id"), F.col("shingles").alias("sh_o"))
+        .localCheckpoint(eager=True)
+    )
+    return index, sh_o
+
+
+def _q193_transform(index: DataFrame, sh_o: DataFrame):
+    """The stream-side plan builder for q193 (exposed for the
+    stateless plan pin on the batch-equivalent input).
+
+    Statelessness costs one known trade: the MinHash signature is
+    computed ROW-LOCALLY (64 ``array_min(transform(...))`` interpreted
+    lambdas over the shingle-hash array) instead of the batch
+    operator's explode + map-combinable min aggregation — the form
+    ``minhash_signatures``'s docstring measured ~3x slower per doc.
+    In the stream that form would be a stateful Aggregate; paying the
+    constant on DELTA-sized batches buys zero state entries and zero
+    in-stream shuffles before the index join."""
+    from ..operators.dedup import (
+        MERSENNE_P,
+        minhash_family_coeffs,
+        portable_hash60,
+    )
+
+    coeffs = minhash_family_coeffs(64)
+    p = F.lit(MERSENNE_P)
+
+    def transform(stream: DataFrame) -> DataFrame:
+        shingles = F.array_distinct(word_shingles(tokens(F.col("text")), 3))
+        base = (
+            stream.select(F.col("doc_id").alias("new_id"), shingles.alias("sh_n"))
+            .filter(F.size("sh_n") > 0)
+            .withColumn(
+                "__hs",
+                F.transform("sh_n", lambda s: F.pmod(portable_hash60(s), p)),
+            )
+            .withColumn(
+                "sig_n",
+                F.array(
+                    *[
+                        F.array_min(
+                            F.transform(
+                                "__hs",
+                                lambda h: F.pmod(h * F.lit(a) + F.lit(b), p),
+                            )
+                        )
+                        for a, b in coeffs
+                    ]
+                ),
+            )
+            .drop("__hs")
+        )
+        nbands = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    *[
+                        F.col("sig_n").getItem(b * 4 + r).alias(f"k{r + 1}")
+                        for r in range(4)
+                    ],
+                )
+                for b in range(16)
+            ]
+        )
+        exploded = base.select(
+            "new_id", "sh_n", "sig_n", F.explode(nbands).alias("bb")
+        ).select(
+            "new_id", "sh_n", "sig_n",
+            "bb.band", "bb.k1", "bb.k2", "bb.k3", "bb.k4",
+        )
+        cand = exploded.join(index, ["band", "k1", "k2", "k3", "k4"])
+        # first-matching-band wins: a (new, old) pair colliding in
+        # several surviving buckets is kept only at the SMALLEST
+        # surviving band whose 4-slot signature slices agree — a pure
+        # row-local predicate replacing the batch pipeline's DISTINCT
+        # (which would be a stateful dedup in a stream)
+        def _band_matches(b):
+            eq = F.lit(True)
+            for r in range(4):
+                eq = eq & (
+                    F.element_at("sig_n", b * 4 + r + 1)
+                    == F.element_at("sig_o", b * 4 + r + 1)
+                )
+            return eq & (F.element_at("okb", b + 1) == 1)
+
+        matches = F.filter(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda b: _band_matches(b),
+        )
+        first = cand.filter(F.col("band") == F.array_min(matches))
+        verified = first.join(sh_o, "old_id").select(
+            "new_id",
+            "old_id",
+            jaccard(F.col("sh_n"), F.col("sh_o")).alias("jaccard_sim"),
+        )
+        return verified.filter(F.col("jaccard_sim") >= 0.2).select(
+            "new_id", "old_id", "jaccard_sim"
+        )
+
+    return transform
+
+
+def q193_streaming_ingest_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q169's delta-vs-corpus NEAR-dup gate EXECUTED AS A LIVE INGEST
+    STREAM — the round-7 streaming flagship: new documents
+    (``doc_id % 5 = 0``) arrive on a stream and are checked against a
+    batch-built corpus LSH index with ZERO stateful operators, the
+    ingest shape a 100 TB/day crawl actually runs (nobody re-LSHes
+    the corpus per snapshot; they maintain the band index and gate
+    the delta against it).
+
+    Stateless decomposition of the batch pipeline
+    (``operators/dedup.py::incremental_minhash_dedup``):
+
+    * signature + banding are row-local HOFs (see ``_q193_transform``
+      for the measured trade vs the batch aggregation form);
+    * the bucket-size guard moves to INDEX BUILD (corpus-side counts;
+      a stateless stream cannot count bucket membership) — so this
+      query's own oracle guards on corpus bucket size, where q169's
+      batch guard counts the union;
+    * candidate pairing is the stream-static equi-join against the
+      checkpointed index — per-micro-batch, proportional to the
+      delta's band rows × matching buckets, never the corpus;
+    * pair dedup (the batch DISTINCT) becomes the row-local
+      first-matching-band predicate over the two full signatures and
+      the old doc's surviving-band mask — provably the same pair SET:
+      every oracle pair has >= 1 surviving sig-matching band and is
+      kept exactly at the smallest one;
+    * exact-Jaccard verify is a second stream-static join against the
+      checkpointed corpus shingle table.
+
+    State: zero entries, append mode, no watermark/sentinel.  The
+    portable md5 hash family means the DuckDB oracle replays the
+    ENTIRE pipeline (signatures, bands, corpus-side guard, pair set,
+    verify) bit-exactly — the streaming execution is hash-gated, not
+    rows-only.  (Complement, not twin, of
+    ``streaming/neardup.py::streaming_lsh_candidates``: that operator
+    finds collisions WITHIN the stream using watermarked state; this
+    one gates the stream against the historical corpus with no state
+    at all.)"""
+    from ..session import release_scoped_caches
+    from ..streaming.gate import run_streaming_gate
+
+    tune(spark)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    index, sh_o = _q193_artifacts(spark, sf_dir)
+    # both artifacts are eagerly-checkpointed copies: drop the batch
+    # stages' operator persists before the stream starts (q191 hygiene)
+    release_scoped_caches()
+    delta = docs.filter(F.col("doc_id") % 5 == 0)
+    transform = _q193_transform(index, sh_o)
+    return run_streaming_gate(spark, [(delta, None)], transform, prefix="q193")
+
+
+def _q193_sql(num_hashes: int = 64, num_bands: int = 16) -> str:
+    """Oracle: the full portable pipeline replayed in SQL with the
+    corpus-side bucket guard (this query's semantic; q169 guards the
+    union) and DISTINCT pair semantics (set-equal to the stream's
+    first-matching-band predicate)."""
+    from ..operators.dedup import MERSENNE_P, minhash_family_coeffs
+
+    coeffs = minhash_family_coeffs(num_hashes)
+    p = MERSENNE_P
+    mins = ",\n         ".join(
+        f"min((hm * {a} + {b}) % {p}) AS m{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    rpb = num_hashes // num_bands
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, {ks} FROM sig".format(
+            b=b,
+            ks=", ".join(f"m{b * rpb + r} AS k{r + 1}" for r in range(rpb)),
+        )
+        for b in range(num_bands)
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, len(toks) - 1),
+           i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])
+         )) AS shingles
+  FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents)
+  WHERE len(toks) >= 3
+),
+ex AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(s.s), 1, 15)) AS BIGINT) % {p} AS hm
+  FROM docs, UNNEST(shingles) AS s(s)
+),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM ex GROUP BY doc_id
+),
+bands AS (
+{band_selects}
+),
+okc AS (
+  SELECT band, k1, k2, k3, k4
+  FROM bands WHERE doc_id % 5 <> 0
+  GROUP BY 1, 2, 3, 4, 5
+  HAVING count(*) <= 1000
+),
+bo AS (
+  SELECT b.* FROM (SELECT * FROM bands WHERE doc_id % 5 <> 0) b
+  SEMI JOIN okc USING (band, k1, k2, k3, k4)
+),
+bn AS (SELECT * FROM bands WHERE doc_id % 5 = 0),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+  FROM bn n JOIN bo o USING (band, k1, k2, k3, k4)
+),
+verified AS (
+  SELECT new_id, old_id,
+         CASE WHEN len(list_distinct(list_concat(dn.shingles, do_.shingles))) = 0
+              THEN 0.0
+              ELSE CAST(len(list_intersect(dn.shingles, do_.shingles)) AS DOUBLE)
+                   / CAST(len(list_distinct(list_concat(dn.shingles, do_.shingles)))
+                          AS DOUBLE)
+         END AS jaccard_sim
+  FROM cand
+  JOIN docs dn ON dn.doc_id = cand.new_id
+  JOIN docs do_ ON do_.doc_id = cand.old_id
+)
+SELECT new_id, old_id, jaccard_sim FROM verified WHERE jaccard_sim >= 0.2
+"""
+
+
+_Q193_SQL = _q193_sql()
+
+
 # ---------------------------------------------------------------- q166
 def q166_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document n-gram novelty curve: the fraction of a document's
@@ -3785,6 +4080,7 @@ QUERIES = {
     "q166_ngram_novelty": q166_ngram_novelty,
     "q168_privacy_audit": q168_privacy_audit,
     "q169_incremental_dedup": q169_incremental_dedup,
+    "q193_streaming_ingest_neardup": q193_streaming_ingest_neardup,
     "q171_matryoshka_audit": q171_matryoshka_audit,
     "q173_dataset_card": q173_dataset_card,
     "q174_template_prefixes": q174_template_prefixes,
@@ -3849,6 +4145,7 @@ ORACLE = {
     "q166_ngram_novelty": _Q166_SQL,
     "q168_privacy_audit": _Q168_SQL,
     "q169_incremental_dedup": _Q169_SQL,
+    "q193_streaming_ingest_neardup": _Q193_SQL,
     "q171_matryoshka_audit": _Q171_SQL,
     "q173_dataset_card": _Q173_SQL,
     "q174_template_prefixes": _Q174_SQL,

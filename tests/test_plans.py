@@ -769,3 +769,78 @@ def test_q192_hybrid_retrieval_plan(spark):
     assert "CartesianProduct" not in plan, plan
     assert plan.count("WindowGroupLimit") >= 4, plan
     assert "MapInPandas" in plan, plan
+
+
+def test_q193_stream_plan_stateless(spark, tmp_path):
+    """q193's ingest near-dup gate must hold ZERO state: row-local
+    signature/banding HOFs, two stream-static joins against the
+    checkpointed index/shingle artifacts, and the first-matching-band
+    predicate instead of a stateful DISTINCT.  Pinned on the analyzed
+    streaming plan (no stateful node classes)."""
+    from pyspark.sql import functions as F
+
+    from alpaca_pyspark_spark.queries.llm import _q193_artifacts, _q193_transform
+    from alpaca_pyspark_spark.session import release_scoped_caches
+    from alpaca_pyspark_spark.tables import load
+
+    index, sh_o = _q193_artifacts(spark, SF_DIR)
+    release_scoped_caches()
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    delta = docs.filter(F.col("doc_id") % 5 == 0)
+    src = str(tmp_path / "delta")
+    delta.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    out = _q193_transform(index, sh_o)(stream)
+    assert out.isStreaming
+    logical = out._jdf.queryExecution().analyzed().toString()
+    for stateful in (
+        "Aggregate [",
+        "Deduplicate",
+        "FlatMapGroupsWithState",
+        "TransformWithState",
+        "EventTimeWatermark",
+    ):
+        assert stateful not in logical, (stateful, logical)
+    # batch-equivalent physical plan: no cartesian blowup, no window
+    bout = _q193_transform(index, sh_o)(delta)
+    plan = formatted_plan(bout)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_q193_first_band_predicate_respects_pruned_buckets(spark):
+    """The first-matching-band pair dedup must skip bands whose corpus
+    bucket was PRUNED at index build: with band 0 removed from the
+    index and masked out in okb, an identical-doc pair (all 16 bands
+    sig-matching) must still surface EXACTLY ONCE (at band 1).  A
+    maskless min-matching-band predicate would compute first=0, find
+    no band-0 row, and silently drop the pair."""
+    from pyspark.sql import functions as F
+
+    from alpaca_pyspark_spark.queries.llm import _q193_artifacts, _q193_transform
+    from alpaca_pyspark_spark.session import release_scoped_caches
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(1, text), (5, text)], "doc_id bigint, text string"
+    )
+    import alpaca_pyspark_spark.queries.llm as llm
+
+    orig = llm.load
+    try:
+        llm.load = lambda sp, sf, name: docs  # the artifacts read 'documents'
+        index, sh_o = _q193_artifacts(spark, "unused")
+    finally:
+        llm.load = orig
+    release_scoped_caches()
+    pruned = index.filter(F.col("band") != 0).withColumn(
+        "okb", F.concat(F.array(F.lit(0)), F.slice("okb", 2, 15))
+    )
+    out = _q193_transform(pruned, sh_o)(docs.filter(F.col("doc_id") % 5 == 0))
+    rows = out.collect()
+    assert [(r["new_id"], r["old_id"], r["jaccard_sim"]) for r in rows] == [
+        (5, 1, 1.0)
+    ], rows
+    # and with the full index the pair still appears exactly once
+    out2 = _q193_transform(index, sh_o)(docs.filter(F.col("doc_id") % 5 == 0))
+    assert out2.count() == 1

@@ -64,8 +64,10 @@ QUERIES_UNDER_TEST = [
     # flagship get measured decade rows too
     "q148_frame_sampling",
     "q191_streaming_curation",
-    # round 7: hybrid lexical+dense retrieval with RRF fusion
+    # round 7: hybrid lexical+dense retrieval with RRF fusion, and
+    # the streaming delta-vs-corpus near-dup ingest gate
     "q192_hybrid_retrieval",
+    "q193_streaming_ingest_neardup",
 ]
 
 
