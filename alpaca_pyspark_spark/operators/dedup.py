@@ -93,6 +93,31 @@ def drop_exact_duplicates(
 
 
 # ----------------------------------------------------------- minhash
+def band_key_structs(
+    sig_col: Column, *, num_bands: int = 16, rows_per_band: int = 4
+) -> Column:
+    """``array<struct<band, k1..k{rpb}>>``: one raw-key struct per LSH
+    band over a signature array — the exploded form both the q193
+    index build and its stream-side twin band on (shared here so the
+    banding layout can never skew between the two).  Raw signature
+    slots (not a hashed bucket) so an external SQL oracle can replay
+    the keys bit-exactly; ``incremental_minhash_dedup``'s internal
+    ``band_cols`` keeps its own single-bucket-column shape (struct or
+    xxhash64) for the generic grouped pipeline."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                *[
+                    sig_col.getItem(b * rows_per_band + r).alias(f"k{r + 1}")
+                    for r in range(rows_per_band)
+                ],
+            )
+            for b in range(num_bands)
+        ]
+    )
+
+
 def shingle_sets(
     df: DataFrame,
     *,

@@ -2149,20 +2149,28 @@ def _q193_artifacts(spark: SparkSession, sf_dir: str):
     (``doc_id % 5 != 0``), the artifact a production crawl pipeline
     maintains incrementally:
 
-    * ``index`` — one row per surviving (corpus doc × LSH band):
-      ``(band, k1..k4, old_id, sig_o, okb)``.  Buckets with more than
-      1000 corpus members are dropped AT INDEX BUILD (the stream-side
-      guard has to live here: a stateless stream cannot count bucket
-      membership).  ``okb`` is the doc's 16-slot surviving-band mask —
-      the stream's first-matching-band pair dedup must skip bands
-      whose bucket was pruned, or a pair whose earliest sig-matching
-      band is a pruned one would be dropped entirely.
-    * ``sh_o`` — old_id → distinct 3-shingle set, for the exact-Jaccard
-      verify join.
+    * ``index`` — one SLIM row per surviving (corpus doc × LSH band):
+      ``(band, k1..k4, old_id)``.  Buckets with more than 1000 corpus
+      members are dropped AT INDEX BUILD (the stream-side guard has to
+      live here: a stateless stream cannot count bucket membership).
+      The per-doc payloads deliberately do NOT ride the band rows —
+      that would store them 16x per doc and shuffle the blowup through
+      every micro-batch join.
+    * ``docinfo`` — ONE row per indexed corpus doc:
+      ``(old_id, sig_o, okb, sh_o)`` — the full signature (for the
+      first-matching-band predicate), the 16-slot surviving-band mask
+      (the predicate must skip bands whose bucket was pruned, or a
+      pair whose earliest sig-matching band is a pruned one would be
+      dropped entirely), and the distinct 3-shingle set (exact-Jaccard
+      verify).
 
     Both are eagerly checkpointed (q191's pattern) so each micro-batch
     joins materialized blocks instead of re-running the batch stages."""
-    from ..operators.dedup import minhash_signatures, shingle_sets
+    from ..operators.dedup import (
+        band_key_structs,
+        minhash_signatures,
+        shingle_sets,
+    )
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
@@ -2170,22 +2178,10 @@ def _q193_artifacts(spark: SparkSession, sf_dir: str):
         corpus, id_col="doc_id", text_col="text", shingle_k=3,
         num_hashes=64, portable=True,
     )
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                *[
-                    F.col("sig").getItem(b * 4 + r).alias(f"k{r + 1}")
-                    for r in range(4)
-                ],
-            )
-            for b in range(16)
-        ]
-    )
     brows = sig_o.select(
-        F.col("doc_id").alias("old_id"), F.col("sig").alias("sig_o"),
-        F.explode(bands).alias("bb"),
-    ).select("old_id", "sig_o", "bb.band", "bb.k1", "bb.k2", "bb.k3", "bb.k4")
+        F.col("doc_id").alias("old_id"),
+        F.explode(band_key_structs(F.col("sig"))).alias("bb"),
+    ).select("old_id", "bb.band", "bb.k1", "bb.k2", "bb.k3", "bb.k4")
     ok = (
         brows.groupBy("band", "k1", "k2", "k3", "k4")
         .agg(F.count(F.lit(1)).alias("__n"))
@@ -2193,6 +2189,7 @@ def _q193_artifacts(spark: SparkSession, sf_dir: str):
         .drop("__n")
     )
     surv = brows.join(ok, ["band", "k1", "k2", "k3", "k4"], "left_semi")
+    index = surv.localCheckpoint(eager=True)
     mask = (
         surv.groupBy("old_id")
         .agg(F.collect_set("band").alias("__bs"))
@@ -2204,16 +2201,19 @@ def _q193_artifacts(spark: SparkSession, sf_dir: str):
             ).alias("okb"),
         )
     )
-    index = surv.join(mask, "old_id").localCheckpoint(eager=True)
-    sh_o = (
-        shingle_sets(corpus, id_col="doc_id", text_col="text", shingle_k=3)
-        .select(F.col("doc_id").alias("old_id"), F.col("shingles").alias("sh_o"))
+    sh_o = shingle_sets(
+        corpus, id_col="doc_id", text_col="text", shingle_k=3
+    ).select(F.col("doc_id").alias("old_id"), F.col("shingles").alias("sh_o"))
+    docinfo = (
+        sig_o.select(F.col("doc_id").alias("old_id"), F.col("sig").alias("sig_o"))
+        .join(mask, "old_id")
+        .join(sh_o, "old_id")
         .localCheckpoint(eager=True)
     )
-    return index, sh_o
+    return index, docinfo
 
 
-def _q193_transform(index: DataFrame, sh_o: DataFrame):
+def _q193_transform(index: DataFrame, docinfo: DataFrame):
     """The stream-side plan builder for q193 (exposed for the
     stateless plan pin on the batch-equivalent input).
 
@@ -2227,6 +2227,7 @@ def _q193_transform(index: DataFrame, sh_o: DataFrame):
     in-stream shuffles before the index join."""
     from ..operators.dedup import (
         MERSENNE_P,
+        band_key_structs,
         minhash_family_coeffs,
         portable_hash60,
     )
@@ -2259,25 +2260,16 @@ def _q193_transform(index: DataFrame, sh_o: DataFrame):
             )
             .drop("__hs")
         )
-        nbands = F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    *[
-                        F.col("sig_n").getItem(b * 4 + r).alias(f"k{r + 1}")
-                        for r in range(4)
-                    ],
-                )
-                for b in range(16)
-            ]
-        )
         exploded = base.select(
-            "new_id", "sh_n", "sig_n", F.explode(nbands).alias("bb")
+            "new_id", "sh_n", "sig_n",
+            F.explode(band_key_structs(F.col("sig_n"))).alias("bb"),
         ).select(
             "new_id", "sh_n", "sig_n",
             "bb.band", "bb.k1", "bb.k2", "bb.k3", "bb.k4",
         )
-        cand = exploded.join(index, ["band", "k1", "k2", "k3", "k4"])
+        cand = exploded.join(index, ["band", "k1", "k2", "k3", "k4"]).join(
+            docinfo, "old_id"
+        )
         # first-matching-band wins: a (new, old) pair colliding in
         # several surviving buckets is kept only at the SMALLEST
         # surviving band whose 4-slot signature slices agree — a pure
@@ -2297,7 +2289,7 @@ def _q193_transform(index: DataFrame, sh_o: DataFrame):
             lambda b: _band_matches(b),
         )
         first = cand.filter(F.col("band") == F.array_min(matches))
-        verified = first.join(sh_o, "old_id").select(
+        verified = first.select(
             "new_id",
             "old_id",
             jaccard(F.col("sh_n"), F.col("sh_o")).alias("jaccard_sim"),
@@ -2328,15 +2320,18 @@ def q193_streaming_ingest_neardup(spark: SparkSession, sf_dir: str) -> DataFrame
       query's own oracle guards on corpus bucket size, where q169's
       batch guard counts the union;
     * candidate pairing is the stream-static equi-join against the
-      checkpointed index — per-micro-batch, proportional to the
-      delta's band rows × matching buckets, never the corpus;
+      checkpointed SLIM band index — per-micro-batch, proportional to
+      the delta's band rows × matching buckets, never the corpus —
+      followed by one doc-keyed join that attaches each matched old
+      doc's payload (signature, surviving-band mask, shingle set)
+      exactly once per candidate;
     * pair dedup (the batch DISTINCT) becomes the row-local
       first-matching-band predicate over the two full signatures and
       the old doc's surviving-band mask — provably the same pair SET:
       every oracle pair has >= 1 surviving sig-matching band and is
       kept exactly at the smallest one;
-    * exact-Jaccard verify is a second stream-static join against the
-      checkpointed corpus shingle table.
+    * exact-Jaccard verify is row-local over the shingle sets already
+      on the candidate row.
 
     State: zero entries, append mode, no watermark/sentinel.  The
     portable md5 hash family means the DuckDB oracle replays the
@@ -2352,12 +2347,14 @@ def q193_streaming_ingest_neardup(spark: SparkSession, sf_dir: str) -> DataFrame
 
     tune(spark)
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    index, sh_o = _q193_artifacts(spark, sf_dir)
-    # both artifacts are eagerly-checkpointed copies: drop the batch
-    # stages' operator persists before the stream starts (q191 hygiene)
+    index, docinfo = _q193_artifacts(spark, sf_dir)
+    # defensive boundary before the stream starts: the artifact build
+    # registers no scoped persists TODAY (both artifacts are eager
+    # checkpoints), but a future persisting operator in the build path
+    # must not stay cached underneath a running stream
     release_scoped_caches()
     delta = docs.filter(F.col("doc_id") % 5 == 0)
-    transform = _q193_transform(index, sh_o)
+    transform = _q193_transform(index, docinfo)
     return run_streaming_gate(spark, [(delta, None)], transform, prefix="q193")
 
 
@@ -2365,7 +2362,11 @@ def _q193_sql(num_hashes: int = 64, num_bands: int = 16) -> str:
     """Oracle: the full portable pipeline replayed in SQL with the
     corpus-side bucket guard (this query's semantic; q169 guards the
     union) and DISTINCT pair semantics (set-equal to the stream's
-    first-matching-band predicate)."""
+    first-matching-band predicate).  Genuinely parametric: the
+    guard/join key lists are derived from rows-per-band, so a
+    non-default num_bands cannot silently under-constrain the bucket
+    (the Spark side's 64/16/4 lives in ``band_key_structs`` defaults —
+    change BOTH or the gate catches the skew)."""
     from ..operators.dedup import MERSENNE_P, minhash_family_coeffs
 
     coeffs = minhash_family_coeffs(num_hashes)
@@ -2374,6 +2375,7 @@ def _q193_sql(num_hashes: int = 64, num_bands: int = 16) -> str:
         f"min((hm * {a} + {b}) % {p}) AS m{i}" for i, (a, b) in enumerate(coeffs)
     )
     rpb = num_hashes // num_bands
+    keys = ", ".join(f"k{r + 1}" for r in range(rpb))
     band_selects = "\n  UNION ALL\n".join(
         "  SELECT doc_id, {b} AS band, {ks} FROM sig".format(
             b=b,
@@ -2405,19 +2407,19 @@ bands AS (
 {band_selects}
 ),
 okc AS (
-  SELECT band, k1, k2, k3, k4
+  SELECT band, {keys}
   FROM bands WHERE doc_id % 5 <> 0
-  GROUP BY 1, 2, 3, 4, 5
+  GROUP BY ALL
   HAVING count(*) <= 1000
 ),
 bo AS (
   SELECT b.* FROM (SELECT * FROM bands WHERE doc_id % 5 <> 0) b
-  SEMI JOIN okc USING (band, k1, k2, k3, k4)
+  SEMI JOIN okc USING (band, {keys})
 ),
 bn AS (SELECT * FROM bands WHERE doc_id % 5 = 0),
 cand AS (
   SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
-  FROM bn n JOIN bo o USING (band, k1, k2, k3, k4)
+  FROM bn n JOIN bo o USING (band, {keys})
 ),
 verified AS (
   SELECT new_id, old_id,

@@ -783,14 +783,13 @@ def test_q193_stream_plan_stateless(spark, tmp_path):
     from alpaca_pyspark_spark.session import release_scoped_caches
     from alpaca_pyspark_spark.tables import load
 
-    index, sh_o = _q193_artifacts(spark, SF_DIR)
-    release_scoped_caches()
+    index, docinfo = _q193_artifacts(spark, SF_DIR)
     docs = load(spark, SF_DIR, "documents").select("doc_id", "text")
     delta = docs.filter(F.col("doc_id") % 5 == 0)
     src = str(tmp_path / "delta")
     delta.write.mode("overwrite").parquet(src)
     stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
-    out = _q193_transform(index, sh_o)(stream)
+    out = _q193_transform(index, docinfo)(stream)
     assert out.isStreaming
     logical = out._jdf.queryExecution().analyzed().toString()
     for stateful in (
@@ -802,7 +801,7 @@ def test_q193_stream_plan_stateless(spark, tmp_path):
     ):
         assert stateful not in logical, (stateful, logical)
     # batch-equivalent physical plan: no cartesian blowup, no window
-    bout = _q193_transform(index, sh_o)(delta)
+    bout = _q193_transform(index, docinfo)(delta)
     plan = formatted_plan(bout)
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
     assert "Window" not in plan, plan
@@ -829,18 +828,18 @@ def test_q193_first_band_predicate_respects_pruned_buckets(spark):
     orig = llm.load
     try:
         llm.load = lambda sp, sf, name: docs  # the artifacts read 'documents'
-        index, sh_o = _q193_artifacts(spark, "unused")
+        index, docinfo = _q193_artifacts(spark, "unused")
     finally:
         llm.load = orig
-    release_scoped_caches()
-    pruned = index.filter(F.col("band") != 0).withColumn(
+    pruned_index = index.filter(F.col("band") != 0)
+    pruned_info = docinfo.withColumn(
         "okb", F.concat(F.array(F.lit(0)), F.slice("okb", 2, 15))
     )
-    out = _q193_transform(pruned, sh_o)(docs.filter(F.col("doc_id") % 5 == 0))
+    delta = docs.filter(F.col("doc_id") % 5 == 0)
+    out = _q193_transform(pruned_index, pruned_info)(delta)
     rows = out.collect()
     assert [(r["new_id"], r["old_id"], r["jaccard_sim"]) for r in rows] == [
         (5, 1, 1.0)
     ], rows
     # and with the full index the pair still appears exactly once
-    out2 = _q193_transform(index, sh_o)(docs.filter(F.col("doc_id") % 5 == 0))
-    assert out2.count() == 1
+    assert _q193_transform(index, docinfo)(delta).count() == 1
