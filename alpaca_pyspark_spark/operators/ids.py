@@ -38,6 +38,8 @@ def assign_stable_ids(
     id_col: str = "row_id",
     num_partitions: int = 32,
     total_col: str | None = None,
+    weight_col: str | None = None,
+    cumsum_col: str | None = None,
 ) -> DataFrame:
     """Add ``id_col`` = 1-based global rank of the row under
     ``ORDER BY order_cols`` (which must be a total order — include a
@@ -49,9 +51,25 @@ def assign_stable_ids(
     count job for free, so top-share selections (``rank * K <=
     total``) need no extra single-partition count window.  Descending
     order on an integer key: negate the key into a helper column
-    (exact for BIGINT) and rank on that."""
+    (exact for BIGINT) and rank on that.
+
+    ``cumsum_col`` (optional, requires ``weight_col``, an integer
+    column) additionally attaches the EXCLUSIVE global prefix sum of
+    ``weight_col`` under the same order — the distributed prefix-sum:
+    per-partition weight totals ride the same tiny driver aggregation
+    as the counts, and the map stage adds offset + running local sum.
+    This is how budget-constrained selections ("take rows in quality
+    order until N tokens") avoid the single-partition cumsum window —
+    bit-identical to ``sum(w) OVER (ORDER BY ... ROWS UNBOUNDED
+    PRECEDING AND 1 PRECEDING)`` for any total order."""
+    if (cumsum_col is None) != (weight_col is None):
+        raise ValueError(
+            "assign_stable_ids: weight_col and cumsum_col go together"
+        )
     taken = set(df.columns)
-    clash = {c for c in (id_col, total_col) if c is not None and c in taken}
+    clash = {
+        c for c in (id_col, total_col, cumsum_col) if c is not None and c in taken
+    }
     if clash:
         raise ValueError(
             f"assign_stable_ids: output column(s) {sorted(clash)} already "
@@ -70,33 +88,49 @@ def assign_stable_ids(
     # partitions have no lineage to recompute from, so on a cluster
     # with executor churn swap to reliable checkpoint()/persist(DISK).
     parts = parts.localCheckpoint(eager=False)
-    sizes = {
-        r["pid"]: r["n"]
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if weight_col is not None:
+        aggs.append(F.sum(weight_col).cast("long").alias("w"))
+    stats = {
+        r["pid"]: r
         for r in parts.groupBy(F.spark_partition_id().alias("pid"))
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(*aggs)
         .collect()
     }
     offsets, acc = {}, 0
+    woffsets, wacc = {}, 0
     for pid in range(num_partitions):
         offsets[pid] = acc
-        acc += sizes.get(pid, 0)
+        acc += stats[pid]["n"] if pid in stats else 0
+        if weight_col is not None:
+            woffsets[pid] = wacc
+            if pid in stats:
+                wacc += stats[pid]["w"] or 0
 
     total = acc
     extra = [StructField(id_col, LongType())]
     if total_col is not None:
         extra.append(StructField(total_col, LongType()))
+    if cumsum_col is not None:
+        extra.append(StructField(cumsum_col, LongType()))
     out_schema = StructType(list(parts.schema.fields) + extra)
 
     def number(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         from pyspark import TaskContext
 
-        start = offsets[TaskContext.get().partitionId()]
+        pid = TaskContext.get().partitionId()
+        start = offsets[pid]
+        wstart = woffsets.get(pid, 0)
         seen = 0
         for pdf in batches:
             pdf = pdf.copy()
             pdf[id_col] = range(start + seen + 1, start + seen + 1 + len(pdf))
             if total_col is not None:
                 pdf[total_col] = total
+            if cumsum_col is not None:
+                w = pdf[weight_col].astype("int64")
+                pdf[cumsum_col] = wstart + w.cumsum() - w
+                wstart += int(w.sum())
             seen += len(pdf)
             yield pdf
 

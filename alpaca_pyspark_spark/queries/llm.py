@@ -2440,6 +2440,208 @@ SELECT new_id, old_id, jaccard_sim FROM verified WHERE jaccard_sim >= 0.2
 _Q193_SQL = _q193_sql()
 
 
+# ---------------------------------------------------------------- q194
+def q194_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget-constrained corpus selection: the MAXIMAL PREFIX
+    of the quality order whose documents fit a fixed training-token
+    budget whole — the selection a pretraining run actually makes
+    ("the best B tokens", not "the best K documents").  Prefix, not
+    skip-and-continue greedy: ``cum_before`` counts ALL
+    strictly-better documents, so the first overflow ends the
+    selection — a deliberate choice (skipping one long document to
+    admit lower-quality short ones changes the mix the quality
+    ordering promised).
+
+    Budget B = total corpus tokens DIV 5.  Quality is the integer
+    lexical-diversity score ``(1e6 * distinct_tokens) DIV n_tokens``;
+    order is (quality desc, doc_id asc), and a document is selected
+    iff the tokens of all strictly-better documents plus its own fit:
+    ``cum_before + n_tokens <= B``.
+
+    Scale shape: the cumulative token count is the classic
+    single-partition-window trap (``sum(n_tokens) OVER (ORDER BY ...)``
+    plans ONE task sorting the corpus).  Here it rides the
+    DISTRIBUTED prefix-sum added to ``assign_stable_ids``: a range
+    partition + within-partition sort, one |partitions|-row driver
+    aggregation for the per-partition token totals, and a map-only
+    Arrow stage adds offset + running local sum — bit-identical to
+    the window for any total order (doc_id tie-break), no
+    single-partition exchange anywhere.  The budget scalar is one
+    aggregated row broadcast back over the corpus."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    t = tokens(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        F.size(t).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(t)).cast("bigint").alias("__nd"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.when(F.col("n_tokens") == 0, F.lit(0).cast("bigint"))
+        .otherwise(F.expr("(1000000 * __nd) DIV n_tokens"))
+        .alias("quality_micro"),
+    )
+    budget = scored.agg(
+        F.expr("sum(n_tokens) DIV 5").cast("long").alias("budget")
+    )
+    ranked = assign_stable_ids(
+        scored.withColumn("__negq", -F.col("quality_micro")),
+        ["__negq", "doc_id"],
+        id_col="__rank",
+        weight_col="n_tokens",
+        cumsum_col="cum_before",
+    )
+    return (
+        ranked.crossJoin(F.broadcast(budget))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "quality_micro",
+            "cum_before",
+            (F.col("cum_before") + F.col("n_tokens") <= F.col("budget"))
+            .cast("bigint")
+            .alias("selected"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- q195
+def q195_coverage_quota_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage-constrained corpus selection: every source keeps its
+    top-3 documents (the FLOOR — no source disappears from the mix),
+    then the remaining budget up to K = N DIV 5 total documents is
+    filled by global quality order over the non-floor docs.  This is
+    the mix-floor selection a multilingual/multi-source pretraining
+    run makes so minority sources survive a global quality cut
+    (pure top-K would drop them entirely).
+
+    Disposition per document: ``floor`` (source top-3), ``fill``
+    (global fill rank within the remaining budget), ``out``.
+
+    Scale shape: the floor rank is a per-SOURCE window (thousands of
+    partitions — no single-partition exchange); the global fill rank
+    over non-floor docs rides the distributed range-partition rank
+    (``assign_stable_ids``); the two scalars (corpus size, floor
+    count) are one aggregated row broadcast back over the corpus."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    t = tokens(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.size(t).cast("bigint").alias("__nt"),
+        F.size(F.array_distinct(t)).cast("bigint").alias("__nd"),
+    ).select(
+        "doc_id",
+        "source",
+        F.when(F.col("__nt") == 0, F.lit(0).cast("bigint"))
+        .otherwise(F.expr("(1000000 * __nd) DIV __nt"))
+        .alias("quality_micro"),
+    )
+    ws = Window.partitionBy("source").orderBy(
+        F.col("quality_micro").desc(), F.col("doc_id").asc()
+    )
+    flagged = scored.withColumn("__rs", F.row_number().over(ws)).transform(
+        scoped_persist
+    )
+    totals = flagged.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum((F.col("__rs") <= 3).cast("bigint")).alias("__floor_cnt"),
+    )
+    fill_ranked = assign_stable_ids(
+        flagged.filter(F.col("__rs") > 3).withColumn(
+            "__negq", -F.col("quality_micro")
+        ),
+        ["__negq", "doc_id"],
+        id_col="__rg",
+    ).select("doc_id", "__rg")
+    return (
+        flagged.join(fill_ranked, "doc_id", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            "source",
+            "quality_micro",
+            F.when(F.col("__rs") <= 3, F.lit("floor"))
+            .when(
+                F.col("__rg") <= F.expr("__n DIV 5") - F.col("__floor_cnt"),
+                F.lit("fill"),
+            )
+            .otherwise(F.lit("out"))
+            .alias("disposition"),
+        )
+    )
+
+
+_Q195_SQL = r"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS nt,
+         CAST(len(list_distinct(regexp_extract_all(text, '\S+'))) AS BIGINT)
+           AS nd
+  FROM documents
+),
+s AS (
+  SELECT doc_id, source,
+         CASE WHEN nt = 0 THEN 0 ELSE (1000000 * nd) // nt END
+           AS quality_micro
+  FROM t
+),
+f AS (
+  SELECT doc_id, source, quality_micro,
+         row_number() OVER (
+           PARTITION BY source ORDER BY quality_micro DESC, doc_id
+         ) AS rs
+  FROM s
+),
+n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN rs <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS floor_cnt
+  FROM f
+),
+g AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY quality_micro DESC, doc_id) AS rg
+  FROM f WHERE rs > 3
+)
+SELECT f.doc_id, f.source, f.quality_micro,
+       CASE WHEN f.rs <= 3 THEN 'floor'
+            WHEN g.rg <= n.n_docs // 5 - n.floor_cnt THEN 'fill'
+            ELSE 'out' END AS disposition
+FROM f LEFT JOIN g ON g.doc_id = f.doc_id CROSS JOIN n
+"""
+
+
+_Q194_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(regexp_extract_all(text, '\S+'))) AS BIGINT)
+           AS n_distinct
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN n_tokens = 0 THEN 0
+              ELSE (1000000 * n_distinct) // n_tokens END AS quality_micro
+  FROM t
+),
+b AS (SELECT CAST(sum(n_tokens) // 5 AS BIGINT) AS budget FROM s),
+c AS (
+  SELECT doc_id, n_tokens, quality_micro,
+         CAST(COALESCE(sum(n_tokens) OVER (
+           ORDER BY quality_micro DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS cum_before
+  FROM s
+)
+SELECT c.doc_id, c.n_tokens, c.quality_micro, c.cum_before,
+       CAST(c.cum_before + c.n_tokens <= b.budget AS BIGINT) AS selected
+FROM c, b
+"""
+
+
 # ---------------------------------------------------------------- q166
 def q166_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document n-gram novelty curve: the fraction of a document's
@@ -4083,6 +4285,8 @@ QUERIES = {
     "q168_privacy_audit": q168_privacy_audit,
     "q169_incremental_dedup": q169_incremental_dedup,
     "q193_streaming_ingest_neardup": q193_streaming_ingest_neardup,
+    "q194_token_budget_selection": q194_token_budget_selection,
+    "q195_coverage_quota_selection": q195_coverage_quota_selection,
     "q171_matryoshka_audit": q171_matryoshka_audit,
     "q173_dataset_card": q173_dataset_card,
     "q174_template_prefixes": q174_template_prefixes,
@@ -4148,6 +4352,8 @@ ORACLE = {
     "q168_privacy_audit": _Q168_SQL,
     "q169_incremental_dedup": _Q169_SQL,
     "q193_streaming_ingest_neardup": _Q193_SQL,
+    "q194_token_budget_selection": _Q194_SQL,
+    "q195_coverage_quota_selection": _Q195_SQL,
     "q171_matryoshka_audit": _Q171_SQL,
     "q173_dataset_card": _Q173_SQL,
     "q174_template_prefixes": _Q174_SQL,

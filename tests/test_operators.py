@@ -1046,3 +1046,55 @@ def test_rendezvous_rebalance_moves_only_to_added_shards(spark):
             assert r["new_shard"] in (8, 9), r
         else:
             assert r["old_shard"] == r["new_shard"], r
+
+
+def test_assign_stable_ids_distributed_prefix_sum(spark):
+    """cumsum_col must equal the single-partition window
+    ``sum(w) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING AND
+    1 PRECEDING)`` bit-for-bit at any partition count — the q194
+    budget-selection contract."""
+    from pyspark.sql import Window
+
+    from alpaca_pyspark_spark.operators.ids import assign_stable_ids
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    w = Window.orderBy("n_chars", "doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    want = {
+        r["doc_id"]: r["cb"]
+        for r in docs.select(
+            "doc_id",
+            F.coalesce(F.sum("n_chars").over(w), F.lit(0)).alias("cb"),
+        ).collect()
+    }
+    for n_parts in (3, 32):
+        got = {
+            r["doc_id"]: r["cum_before"]
+            for r in assign_stable_ids(
+                docs,
+                ["n_chars", "doc_id"],
+                num_partitions=n_parts,
+                weight_col="n_chars",
+                cumsum_col="cum_before",
+            ).collect()
+        }
+        assert got == want, f"prefix sum diverged at num_partitions={n_parts}"
+
+
+def test_assign_stable_ids_cumsum_requires_weight(spark):
+    import pytest
+
+    from alpaca_pyspark_spark.operators.ids import assign_stable_ids
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    with pytest.raises(ValueError, match="go together"):
+        assign_stable_ids(docs, ["doc_id"], cumsum_col="cb")
+    with pytest.raises(ValueError, match="already"):
+        assign_stable_ids(
+            docs, ["doc_id"], weight_col="n_chars", cumsum_col="n_chars"
+        )

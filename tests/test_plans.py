@@ -843,3 +843,26 @@ def test_q193_first_band_predicate_respects_pruned_buckets(spark):
     ], rows
     # and with the full index the pair still appears exactly once
     assert _q193_transform(index, docinfo)(delta).count() == 1
+
+
+def test_q194_budget_selection_plan_distributed(spark):
+    """q194's cumulative token count must ride the distributed
+    prefix-sum, not a corpus-wide window: no Exchange SinglePartition,
+    no Window node; the budget scalar broadcasts."""
+    df = QUERIES["q194_token_budget_selection"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "MapInPandas" in plan, plan
+    assert count_broadcasts(df) >= 1, plan
+
+
+def test_q195_quota_selection_plan_distributed(spark):
+    """q195: the floor rank is a per-source window and the global fill
+    rank rides the distributed prefix rank — no single-partition
+    exchange anywhere; scalars broadcast."""
+    df = QUERIES["q195_coverage_quota_selection"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "MapInPandas" in plan, plan
+    assert count_broadcasts(df) >= 1, plan

@@ -142,3 +142,40 @@ def test_q191_dsir_score_uses_ascii_whitespace_class(spark):
     finally:
         bc.unpersist(blocking=False)
     assert out == {1: "keep", 2: "drop_dsir"}
+
+
+def test_q194_q195_selection_invariants(spark, assert_no_cache_residue):
+    """q194: the selection is the MAXIMAL PREFIX of the quality order
+    that fits the budget whole — cum_before counts ALL better docs
+    (selected or not), so the first overflow ends the selection; a
+    skip-and-continue greedy walk is deliberately NOT the semantic
+    (a later small doc after an overflow stays out).  q195: every
+    source keeps exactly min(3, |source|) floor docs and
+    floor+fill == N//5."""
+    from collections import Counter
+
+    rows = QUERIES["q194_token_budget_selection"](spark, SF_DIR).collect()
+    budget = sum(r["n_tokens"] for r in rows) // 5
+    sel = [r for r in rows if r["selected"]]
+    assert sum(r["n_tokens"] for r in sel) <= budget
+    ranked = sorted(rows, key=lambda r: (-r["quality_micro"], r["doc_id"]))
+    cum = 0
+    overflowed = False
+    for r in ranked:
+        fits = cum + r["n_tokens"] <= budget
+        assert bool(r["selected"]) == fits, r
+        if overflowed:
+            assert not r["selected"], r  # prefix, not skip-and-continue
+        overflowed = overflowed or not fits
+        cum += r["n_tokens"]  # ALL docs accumulate, selected or not
+
+    rows = QUERIES["q195_coverage_quota_selection"](spark, SF_DIR).collect()
+    n = len(rows)
+    c = Counter(r["disposition"] for r in rows)
+    per_source = Counter(r["source"] for r in rows)
+    floor_per_source = Counter(
+        r["source"] for r in rows if r["disposition"] == "floor"
+    )
+    for src, tot in per_source.items():
+        assert floor_per_source[src] == min(3, tot), src
+    assert c["floor"] + c["fill"] == n // 5

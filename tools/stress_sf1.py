@@ -68,6 +68,9 @@ QUERIES_UNDER_TEST = [
     # the streaming delta-vs-corpus near-dup ingest gate
     "q192_hybrid_retrieval",
     "q193_streaming_ingest_neardup",
+    # round 7: budget/quota selection (distributed prefix-sum path)
+    "q194_token_budget_selection",
+    "q195_coverage_quota_selection",
 ]
 
 
