@@ -40,6 +40,7 @@ def assign_stable_ids(
     total_col: str | None = None,
     weight_col: str | None = None,
     cumsum_col: str | None = None,
+    weight_total_col: str | None = None,
 ) -> DataFrame:
     """Add ``id_col`` = 1-based global rank of the row under
     ``ORDER BY order_cols`` (which must be a total order — include a
@@ -61,14 +62,45 @@ def assign_stable_ids(
     This is how budget-constrained selections ("take rows in quality
     order until N tokens") avoid the single-partition cumsum window —
     bit-identical to ``sum(w) OVER (ORDER BY ... ROWS UNBOUNDED
-    PRECEDING AND 1 PRECEDING)`` for any total order."""
-    if (cumsum_col is None) != (weight_col is None):
+    PRECEDING AND 1 PRECEDING)`` for any total order.
+    ``weight_total_col`` (optional, requires ``weight_col``) attaches
+    the GLOBAL weight total to every row — like ``total_col``, it
+    falls out of the same driver aggregation for free, so budget
+    scalars (``B = total_tokens DIV 5``) need no extra corpus scan.
+
+    ``weight_col`` must be a NON-NULL integral column: the contract is
+    exact integer prefix sums, and a float weight would truncate
+    per-partition in the driver aggregation but per-row in the map
+    stage (silently inconsistent offsets), while a NULL is ignored by
+    the aggregation but poisons the Arrow batch — both are rejected
+    loudly instead."""
+    if cumsum_col is not None and weight_col is None:
         raise ValueError(
-            "assign_stable_ids: weight_col and cumsum_col go together"
+            "assign_stable_ids: cumsum_col requires weight_col — they go together"
         )
+    if weight_total_col is not None and weight_col is None:
+        raise ValueError(
+            "assign_stable_ids: weight_total_col requires weight_col"
+        )
+    if weight_col is not None and cumsum_col is None and weight_total_col is None:
+        raise ValueError(
+            "assign_stable_ids: weight_col without cumsum_col/weight_total_col "
+            "does nothing — they go together"
+        )
+    if weight_col is not None:
+        wtype = df.schema[weight_col].dataType.typeName()
+        if wtype not in ("byte", "short", "integer", "long"):
+            raise ValueError(
+                f"assign_stable_ids: weight_col {weight_col!r} is {wtype}, "
+                "but exact prefix sums require an integral column — a float "
+                "would truncate per-partition in the offsets but per-row in "
+                "the map stage (silently inconsistent cumsums)"
+            )
     taken = set(df.columns)
     clash = {
-        c for c in (id_col, total_col, cumsum_col) if c is not None and c in taken
+        c
+        for c in (id_col, total_col, cumsum_col, weight_total_col)
+        if c is not None and c in taken
     }
     if clash:
         raise ValueError(
@@ -108,11 +140,14 @@ def assign_stable_ids(
                 wacc += stats[pid]["w"] or 0
 
     total = acc
+    wtotal = wacc
     extra = [StructField(id_col, LongType())]
     if total_col is not None:
         extra.append(StructField(total_col, LongType()))
     if cumsum_col is not None:
         extra.append(StructField(cumsum_col, LongType()))
+    if weight_total_col is not None:
+        extra.append(StructField(weight_total_col, LongType()))
     out_schema = StructType(list(parts.schema.fields) + extra)
 
     def number(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -127,10 +162,19 @@ def assign_stable_ids(
             pdf[id_col] = range(start + seen + 1, start + seen + 1 + len(pdf))
             if total_col is not None:
                 pdf[total_col] = total
+            if weight_col is not None and pdf[weight_col].isna().any():
+                raise ValueError(
+                    f"assign_stable_ids: weight_col {weight_col!r} contains "
+                    "NULLs — exact prefix sums require non-null weights (the "
+                    "driver aggregation would skip them while the row cumsum "
+                    "cannot)"
+                )
             if cumsum_col is not None:
                 w = pdf[weight_col].astype("int64")
                 pdf[cumsum_col] = wstart + w.cumsum() - w
                 wstart += int(w.sum())
+            if weight_total_col is not None:
+                pdf[weight_total_col] = wtotal
             seen += len(pdf)
             yield pdf
 

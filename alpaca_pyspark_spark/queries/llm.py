@@ -2466,8 +2466,9 @@ def q194_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation for the per-partition token totals, and a map-only
     Arrow stage adds offset + running local sum — bit-identical to
     the window for any total order (doc_id tie-break), no
-    single-partition exchange anywhere.  The budget scalar is one
-    aggregated row broadcast back over the corpus."""
+    single-partition exchange anywhere.  The budget scalar falls out
+    of the same driver aggregation (``weight_total_col``) — the
+    corpus is scanned exactly once."""
     tune(spark)
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     t = tokens(F.col("text"))
@@ -2482,27 +2483,25 @@ def q194_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.expr("(1000000 * __nd) DIV n_tokens"))
         .alias("quality_micro"),
     )
-    budget = scored.agg(
-        F.expr("sum(n_tokens) DIV 5").cast("long").alias("budget")
-    )
+    # the budget scalar (total tokens DIV 5) falls out of the prefix
+    # sum's own driver aggregation (weight_total_col) — no separate
+    # corpus scan, no crossJoin
     ranked = assign_stable_ids(
         scored.withColumn("__negq", -F.col("quality_micro")),
         ["__negq", "doc_id"],
         id_col="__rank",
         weight_col="n_tokens",
         cumsum_col="cum_before",
+        weight_total_col="__wtot",
     )
-    return (
-        ranked.crossJoin(F.broadcast(budget))
-        .select(
-            "doc_id",
-            "n_tokens",
-            "quality_micro",
-            "cum_before",
-            (F.col("cum_before") + F.col("n_tokens") <= F.col("budget"))
-            .cast("bigint")
-            .alias("selected"),
-        )
+    return ranked.select(
+        "doc_id",
+        "n_tokens",
+        "quality_micro",
+        "cum_before",
+        (F.col("cum_before") + F.col("n_tokens") <= F.expr("__wtot DIV 5"))
+        .cast("bigint")
+        .alias("selected"),
     )
 
 

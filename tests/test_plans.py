@@ -848,13 +848,15 @@ def test_q193_first_band_predicate_respects_pruned_buckets(spark):
 def test_q194_budget_selection_plan_distributed(spark):
     """q194's cumulative token count must ride the distributed
     prefix-sum, not a corpus-wide window: no Exchange SinglePartition,
-    no Window node; the budget scalar broadcasts."""
+    no Window node — and since the budget scalar falls out of the
+    prefix sum's own driver aggregation (weight_total_col), the plan
+    has no join at all (the corpus is scanned exactly once)."""
     df = QUERIES["q194_token_budget_selection"](spark, SF_DIR)
     plan = formatted_plan(df)
     assert "Exchange SinglePartition" not in plan, plan
     assert "Window" not in plan, plan
     assert "MapInPandas" in plan, plan
-    assert count_broadcasts(df) >= 1, plan
+    assert "Join" not in plan, plan
 
 
 def test_q195_quota_selection_plan_distributed(spark):

@@ -178,4 +178,7 @@ def test_q194_q195_selection_invariants(spark, assert_no_cache_residue):
     )
     for src, tot in per_source.items():
         assert floor_per_source[src] == min(3, tot), src
-    assert c["floor"] + c["fill"] == n // 5
+    # fill quota = max(0, N//5 - floor_cnt): on a fixture with many
+    # tiny sources the floors alone can exceed N//5 and fill is 0 —
+    # pin the CONTRACT, not a property of the current data
+    assert c["floor"] + c["fill"] == max(n // 5, c["floor"])
