@@ -2213,6 +2213,61 @@ def _q193_artifacts(spark: SparkSession, sf_dir: str):
     return index, docinfo
 
 
+def _q193_candidates(
+    src: DataFrame, index: DataFrame, docinfo: DataFrame
+) -> DataFrame:
+    """q193's candidate stage, BEFORE the first-matching-band
+    predicate: row-local portable signature + banding over ``src``,
+    equi-join against the band index, then the doc-keyed payload
+    join.  Exposed separately so the property test can compare the
+    production first-band dedup against a plain DISTINCT over the
+    SAME candidate rows — one code path, no test-side re-derivation
+    of the signature math."""
+    from ..operators.dedup import (
+        MERSENNE_P,
+        band_key_structs,
+        minhash_family_coeffs,
+        portable_hash60,
+    )
+
+    coeffs = minhash_family_coeffs(64)
+    p = F.lit(MERSENNE_P)
+    shingles = F.array_distinct(word_shingles(tokens(F.col("text")), 3))
+    base = (
+        src.select(F.col("doc_id").alias("new_id"), shingles.alias("sh_n"))
+        .filter(F.size("sh_n") > 0)
+        .withColumn(
+            "__hs",
+            F.transform("sh_n", lambda s: F.pmod(portable_hash60(s), p)),
+        )
+        .withColumn(
+            "sig_n",
+            F.array(
+                *[
+                    F.array_min(
+                        F.transform(
+                            "__hs",
+                            lambda h: F.pmod(h * F.lit(a) + F.lit(b), p),
+                        )
+                    )
+                    for a, b in coeffs
+                ]
+            ),
+        )
+        .drop("__hs")
+    )
+    exploded = base.select(
+        "new_id", "sh_n", "sig_n",
+        F.explode(band_key_structs(F.col("sig_n"))).alias("bb"),
+    ).select(
+        "new_id", "sh_n", "sig_n",
+        "bb.band", "bb.k1", "bb.k2", "bb.k3", "bb.k4",
+    )
+    return exploded.join(index, ["band", "k1", "k2", "k3", "k4"]).join(
+        docinfo, "old_id"
+    )
+
+
 def _q193_transform(index: DataFrame, docinfo: DataFrame):
     """The stream-side plan builder for q193 (exposed for the
     stateless plan pin on the batch-equivalent input).
@@ -2225,51 +2280,9 @@ def _q193_transform(index: DataFrame, docinfo: DataFrame):
     In the stream that form would be a stateful Aggregate; paying the
     constant on DELTA-sized batches buys zero state entries and zero
     in-stream shuffles before the index join."""
-    from ..operators.dedup import (
-        MERSENNE_P,
-        band_key_structs,
-        minhash_family_coeffs,
-        portable_hash60,
-    )
-
-    coeffs = minhash_family_coeffs(64)
-    p = F.lit(MERSENNE_P)
 
     def transform(stream: DataFrame) -> DataFrame:
-        shingles = F.array_distinct(word_shingles(tokens(F.col("text")), 3))
-        base = (
-            stream.select(F.col("doc_id").alias("new_id"), shingles.alias("sh_n"))
-            .filter(F.size("sh_n") > 0)
-            .withColumn(
-                "__hs",
-                F.transform("sh_n", lambda s: F.pmod(portable_hash60(s), p)),
-            )
-            .withColumn(
-                "sig_n",
-                F.array(
-                    *[
-                        F.array_min(
-                            F.transform(
-                                "__hs",
-                                lambda h: F.pmod(h * F.lit(a) + F.lit(b), p),
-                            )
-                        )
-                        for a, b in coeffs
-                    ]
-                ),
-            )
-            .drop("__hs")
-        )
-        exploded = base.select(
-            "new_id", "sh_n", "sig_n",
-            F.explode(band_key_structs(F.col("sig_n"))).alias("bb"),
-        ).select(
-            "new_id", "sh_n", "sig_n",
-            "bb.band", "bb.k1", "bb.k2", "bb.k3", "bb.k4",
-        )
-        cand = exploded.join(index, ["band", "k1", "k2", "k3", "k4"]).join(
-            docinfo, "old_id"
-        )
+        cand = _q193_candidates(stream, index, docinfo)
         # first-matching-band wins: a (new, old) pair colliding in
         # several surviving buckets is kept only at the SMALLEST
         # surviving band whose 4-slot signature slices agree — a pure

@@ -705,3 +705,84 @@ def test_blocked_all_pairs_matches_numpy_reference(spark, vecs, num_blocks):
             if cos >= thresh:
                 want[(ia, ib)] = cos
     assert got == want  # exact, including the doubles
+
+
+@settings(
+    max_examples=5, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+            min_size=0, max_size=8,
+        ),
+        min_size=2, max_size=14,
+    ),
+    st.integers(min_value=0, max_value=2**31),
+)
+def test_q193_first_band_dedup_equals_distinct(spark, token_lists, salt):
+    """PROPERTY: q193's row-local first-matching-band predicate keeps
+    exactly the DISTINCT (new, old) pair set over the SAME candidate
+    rows — for arbitrary corpora AND arbitrary index pruning (bucket
+    rows dropped at index build, surviving-band masks recomputed).
+    The tiny token alphabet forces heavy signature collisions, the
+    short docs hit the <3-token empty-shingle edge, and the salted
+    pruning exercises pairs whose earliest matching band was pruned —
+    the cases the fixed corpus never produces."""
+    from pyspark.sql import functions as F
+
+    import alpaca_pyspark_spark.queries.llm as llm
+    from alpaca_pyspark_spark.functions import jaccard
+    from alpaca_pyspark_spark.queries.llm import (
+        _q193_artifacts,
+        _q193_candidates,
+        _q193_transform,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(token_lists)],
+        "doc_id bigint, text string",
+    )
+    orig = llm.load
+    try:
+        llm.load = lambda sp, sf, name: docs
+        index, docinfo = _q193_artifacts(spark, "unused")
+    finally:
+        llm.load = orig
+    # salted pruning: drop ~1/3 of the surviving band rows, then
+    # recompute each old doc's surviving-band mask from what remains
+    keep = F.pmod(F.xxhash64("old_id", "band", F.lit(salt)), F.lit(3)) != 0
+    pruned = index.filter(keep)
+    mask2 = (
+        pruned.groupBy("old_id")
+        .agg(F.collect_set("band").alias("__bs"))
+        .select(
+            "old_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(15)),
+                lambda b: F.exists("__bs", lambda x: x == b).cast("int"),
+            ).alias("okb"),
+        )
+    )
+    docinfo2 = docinfo.drop("okb").join(mask2, "old_id")
+    delta = docs.filter(F.col("doc_id") % 5 == 0)
+
+    got = {
+        (r["new_id"], r["old_id"], r["jaccard_sim"])
+        for r in _q193_transform(pruned, docinfo2)(delta).collect()
+    }
+    got_rows = _q193_transform(pruned, docinfo2)(delta).count()
+    assert got_rows == len(got), "first-band predicate emitted a duplicate pair"
+
+    cand = _q193_candidates(delta, pruned, docinfo2)
+    want = {
+        (r["new_id"], r["old_id"], r["jaccard_sim"])
+        for r in cand.dropDuplicates(["new_id", "old_id"])
+        .select(
+            "new_id", "old_id",
+            jaccard(F.col("sh_n"), F.col("sh_o")).alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") >= 0.2)
+        .collect()
+    }
+    assert got == want
