@@ -88,7 +88,13 @@ _SHOWCASE_ORDER = [
     "q163_setsim_prefix_join",
     "q13_embedding_sim_ann",
     "q177_semdedup",
-    "q122_audio_energy",
+    # (round 7: q196 — online vector search served AS A LIVE STREAM
+    # against a batch-built IVF index, zero state, the full
+    # approximation under the hash gate — rotates in;
+    # q122_audio_energy leaves: the Arrow byte-kernel fan-out family
+    # is repped by q148_frame_sampling below, and q122 stays in the
+    # registry + local gate)
+    "q196_streaming_vector_search",
     # text curation / quality filtering (round 5: the quality-filter
     # block between dedup and sampling rotates in; the mining family is
     # repped by q121 below — q78/q79/q102 remain oracle-paired in the

@@ -31,7 +31,13 @@ from ..operators.ids import assign_stable_ids
 from ..operators.multimodal import audio_energy_windows, decode_media, synthesize_media
 from ..operators.similarity import brute_force_topk_arrow, lsh_topk
 from ..operators.text import with_fingerprint, with_lang_id, with_text_stats
-from ..functions import char_ngrams, jaccard, tokens, word_shingles
+from ..functions import (
+    char_ngrams,
+    cosine_similarity,
+    jaccard,
+    tokens,
+    word_shingles,
+)
 from ..session import scoped_persist, tune
 from ..tables import load
 
@@ -2654,6 +2660,210 @@ FROM c, b
 """
 
 
+# ---------------------------------------------------------------- q196
+#: q196 IVF serving parameters (deterministic quantizer — oracle-replicable).
+_Q196_CELLS = 16
+_Q196_NPROBE = 4
+_Q196_K = 10
+
+
+def _q196_artifacts(spark: SparkSession, sf_dir: str):
+    """Batch-build the ONLINE VECTOR SEARCH index from the corpus side
+    (``vec_id % 25 != 0``):
+
+    * ``centroids`` — the deterministic IVF quantizer (embeddings of
+      the 16 smallest corpus ids; the ``q13_ivf_det`` seed, so the
+      whole approximation stays SQL-replicable), a 16×dim Python list
+      that rides in the stream's assigner UDF closure.
+    * ``cells`` — one row per IVF cell holding its member PAYLOAD
+      ARRAY ``array<struct<vec_id, v>>``.  The array form is what
+      makes the stream stateless: per-query top-k over the probed
+      cells' union becomes a ROW-LOCAL fold after joining the probe
+      cells' rows — no per-query aggregation, no state.  Cell payload
+      size is bounded by the cell population (|corpus|/num_cells in
+      expectation; the num_cells dial keeps it executor-sized at any
+      corpus scale — the same bound every IVF posting list lives
+      under).  Eagerly checkpointed."""
+    from ..operators.similarity import _det_cell_assigner, _det_seed_centroids
+
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 25 != 0)
+    centroids = _det_seed_centroids(corpus, "vec_id", "embedding", _Q196_CELLS)
+    from ..operators import spread
+
+    assigned = spread(
+        corpus.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+    ).withColumn("cell", _det_cell_assigner(centroids, 1)(F.col("v")).getItem(0))
+    cells = (
+        assigned.groupBy("cell")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("vec_id", "v"))).alias(
+                "members"
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    return centroids, cells
+
+
+def _q196_transform(centroids, cells: DataFrame):
+    """Stream-side plan builder for q196: row-local nprobe cell
+    assignment (Arrow UDF, quantizer in the closure), ONE stream-static
+    equi-join per probed cell (nprobe fixed joins instead of
+    explode+regroup — regrouping probe rows per query would be a
+    stateful aggregation), then a row-local score → sort → slice
+    top-k over the concatenated cell payloads, posexploded to ranked
+    rows.  The row-local cosine is the same sequential ``aggregate``
+    fold the batch kernels use — bit-identical to DuckDB's
+    ``list_cosine_similarity``, so the oracle hashes the full
+    approximation."""
+    from ..operators.similarity import _det_cell_assigner
+
+    def transform(stream: DataFrame) -> DataFrame:
+        q = stream.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("qv"),
+        ).withColumn(
+            "__cells", _det_cell_assigner(centroids, _Q196_NPROBE)(F.col("qv"))
+        )
+        out = q
+        member_cols = []
+        for i in range(_Q196_NPROBE):
+            cell_i = cells.select(
+                F.col("cell").alias(f"__c{i}"),
+                F.col("members").alias(f"__m{i}"),
+            )
+            out = out.withColumn(
+                f"__c{i}", F.col("__cells").getItem(i)
+            ).join(cell_i, f"__c{i}", "left")
+            member_cols.append(
+                F.coalesce(
+                    F.col(f"__m{i}"),
+                    F.array().cast(cell_i.schema[f"__m{i}"].dataType),
+                )
+            )
+        scored = out.select(
+            "query_id",
+            F.transform(
+                F.concat(*member_cols),
+                lambda m: F.struct(
+                    cosine_similarity(m["v"], F.col("qv")).alias("cos_sim"),
+                    m["vec_id"].alias("vec_id"),
+                ),
+            ).alias("__scored"),
+        )
+        # row-local top-k: sort by (cos_sim desc, vec_id asc), keep k
+        ranked = scored.select(
+            "query_id",
+            F.slice(
+                F.array_sort(
+                    "__scored",
+                    lambda a, b: F.when(
+                        a["cos_sim"] > b["cos_sim"], F.lit(-1)
+                    )
+                    .when(a["cos_sim"] < b["cos_sim"], F.lit(1))
+                    .otherwise(
+                        F.when(a["vec_id"] < b["vec_id"], F.lit(-1))
+                        .when(a["vec_id"] > b["vec_id"], F.lit(1))
+                        .otherwise(F.lit(0))
+                    ),
+                ),
+                1,
+                _Q196_K,
+            ).alias("__top"),
+        )
+        return ranked.select(
+            "query_id", F.posexplode("__top").alias("__pos", "__t")
+        ).select(
+            "query_id",
+            F.col("__t.vec_id").alias("vec_id"),
+            (F.col("__pos") + 1).cast("long").alias("rank"),
+            F.col("__t.cos_sim").alias("cos_sim"),
+        )
+
+    return transform
+
+
+def q196_streaming_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE VECTOR SEARCH against a batch-built IVF index — the
+    vector twin of q193's ingest gate: query embeddings
+    (``vec_id % 25 = 0``) arrive on a stream and are answered with
+    approximate top-10 cosine neighbors from the corpus index with
+    ZERO stateful operators — the serving shape of a production
+    retrieval/RAG stack (the index is maintained in batch; queries
+    never touch the raw corpus).
+
+    Stateless decomposition of ``ivf_topk_det``:
+
+    * the deterministic quantizer (q13_ivf_det's seed) rides in the
+      stream's Arrow assigner closure — O(num_cells·dim), a MODEL
+      artifact, not corpus-scale;
+    * the batch path's explode(probe cells) + per-query top-k WINDOW
+      becomes ``nprobe`` fixed stream-static joins against the packed
+      cell-payload table followed by a row-local score/sort/slice —
+      no regrouping, no window, no state;
+    * every double is the same sequential fold as the batch kernels,
+      so the DuckDB oracle hash-verifies the full approximation
+      (assignment, probing, re-rank) — not just row counts.
+
+    State: zero entries, append mode, no watermark/sentinel."""
+    from ..session import release_scoped_caches
+    from ..streaming.gate import run_streaming_gate
+
+    tune(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    centroids, cells = _q196_artifacts(spark, sf_dir)
+    release_scoped_caches()
+    queries = emb.filter(F.col("vec_id") % 25 == 0).select("vec_id", "embedding")
+    transform = _q196_transform(centroids, cells)
+    return run_streaming_gate(spark, [(queries, None)], transform, prefix="q196")
+
+
+_Q196_SQL = f"""
+WITH E AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+CORP AS (SELECT * FROM E WHERE vec_id % 25 <> 0),
+C AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v AS cv
+  FROM (SELECT vec_id, v FROM CORP ORDER BY vec_id LIMIT {_Q196_CELLS})
+),
+A AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell
+           ) AS rn
+    FROM CORP e CROSS JOIN C c
+  ) WHERE rn = 1
+),
+Q AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT e.vec_id AS query_id, e.v AS qv, c.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell
+           ) AS rn
+    FROM E e CROSS JOIN C c WHERE e.vec_id % 25 = 0
+  ) WHERE rn <= {_Q196_NPROBE}
+),
+S AS (
+  SELECT q.query_id, a.vec_id,
+         list_cosine_similarity(q.qv, a.v) AS cos_sim
+  FROM Q q JOIN A a USING (cell)
+),
+R AS (
+  SELECT query_id, vec_id, cos_sim,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY cos_sim DESC, vec_id
+         ) AS BIGINT) AS rank
+  FROM S
+)
+SELECT query_id, vec_id, rank, cos_sim FROM R WHERE rank <= {_Q196_K}
+"""
+
+
 # ---------------------------------------------------------------- q166
 def q166_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document n-gram novelty curve: the fraction of a document's
@@ -4299,6 +4509,7 @@ QUERIES = {
     "q193_streaming_ingest_neardup": q193_streaming_ingest_neardup,
     "q194_token_budget_selection": q194_token_budget_selection,
     "q195_coverage_quota_selection": q195_coverage_quota_selection,
+    "q196_streaming_vector_search": q196_streaming_vector_search,
     "q171_matryoshka_audit": q171_matryoshka_audit,
     "q173_dataset_card": q173_dataset_card,
     "q174_template_prefixes": q174_template_prefixes,
@@ -4366,6 +4577,7 @@ ORACLE = {
     "q193_streaming_ingest_neardup": _Q193_SQL,
     "q194_token_budget_selection": _Q194_SQL,
     "q195_coverage_quota_selection": _Q195_SQL,
+    "q196_streaming_vector_search": _Q196_SQL,
     "q171_matryoshka_audit": _Q171_SQL,
     "q173_dataset_card": _Q173_SQL,
     "q174_template_prefixes": _Q174_SQL,

@@ -868,3 +868,40 @@ def test_q195_quota_selection_plan_distributed(spark):
     assert "Exchange SinglePartition" not in plan, plan
     assert "MapInPandas" in plan, plan
     assert count_broadcasts(df) >= 1, plan
+
+
+def test_q196_stream_plan_stateless(spark, tmp_path):
+    """q196's online vector search must hold ZERO state: row-local
+    quantizer assignment, nprobe fixed stream-static joins against the
+    packed cell table, row-local score/sort/slice top-k — no window,
+    no per-query aggregation, no stateful streaming node."""
+    from pyspark.sql import functions as F
+
+    from alpaca_pyspark_spark.queries.llm import _q196_artifacts, _q196_transform
+    from alpaca_pyspark_spark.session import release_scoped_caches
+    from alpaca_pyspark_spark.tables import load
+
+    centroids, cells = _q196_artifacts(spark, SF_DIR)
+    release_scoped_caches()
+    emb = load(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0).select("vec_id", "embedding")
+    src = str(tmp_path / "queries")
+    queries.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    out = _q196_transform(centroids, cells)(stream)
+    assert out.isStreaming
+    logical = out._jdf.queryExecution().analyzed().toString()
+    for stateful in (
+        "Aggregate [",
+        "Deduplicate",
+        "FlatMapGroupsWithState",
+        "TransformWithState",
+        "EventTimeWatermark",
+    ):
+        assert stateful not in logical, (stateful, logical)
+    # batch-equivalent physical plan: row-local top-k, no rank window
+    bout = _q196_transform(centroids, cells)(queries)
+    plan = formatted_plan(bout)
+    assert "Window" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -71,6 +71,8 @@ QUERIES_UNDER_TEST = [
     # round 7: budget/quota selection (distributed prefix-sum path)
     "q194_token_budget_selection",
     "q195_coverage_quota_selection",
+    # round 7: online vector search served as a live stream
+    "q196_streaming_vector_search",
 ]
 
 
