@@ -60,8 +60,18 @@ _SHOWCASE_ORDER = [
     # rotates in; q190 leaves: its repetition-fold quality gate runs
     # verbatim as q191's first stage, and q190 stays oracle-paired in
     # the registry + local gate)
-    "q130_streaming_sessions_executed", "q145_streaming_outer_join_executed",
-    "q181_streaming_bars_executed", "q131_streaming_dedup_executed",
+    # (round 8 rotation: q153 stateful sessions executed — the ONE
+    # executed-streaming family never driver-graded, arbitrary
+    # per-key session state via applyInPandasWithState — and q146
+    # streaming hourly windows executed — watermarked tumbling agg —
+    # rotate in.  q130 leaves: its built-in session_window family is
+    # the easier sibling of q153's custom stateful sessions; q131
+    # leaves: its in-stream dropDuplicates state family is repped by
+    # q193's ingest dedup gate below and q153's keyed-state machinery.
+    # Both stay oracle-paired in the registry + local gate)
+    "q145_streaming_outer_join_executed",
+    "q181_streaming_bars_executed", "q153_stateful_sessions_executed",
+    "q146_streaming_hourly_windows_executed",
     "q191_streaming_curation",
     # LLM dedup / similarity (round 5 rotation: q13_embedding_sim and
     # q12_embedding_dedup_lsh leave the prefix — their families remain
@@ -109,11 +119,29 @@ _SHOWCASE_ORDER = [
     # q189 composes the whole block (repetition -> stopword -> exact
     # dedup -> DSIR) into one per-document disposition ledger and
     # stands in for q183, whose keep rule runs verbatim inside it.
+    # (round 8 rotation: q188 classifier quality filter — the
+    # logistic-scorer sibling of the LM filters, never driver-graded —
+    # and q165 bigram LM — the LM-artifact family every perplexity
+    # score builds on — rotate in.  q182 leaves: its perplexity-filter
+    # family is repped by q187's DSIR LM ratio (stays) + q165's LM
+    # construction; q189 leaves: the full curation ledger runs
+    # VERBATIM as q197's first stage below (and its streaming twin
+    # q191 stays).  Both stay oracle-paired in the registry + gate)
     "q15_text_stats", "q61_contamination_overlap",
-    "q182_perplexity_filter", "q189_curation_pipeline",
-    "q186_span_dedup_rewrite", "q187_dsir_importance",
-    # reproducible sampling / packing
-    "q37_deterministic_sample", "q38_sequence_packing",
+    "q188_classifier_quality_filter",
+    "q186_span_dedup_rewrite", "q187_dsir_importance", "q165_bigram_lm",
+    # round-8 flagship: crawl-to-training-shards composition — the
+    # q189 ledger -> q38 packing -> partitioned sink + write-ahead
+    # manifest, read back from disk, conservation hash-enforced
+    "q197_corpus_build",
+    # deterministic corpus selection / packing (round 8: q194 token-
+    # budget selection + q195 coverage-quota selection — new last
+    # round, never driver-graded, distributed weighted prefix-sums —
+    # rotate in.  q37 leaves: deterministic integer selection family
+    # repped by q194/q195's modulus-free prefix-sum rules; q38
+    # leaves: pack_sequences runs VERBATIM as q197's packing stage.
+    # Both stay oracle-paired in the registry + local gate)
+    "q194_token_budget_selection", "q195_coverage_quota_selection",
     # search / graph (q92_cluster_representatives rotated out round 5
     # — clustering family repped by q33/q177; stays in the local gate)
     # (round 7: q192 hybrid lexical+dense retrieval with RRF fusion —
@@ -121,7 +149,10 @@ _SHOWCASE_ORDER = [
     # the ranked-lexical-retrieval family is repped by q192's fused
     # lexical branch, and q90 stays oracle-paired in the registry +
     # local gate)
-    "q89_inverted_index", "q192_hybrid_retrieval", "q91_pagerank_suppliers",
+    # (round 8: q89 leaves — its inverted-index/postings family is
+    # built verbatim inside q192's lexical branch; stays oracle-paired
+    # in the registry + local gate)
+    "q192_hybrid_retrieval", "q91_pagerank_suppliers",
     "q123_bpe_train",
     "q120_domain_distinctive_tokens",
     # mining
@@ -131,8 +162,16 @@ _SHOWCASE_ORDER = [
     # and q83 in the local gate; q40's bucketed KEYLESS range join —
     # never driver-graded, the no-equi-key interval family beyond
     # q03's keyed interval join — rotates in)
-    "q84_pricing_summary", "q82_sole_late_shipper",
-    "q110_cheapest_supplier", "q40_range_join_no_key",
+    # (round 8: q87 dominant-supplier-parts and q86 disjunctive-
+    # predicate join — the two plan-richest never-driver-graded TPC-H
+    # shapes (VERDICT r7 item 6) — rotate in.  q84 leaves: the
+    # partial-aggregation scan-summary family is repped by q05's
+    # rollup + q87's grouped-having aggregation and stays pinned by
+    # the partial-agg plan tests; q110 leaves: its min-per-group
+    # multi-join family is repped by q87's dominant-supplier shape.
+    # Both stay oracle-paired in the registry + local gate)
+    "q87_dominant_supplier_parts", "q82_sole_late_shipper",
+    "q86_disjunctive_predicate_join", "q40_range_join_no_key",
     # advanced analytics (round 6: q129 CUPED experiment readout —
     # never driver-graded — rotates in; q118_chi_square leaves: the
     # experiment-statistics family is repped by q129's variance-

