@@ -905,3 +905,19 @@ def test_q196_stream_plan_stateless(spark, tmp_path):
     assert "Window" not in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_q197_readback_plan_broadcasts_manifest(spark):
+    """q197's returned plan reads the LANDED shard files, not the
+    curation lineage (the ledger/pack stages ran at sink time): the
+    bin rollup is one partial-aggregated exchange over the read-back
+    scan, the |langs x shards|-row manifest attaches as a broadcast,
+    and nothing funnels through a single partition or a window (the
+    packing window happened before the sink and must not leak into
+    the read side)."""
+    df = QUERIES["q197_corpus_build"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Window" not in plan, plan
+    assert count_broadcasts(df) >= 1, plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan

@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from alpaca_pyspark_spark.session import get_spark
 from alpaca_pyspark_spark.tables import load
 
-SRC = "/root/testdata/sf0.1"
+SRC = "/root/testdata/sf0.1"  # default; --src overrides (chainable)
 REPLICAS = 10
 
 #: key DOMAINS: every (table, column) drawing from the same key space
@@ -66,12 +66,12 @@ SCALED = sorted({t for cols in KEY_DOMAINS.values() for t, _ in cols})
 STATIC = ["region", "nation"]
 
 
-def domain_spans(spark) -> dict[tuple[str, str], int]:
+def domain_spans(spark, src: str) -> dict[tuple[str, str], int]:
     """(table, column) -> shift span, one shared span per key domain."""
     spans: dict[tuple[str, str], int] = {}
     for cols in KEY_DOMAINS.values():
         m = max(
-            load(spark, SRC, t).agg(F.max(c)).collect()[0][0] for t, c in cols
+            load(spark, src, t).agg(F.max(c)).collect()[0][0] for t, c in cols
         )
         for t, c in cols:
             spans[(t, c)] = m + 1
@@ -79,18 +79,28 @@ def domain_spans(spark) -> dict[tuple[str, str], int]:
 
 
 def scale_table(
-    spark, name: str, dest: str, spans: dict[tuple[str, str], int]
+    spark,
+    name: str,
+    src: str,
+    dest: str,
+    spans: dict[tuple[str, str], int],
+    replicas: int,
+    nonce_tag: str,
 ) -> int:
-    df = load(spark, SRC, name)
+    df = load(spark, src, name)
     shifts = {c: s for (t, c), s in spans.items() if t == name}
     parts = []
-    for r in range(REPLICAS):
+    for r in range(replicas):
         rep = df
         for c, span in shifts.items():
             rep = rep.withColumn(c, F.col(c) + F.lit(r * span))
         if name == "documents":
+            # nonce_tag keeps CHAINED replications distinct: an sf10
+            # doc reads "repl{r}B repl{q} <orig>" — no two of the 100
+            # replica combos share a text, so exact-dedup stays honest
             rep = rep.withColumn(
-                "text", F.concat(F.lit(f"repl{r}nonce "), F.col("text"))
+                "text",
+                F.concat(F.lit(f"repl{r}{nonce_tag}nonce "), F.col("text")),
             ).withColumn("n_chars", F.length("text").cast("long"))
         if name == "embeddings":
             rep = rep.withColumn(
@@ -110,18 +120,28 @@ def scale_table(
 
 def main() -> None:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default=SRC, help="chainable: pass .scratch/sf1 to build sf10")
     ap.add_argument("--dest", default="/root/repo/.scratch/sf1")
+    ap.add_argument("--replicas", type=int, default=REPLICAS)
+    ap.add_argument(
+        "--nonce-tag", default="",
+        help="per-chain-level tag baked into document nonces (e.g. 'B' "
+             "for the sf1->sf10 pass) so chained replicas never collide",
+    )
     args = ap.parse_args()
     spark = get_spark("make-sf1")
     spark.sparkContext.setLogLevel("ERROR")
     for name in STATIC:
-        load(spark, SRC, name).write.mode("overwrite").parquet(
+        load(spark, args.src, name).write.mode("overwrite").parquet(
             f"{args.dest}/{name}.parquet"
         )
         print(f"{name}: copied static")
-    spans = domain_spans(spark)
+    spans = domain_spans(spark, args.src)
     for name in SCALED:
-        n = scale_table(spark, name, args.dest, spans)
+        n = scale_table(
+            spark, name, args.src, args.dest, spans, args.replicas,
+            args.nonce_tag,
+        )
         print(f"{name}: {n} rows")
 
 

@@ -1,0 +1,92 @@
+"""Second measured decade (round-8; VERDICT r7 item 4): run the
+scale-claimed FLAGSHIP families at sf1 and at the 100x sf10 stress
+replica (tools/make_sf1.py chained: ``--src .scratch/sf1 --dest
+.scratch/sf10 --nonce-tag B``) in ONE warm JVM and report wall-times
+plus the ratio against naive 10x-linear extrapolation from sf1.
+
+Two decades of measurement (sf0.1->sf1 in STRESS_SF1.json, sf1->sf10
+here) are the strongest available evidence for the 100 TB design
+claims short of a real cluster: a family whose vs-linear ratio holds
+<=~1x across BOTH decades has no hidden superlinear term in data
+volume (the remaining scale risks — executor count, network — are
+cluster properties local mode cannot measure, documented in SCALE.md).
+
+Flagships (the families whose 100 TB story SCALE.md leans on):
+  q189  composed curation ledger (the batch pipeline capstone)
+  q169  incremental delta-vs-corpus dedup (the daily-ingest shape)
+  q193  streaming ingest near-dup gate (q169 executed as a stream)
+  q163  lossless PPJoin set-similarity (candidate bound = prefix filter)
+  q91   pagerank (iterative broadcast-join fixed point)
+  q197  crawl-to-training-shards composition (ledger -> pack -> sink)
+  q13_embedding_sim_ann  bucketed ANN (the sub-quadratic escape)
+
+Usage: python tools/stress_sf10.py [--sf10 /root/repo/.scratch/sf10]
+Writes STRESS_SF10.json and prints a table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from alpaca_pyspark_spark.queries import QUERIES
+from alpaca_pyspark_spark.session import get_spark, release_scoped_caches
+
+FLAGSHIPS = [
+    "q189_curation_pipeline",
+    "q169_incremental_dedup",
+    "q193_streaming_ingest_neardup",
+    "q163_setsim_prefix_join",
+    "q91_pagerank_suppliers",
+    "q197_corpus_build",
+    "q13_embedding_sim_ann",
+]
+
+
+def run_once(spark, qid: str, sf_dir: str) -> tuple[float, int]:
+    spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    n = QUERIES[qid](spark, sf_dir).count()
+    dt = time.perf_counter() - t0
+    release_scoped_caches()
+    return dt, n
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf1", default="/root/repo/.scratch/sf1")
+    ap.add_argument("--sf10", default="/root/repo/.scratch/sf10")
+    args = ap.parse_args()
+    spark = get_spark("stress-sf10")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = {}
+    for qid in FLAGSHIPS:
+        # warm codegen/page-cache on the smaller scale, then time both
+        run_once(spark, qid, args.sf1)
+        t1, n1 = run_once(spark, qid, args.sf1)
+        t10, n10 = run_once(spark, qid, args.sf10)
+        ratio = t10 / (10 * t1) if t1 > 0 else float("nan")
+        out[qid] = {
+            "sf1_sec": round(t1, 2),
+            "sf10_sec": round(t10, 2),
+            "sf1_rows": n1,
+            "sf10_rows": n10,
+            "vs_10x_linear": round(ratio, 2),
+        }
+        print(
+            f"{qid:35s} sf1 {t1:7.2f}s ({n1} rows)   "
+            f"sf10 {t10:8.2f}s ({n10} rows)   vs-linear {ratio:5.2f}x",
+            flush=True,
+        )
+    Path(__file__).resolve().parents[1].joinpath("STRESS_SF10.json").write_text(
+        json.dumps(out, indent=1) + "\n"
+    )
+
+
+if __name__ == "__main__":
+    main()
