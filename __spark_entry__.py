@@ -69,7 +69,16 @@ _SHOWCASE_ORDER = [
     # leaves: its in-stream dropDuplicates state family is repped by
     # q193's ingest dedup gate below and q153's keyed-state machinery.
     # Both stay oracle-paired in the registry + local gate)
-    "q145_streaming_outer_join_executed",
+    # (late round 8: q199 — per-source token-budget ADMISSION at
+    # ingest, the new minimal-state applyInPandasWithState family
+    # (one BIGINT per key; q194's prefix-cut rule decided online) —
+    # rotates in.  q145 leaves after three green rounds: its
+    # stream-stream interval outer join stays oracle-paired in the
+    # registry + local gate and plan-pinned, and executed streaming
+    # keeps six prefix reps spanning windowed agg (q146), custom
+    # keyed state (q153), minimal-state admission (q199), stateless
+    # ingest gates (q191/q193/q196) and live bars (q181))
+    "q199_streaming_budget_admission",
     "q181_streaming_bars_executed", "q153_stateful_sessions_executed",
     "q146_streaming_hourly_windows_executed",
     "q191_streaming_curation",
@@ -96,7 +105,13 @@ _SHOWCASE_ORDER = [
     "q164_containment_dedup",
     "q33_near_dup_components_lsh",
     "q163_setsim_prefix_join",
-    "q13_embedding_sim_ann",
+    # (late round 8: q198 — product quantization + ADC top-k on an
+    # exact integer lane grid, codebook training THROUGH the hash
+    # gate — rotates in.  q13_embedding_sim_ann leaves after two
+    # green rounds: the bucketed-ANN serving family stays repped by
+    # q196's live IVF serving below, and q13_ann stays oracle-paired
+    # in the registry + local gate)
+    "q198_pq_adc_topk",
     "q177_semdedup",
     # (round 7: q196 — online vector search served AS A LIVE STREAM
     # against a batch-built IVF index, zero state, the full

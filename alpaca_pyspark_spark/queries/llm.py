@@ -25,6 +25,7 @@ from ..operators.dedup import (
     exact_duplicate_groups,
     minhash_near_duplicates,
     ngram_jaccard_on_pairs,
+    portable_hash60,
     simhash_near_duplicates,
 )
 from ..operators.ids import assign_stable_ids
@@ -2671,6 +2672,82 @@ FROM c, b
 """
 
 
+# ---------------------------------------------------------------- q199
+#: Per-source ingest token budget — sized so sf0.01's ~1.2k-token
+#: sources land a real mix of admitted and rejected documents.
+_Q199_BUDGET = 800
+
+
+def q199_streaming_budget_admission(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The q194 budget rule AT INGEST TIME, executed as a live stream:
+    documents flow through ``applyInPandasWithState`` keyed by
+    ``source``, each adding its (batch-computed, Spark-expression)
+    token count to the source's running total, and a document is
+    ADMITTED iff the total including itself still fits the per-source
+    budget — the maximal fitting prefix of the ingest order, decided
+    online with ONE BIGINT of state per source.
+
+    Complements the executed-streaming families: q153 holds arbitrary
+    per-key session state, q193/q196 are deliberately zero-state —
+    this is the minimal-state fold (state size = |keys|, independent
+    of stream length), the admission-control shape a 100 TB/day
+    ingest quota actually runs.  Emission is immediate (the decision
+    for a record never changes once made), so no watermark and no
+    sentinel protocol; the oracle is the per-source running-sum
+    window over the same ingest order.
+
+    Scale shape: token counting stays a Spark map expression BEFORE
+    the stream (the stream folds integers, no tokenizer in the hot
+    path); sources hash across the state-store partitions; per-key
+    work is O(batch rows for that key).  Order discipline as
+    ``streaming.gate`` stages it: ``doc_id`` within a batch, file
+    order monotone across batches (cross-batch state continuity is
+    pinned by the two-batch unit test)."""
+    from ..streaming.gate import run_streaming_gate
+    from ..streaming.stateful import budgeted_admission
+
+    tune(spark)
+    docs = load(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    sunk = run_streaming_gate(
+        spark,
+        [(docs, None)],
+        lambda stream: budgeted_admission(
+            stream,
+            key="source",
+            order="doc_id",
+            weight="n_tokens",
+            budget=_Q199_BUDGET,
+        ),
+        prefix="q199",
+    )
+    return sunk.select("source", "doc_id", "n_tokens", "cum_tokens", "admitted")
+
+
+_Q199_SQL = rf"""
+WITH t AS (
+  SELECT source, doc_id,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT source, doc_id, n_tokens,
+       CAST(sum(n_tokens) OVER (
+         PARTITION BY source ORDER BY doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS cum_tokens,
+       CAST(sum(n_tokens) OVER (
+         PARTITION BY source ORDER BY doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) <= {_Q199_BUDGET} AS BIGINT) AS admitted
+FROM t
+"""
+
+
 # ---------------------------------------------------------------- q196
 #: q196 IVF serving parameters (deterministic quantizer — oracle-replicable).
 _Q196_CELLS = 16
@@ -2883,6 +2960,435 @@ R AS (
   FROM S
 )
 SELECT query_id, vec_id, rank, cos_sim FROM R WHERE rank <= {_Q196_K}
+"""
+
+
+# ---------------------------------------------------------------- q198
+#: Product-quantization geometry: dim 64 = 8 subspaces × 8 lanes,
+#: 16 centroids per subspace (codes are 8 × 4 bits — a 64-float
+#: vector compresses to 4 bytes + the shared codebook), lane values
+#: on a fixed 1e-5 grid so every distance is an exact BIGINT.
+_Q198_M = 8
+_Q198_LANES = 8
+_Q198_K_CENTROIDS = 16
+_Q198_SCALE = 100_000
+_Q198_TOPK = 10
+
+
+def _q198_sqdist(a, b):
+    """Σ(aᵢ−bᵢ)² over two equal-length BIGINT arrays — exact integer
+    arithmetic, identical in any engine (no float accumulation)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def q198_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCT QUANTIZATION with asymmetric-distance (ADC) top-k — the
+    compression half of a planet-scale vector index (Jégou et al.,
+    "Product Quantization for Nearest Neighbor Search", TPAMI 2011;
+    the storage layout behind IVF-PQ in every production ANN system):
+    each 64-d embedding splits into 8 subspaces, each subspace learns
+    a 16-centroid codebook (one Lloyd iteration from deterministic
+    md5-ordered seeds), vectors are ENCODED as 8 nibble codes (4 bytes
+    per vector — 64× smaller than float64), and queries scan the
+    codes with a per-query 8×16 lookup table of exact subspace
+    distances, never touching the original vectors.
+
+    Engine-exact by construction: lanes land on a fixed 1e-5 integer
+    grid (the q135 ``floor(x·s + 0.5)`` idiom), the trained centroid
+    means are HALF-UP-rounded back onto the same grid via
+    ``floor((2N + c) / 2c)`` (one IEEE double division of exact-in-
+    double integers, identical in Spark and DuckDB), and from there
+    every distance, argmin tie-break (dist, then centroid id) and
+    ADC sum is BIGINT arithmetic — the whole approximation replays in
+    the oracle with zero float-tolerance caveats.
+
+    Scale shape: training touches the corpus twice (assign, then
+    per-lane integer sums — both map-side partial aggregates against
+    a BROADCAST 128-row seed table); encode is one more broadcast-
+    join pass; the codebook and the per-query LUT are K·M-row
+    artifacts that attach as broadcasts, so the serving scan is
+    map-side + one (query, vec) partial-agg — no all-pairs stage, no
+    driver collect, and the corpus-side payload the scan reads is the
+    4-byte codes, not the vectors.  The exact top-k twin is q13; the
+    recall/compression trade is the point."""
+    tune(spark)
+    L, M, K = _Q198_LANES, _Q198_M, _Q198_K_CENTROIDS
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * _Q198_SCALE + F.lit(0.5)).cast("long"),
+        ).alias("q"),
+    )
+    # one row per (vector, subspace): the frame every stage reads —
+    # persisted across its three consumers (train-assign, encode,
+    # query LUT)
+    subs = scoped_persist(
+        emb.select(
+            "vec_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(M - 1)),
+                    lambda s: F.slice("q", s * L + 1, L),
+                )
+            ).alias("s", "subq"),
+        )
+    )
+    # deterministic seeds: the K corpus vectors with the smallest
+    # portable md5 hash (16 rows — the window's single-partition sort
+    # sees K rows, not the corpus; the corpus-wide order is a top-K)
+    seeds = (
+        emb.select(
+            "vec_id", portable_hash60(F.col("vec_id").cast("string")).alias("__h")
+        )
+        .orderBy("__h", "vec_id")
+        .limit(K)
+    )
+    jw = Window.orderBy("__h", "vec_id")
+    seed_ids = seeds.select(
+        "vec_id", (F.row_number().over(jw) - 1).cast("long").alias("j")
+    )
+    seed_sub = (
+        seed_ids.join(subs, "vec_id")
+        .select("j", "s", F.col("subq").alias("cq0"))
+    )
+    # Lloyd iteration 1 — assign: nearest seed per (vector, subspace),
+    # exact-integer argmin, (dist, j) tie-break via lexicographic
+    # struct-min (map-side partial agg, no window over the corpus)
+    asg = (
+        subs.join(F.broadcast(seed_sub), "s")
+        .withColumn("__d", _q198_sqdist("subq", "cq0"))
+        .groupBy("vec_id", "s")
+        .agg(
+            F.min(F.struct("__d", "j")).alias("__m"),
+            F.first("subq").alias("subq"),  # constant per group
+        )
+        .select("s", F.col("__m.j").alias("j"), "subq")
+    )
+    # Lloyd iteration 1 — update: per-lane integer sums, then the mean
+    # HALF-UP-rounded back onto the lane grid; empty clusters keep
+    # their seed (left-join coalesce)
+    lane_sums = (
+        asg.select("s", "j", F.posexplode("subq").alias("l", "v"))
+        .groupBy("s", "j", "l")
+        .agg(F.sum("v").alias("n"), F.count(F.lit(1)).alias("c"))
+    )
+    cent_arr = (
+        lane_sums.withColumn(
+            "cql",
+            F.floor((2 * F.col("n") + F.col("c")) / (2 * F.col("c"))).cast("long"),
+        )
+        .groupBy("s", "j")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("l", "cql"))),
+                lambda x: x["cql"],
+            ).alias("cqa")
+        )
+    )
+    codebook = seed_sub.join(cent_arr, ["s", "j"], "left").select(
+        "s", "j", F.coalesce("cqa", "cq0").alias("cq")
+    )
+    # encode: nearest trained centroid per (vector, subspace) — the
+    # 4-bit code column a PQ store persists
+    codes = (
+        subs.join(F.broadcast(codebook), "s")
+        .withColumn("__d", _q198_sqdist("subq", "cq"))
+        .groupBy("vec_id", "s")
+        .agg(F.min(F.struct("__d", "j")).alias("__m"))
+        .select("vec_id", "s", F.col("__m.j").alias("code"))
+    )
+    # per-query ADC lookup table: exact subspace distance from each
+    # query subvector to each centroid (|Q|·M·K rows — broadcast)
+    lut = (
+        subs.filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("query_id"), "s", "subq")
+        .join(F.broadcast(codebook), "s")
+        .select("query_id", "s", "j", _q198_sqdist("subq", "cq").alias("dpart"))
+    )
+    adc = (
+        codes.join(
+            F.broadcast(lut),
+            (codes["s"] == lut["s"]) & (codes["code"] == lut["j"]),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("dpart").alias("adc_dist"))
+    )
+    rw = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(rw).cast("long"))
+        .filter(F.col("rank") <= _Q198_TOPK)
+        .select("query_id", "vec_id", "rank", "adc_dist")
+    )
+
+
+# The oracle replays the ENTIRE pipeline — grid quantization, seed
+# choice, one Lloyd iteration (assign + rounded-mean update + empty-
+# cluster fallback), encode, LUT, ADC scan, top-k — in pure SQL over
+# the same integer grid, so the hash gate covers the approximation
+# itself, not just a wrapper.
+_Q198_SQL = f"""
+WITH E AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+           x -> CAST(floor(x * {_Q198_SCALE} + 0.5) AS BIGINT)) AS q
+  FROM embeddings
+),
+SS AS (SELECT unnest(range({_Q198_M})) AS s),
+SUBS AS (
+  SELECT vec_id, s,
+         q[(s*{_Q198_LANES}+1):(s*{_Q198_LANES}+{_Q198_LANES})] AS subq
+  FROM E, SS
+),
+SEED AS (
+  SELECT seed_vec, rn - 1 AS j FROM (
+    SELECT vec_id AS seed_vec, row_number() OVER (
+      ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+               vec_id) AS rn
+    FROM E) WHERE rn <= {_Q198_K_CENTROIDS}
+),
+SEEDSUB AS (
+  SELECT j, s, subq AS cq0 FROM SEED JOIN SUBS ON SUBS.vec_id = seed_vec
+),
+AD AS (
+  SELECT v.vec_id, v.s, c.j, v.subq,
+         CAST(list_sum(list_transform(range(1, {_Q198_LANES} + 1),
+           i -> (v.subq[i] - c.cq0[i]) * (v.subq[i] - c.cq0[i]))) AS BIGINT) AS d
+  FROM SUBS v JOIN SEEDSUB c ON v.s = c.s
+),
+ASG AS (
+  SELECT s, j, subq FROM (
+    SELECT s, j, subq,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn
+    FROM AD) WHERE rn = 1
+),
+CS AS (
+  SELECT s, j, l, CAST(sum(subq[l]) AS BIGINT) AS n, count(*) AS c
+  FROM ASG, (SELECT unnest(range(1, {_Q198_LANES} + 1)) AS l) LX
+  GROUP BY 1, 2, 3
+),
+CARR AS (
+  SELECT s, j,
+         list(CAST(floor((2.0 * n + c) / (2.0 * c)) AS BIGINT) ORDER BY l)
+           AS cqa
+  FROM CS GROUP BY 1, 2
+),
+CB AS (
+  SELECT ss.s, ss.j, COALESCE(ca.cqa, ss.cq0) AS cq
+  FROM SEEDSUB ss LEFT JOIN CARR ca ON ca.s = ss.s AND ca.j = ss.j
+),
+ED AS (
+  SELECT v.vec_id, v.s, c.j,
+         CAST(list_sum(list_transform(range(1, {_Q198_LANES} + 1),
+           i -> (v.subq[i] - c.cq[i]) * (v.subq[i] - c.cq[i]))) AS BIGINT) AS d
+  FROM SUBS v JOIN CB c ON v.s = c.s
+),
+CODES AS (
+  SELECT vec_id, s, j AS code FROM (
+    SELECT vec_id, s, j,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn
+    FROM ED) WHERE rn = 1
+),
+LUT AS (
+  SELECT q.vec_id AS query_id, c.s, c.j,
+         CAST(list_sum(list_transform(range(1, {_Q198_LANES} + 1),
+           i -> (q.subq[i] - c.cq[i]) * (q.subq[i] - c.cq[i]))) AS BIGINT)
+           AS dpart
+  FROM SUBS q JOIN CB c ON q.s = c.s WHERE q.vec_id < 8
+),
+ADC AS (
+  SELECT l.query_id, co.vec_id, CAST(sum(l.dpart) AS BIGINT) AS adc_dist
+  FROM CODES co JOIN LUT l ON l.s = co.s AND l.j = co.code
+  WHERE co.vec_id <> l.query_id
+  GROUP BY 1, 2
+),
+R AS (
+  SELECT query_id, vec_id, adc_dist,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY adc_dist, vec_id
+         ) AS BIGINT) AS rank
+  FROM ADC
+)
+SELECT query_id, vec_id, rank, adc_dist FROM R WHERE rank <= {_Q198_TOPK}
+"""
+
+
+# ---------------------------------------------------------------- q200
+_Q200_CELLS = 16
+_Q200_SCALE = 100_000
+
+
+def q200_ivf_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL ANN-INDEX MAINTENANCE — q169's delta-vs-corpus
+    shape applied to the embedding index: a daily delta of vectors
+    (``vec_id % 25 == 0``) is assigned to the EXISTING IVF cells
+    (q196's deterministic quantizer — the index already serving
+    queries) and each cell reports its growth and radius drift, the
+    two signals an index maintainer acts on (append-in-place vs
+    re-train the cell).  Without this, a 100 TB vector store re-builds
+    its index from scratch per ingest; with it, work is ∝ |delta| and
+    a bounded per-cell audit.
+
+    Signals per cell: populations (``old_n``/``delta_n``/``new_n``),
+    exact squared-L2 radius MASS on the 1e-5 integer lane grid
+    (``old_sqdist``/``delta_sqdist`` — BIGINT sums, order-independent),
+    ``grew`` (delta adds >1/8 of the old population) and ``drift``
+    (delta members sit farther out than the old mean radius:
+    ``delta_sqdist/delta_n > old_sqdist/old_n``, compared as exact
+    cross-multiplied DECIMAL(38,0) — no float division).
+
+    Engine-exact: cell assignment is the bit-replicable cosine
+    assigner q196/q13_ivf_det already gate (sequential IEEE fold =
+    DuckDB's ``list_cosine_similarity``, cell-index tie-break); the
+    radius stats are q198's integer-grid distances.  Scale shape:
+    quantizer collect is O(cells·dim); both assignment passes are
+    map-only Arrow batches (no shuffle); radius stats meet the
+    16-row centroid table through a broadcast and partial-aggregate
+    to |cells| rows; the delta pass touches ONLY the delta."""
+    from ..operators import spread
+    from ..operators.similarity import _det_cell_assigner, _det_seed_centroids
+
+    tune(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 25 != 0)
+    delta = emb.filter(F.col("vec_id") % 25 == 0)
+    centroids = _det_seed_centroids(corpus, "vec_id", "embedding", _Q200_CELLS)
+    assigner = _det_cell_assigner(centroids, 1)
+
+    def grid(col):
+        return F.transform(
+            col.cast("array<double>"),
+            lambda x: F.floor(x * _Q200_SCALE + F.lit(0.5)).cast("long"),
+        )
+
+    cw = Window.orderBy("vec_id")
+    centq = (
+        corpus.select("vec_id", grid(F.col("embedding")).alias("cq"))
+        .orderBy("vec_id")
+        .limit(_Q200_CELLS)
+        .select(
+            (F.row_number().over(cw) - 1).cast("long").alias("cell"), "cq"
+        )
+    )
+
+    def cell_stats(side: DataFrame, n_name: str, sq_name: str) -> DataFrame:
+        a = spread(
+            side.select(
+                F.col("embedding").cast("array<double>").alias("__v"),
+                grid(F.col("embedding")).alias("qv"),
+            )
+        ).withColumn("cell", assigner(F.col("__v")).getItem(0).cast("long"))
+        return (
+            a.join(F.broadcast(centq), "cell")
+            .select("cell", _q198_sqdist("qv", "cq").alias("__d"))
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias(n_name), F.sum("__d").alias(sq_name))
+        )
+
+    old = cell_stats(corpus, "old_n", "old_sqdist")
+    new = cell_stats(delta, "delta_n", "delta_sqdist")
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    return (
+        centq.select("cell")
+        .join(old, "cell", "left")
+        .join(new, "cell", "left")
+        .select(
+            "cell",
+            F.coalesce("old_n", F.lit(0)).cast("bigint").alias("old_n"),
+            F.coalesce("old_sqdist", F.lit(0)).cast("bigint").alias("old_sqdist"),
+            F.coalesce("delta_n", F.lit(0)).cast("bigint").alias("delta_n"),
+            F.coalesce("delta_sqdist", F.lit(0)).cast("bigint").alias("delta_sqdist"),
+        )
+        .select(
+            "cell",
+            "old_n",
+            "old_sqdist",
+            "delta_n",
+            "delta_sqdist",
+            (F.col("old_n") + F.col("delta_n")).alias("new_n"),
+            (F.col("delta_n") * 8 > F.col("old_n")).cast("bigint").alias("grew"),
+            F.when(
+                (F.col("delta_n") == 0) | (F.col("old_n") == 0), F.lit(0)
+            )
+            .otherwise(
+                (
+                    dec("delta_sqdist") * F.col("old_n")
+                    > dec("old_sqdist") * F.col("delta_n")
+                ).cast("int")
+            )
+            .cast("bigint")
+            .alias("drift"),
+        )
+    )
+
+
+_Q200_SQL = f"""
+WITH E AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_transform(embedding::DOUBLE[],
+           x -> CAST(floor(x * {_Q200_SCALE} + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+),
+CO AS (SELECT * FROM E WHERE vec_id % 25 <> 0),
+DE AS (SELECT * FROM E WHERE vec_id % 25 = 0),
+C AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell,
+         v AS cv, qv AS cq
+  FROM (SELECT vec_id, v, qv FROM CO ORDER BY vec_id LIMIT {_Q200_CELLS})
+),
+AO AS (
+  SELECT vec_id, qv, cell FROM (
+    SELECT e.vec_id, e.qv, c.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell
+           ) AS rn
+    FROM CO e CROSS JOIN C c) WHERE rn = 1
+),
+ADL AS (
+  SELECT vec_id, qv, cell FROM (
+    SELECT e.vec_id, e.qv, c.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell
+           ) AS rn
+    FROM DE e CROSS JOIN C c) WHERE rn = 1
+),
+SO AS (
+  SELECT a.cell, count(*) AS n,
+         CAST(sum(CAST(list_sum(list_transform(range(1, 65),
+           i -> (a.qv[i] - c.cq[i]) * (a.qv[i] - c.cq[i]))) AS BIGINT))
+           AS BIGINT) AS sq
+  FROM AO a JOIN C c USING (cell) GROUP BY 1
+),
+SD AS (
+  SELECT a.cell, count(*) AS n,
+         CAST(sum(CAST(list_sum(list_transform(range(1, 65),
+           i -> (a.qv[i] - c.cq[i]) * (a.qv[i] - c.cq[i]))) AS BIGINT))
+           AS BIGINT) AS sq
+  FROM ADL a JOIN C c USING (cell) GROUP BY 1
+),
+J AS (
+  SELECT c.cell,
+         COALESCE(so.n, 0) AS old_n, COALESCE(so.sq, 0) AS old_sqdist,
+         COALESCE(sd.n, 0) AS delta_n, COALESCE(sd.sq, 0) AS delta_sqdist
+  FROM C c LEFT JOIN SO so USING (cell) LEFT JOIN SD sd USING (cell)
+)
+SELECT cell, old_n, old_sqdist, delta_n, delta_sqdist,
+       old_n + delta_n AS new_n,
+       CAST(delta_n * 8 > old_n AS BIGINT) AS grew,
+       CAST(CASE WHEN delta_n = 0 OR old_n = 0 THEN 0
+            WHEN CAST(delta_sqdist AS HUGEINT) * old_n
+                 > CAST(old_sqdist AS HUGEINT) * delta_n THEN 1
+            ELSE 0 END AS BIGINT) AS drift
+FROM J
 """
 
 
@@ -4703,6 +5209,9 @@ QUERIES = {
     "q162_cross_validation_folds": q162_cross_validation_folds,
     "q43_data_profile": q43_data_profile,
     "q197_corpus_build": q197_corpus_build,
+    "q198_pq_adc_topk": q198_pq_adc_topk,
+    "q199_streaming_budget_admission": q199_streaming_budget_admission,
+    "q200_ivf_index_maintenance": q200_ivf_index_maintenance,
 }
 
 ORACLE = {
@@ -4721,6 +5230,9 @@ ORACLE = {
     # q191 is q189's ledger executed as a live stream: same oracle
     "q191_streaming_curation": _Q189_SQL,
     "q197_corpus_build": _Q197_SQL,
+    "q198_pq_adc_topk": _Q198_SQL,
+    "q199_streaming_budget_admission": _Q199_SQL,
+    "q200_ivf_index_maintenance": _Q200_SQL,
     "q166_ngram_novelty": _Q166_SQL,
     "q168_privacy_audit": _Q168_SQL,
     "q169_incremental_dedup": _Q169_SQL,

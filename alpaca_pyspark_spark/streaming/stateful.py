@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -127,4 +128,76 @@ def event_terminated_sessions(
 
     return marked.groupBy("key").applyInPandasWithState(
         fn, _OUTPUT, _STATE, "append", GroupStateTimeout.EventTimeTimeout
+    )
+
+
+_ADMIT_OUTPUT = StructType(
+    [
+        StructField("source", StringType()),
+        StructField("doc_id", LongType()),
+        StructField("n_tokens", LongType()),
+        StructField("cum_tokens", LongType()),
+        StructField("admitted", LongType()),  # 1 = within budget
+    ]
+)
+_ADMIT_STATE = StructType([StructField("cum", LongType())])
+
+
+def budgeted_admission(
+    docs: DataFrame,
+    *,
+    key: str,
+    order: str,
+    weight: str,
+    budget: int,
+) -> DataFrame:
+    """Per-key token-budget admission at ingest: each arriving record
+    adds its ``weight`` to the key's running total and is ADMITTED iff
+    the total (including itself) still fits ``budget`` — the streaming
+    twin of the batch prefix-cut selection (q194's rule, keyed): once
+    a key's budget is crossed, every later record is rejected, so the
+    admitted set is exactly the maximal fitting prefix of the
+    ``order``-sorted stream.
+
+    The decision is emitted immediately (no watermark, no withheld
+    tail): admission is a pure left-fold over the key's history, and
+    the one-BIGINT-per-key state is the entire history summary —
+    state size is |keys|, independent of stream length, the smallest
+    stateful-streaming footprint there is.  Records inside one
+    micro-batch are folded in ``order`` (arrival order across batches,
+    ``order`` within a batch — the staged-ingest discipline where file
+    order is monotone in ``order``, cf. ``streaming.gate``).
+    """
+    src = docs.select(
+        F.col(key).alias("source"),
+        F.col(order).cast("long").alias("doc_id"),
+        F.col(weight).cast("long").alias("n_tokens"),
+    )
+
+    def fn(
+        k: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        cum = state.get[0] if state.exists else 0
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks).sort_values("doc_id")
+        cums, flags = [], []
+        for w in pdf["n_tokens"]:
+            cum += int(w)
+            cums.append(cum)
+            flags.append(1 if cum <= budget else 0)
+        state.update((cum,))
+        yield pd.DataFrame(
+            {
+                "source": [k[0]] * len(pdf),
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "n_tokens": pdf["n_tokens"].to_numpy(),
+                "cum_tokens": cums,
+                "admitted": flags,
+            }
+        )
+
+    return src.groupBy("source").applyInPandasWithState(
+        fn, _ADMIT_OUTPUT, _ADMIT_STATE, "append", GroupStateTimeout.NoTimeout
     )

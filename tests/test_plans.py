@@ -921,3 +921,30 @@ def test_q197_readback_plan_broadcasts_manifest(spark):
     assert "Window" not in plan, plan
     assert count_broadcasts(df) >= 1, plan
     assert "partial_count" in plan or "partial_sum" in plan, plan
+
+
+def test_q198_pq_training_and_scan_broadcast(spark):
+    """Every PQ stage meets the corpus through a broadcast of a
+    model-bounded artifact (128-row seed table, K*M-row codebook,
+    |Q|*K*M-row LUT) — never a shuffled join against the corpus side
+    and never an all-pairs product; the argmins are struct-min
+    partial aggregates, not corpus-wide windows (the one window is
+    the final per-query top-k over |Q|*|corpus| scored rows)."""
+    df = QUERIES["q198_pq_adc_topk"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert count_broadcasts(df) >= 3, plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+    assert "partial_min" in plan or "partial_sum" in plan, plan
+
+
+def test_q200_maintenance_delta_proportional_plan(spark):
+    """q200's two assignment passes are map-only Arrow batches (the
+    quantizer rides in the closure — no shuffle before the per-cell
+    partial aggregate), the 16-row centroid table attaches as a
+    broadcast on both stat branches, and nothing multiplies corpus x
+    delta: no cartesian/nested-loop joins anywhere."""
+    df = QUERIES["q200_ivf_index_maintenance"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert count_broadcasts(df) >= 2, plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan

@@ -130,3 +130,52 @@ def test_timeout_flushes_abandoned_session(spark, tmp_path):
     assert flushed[0]["session_end"] == _t(9, 2)
     assert flushed[0]["n_events"] == 2
     assert flushed[0]["ended_by"] == 0
+
+
+def test_budget_admission_state_spans_batches(spark, tmp_path):
+    """The running per-key total must survive micro-batch boundaries:
+    key 'a' spends 600 of its 1000-token budget in batch 1, so only
+    400 remain for batch 2 — a fold restarted per batch would wrongly
+    admit the 500-token doc.  Key 'b' shows budgets are independent."""
+    from alpaca_pyspark_spark.streaming.stateful import budgeted_admission
+
+    src = tmp_path / "admit_src"
+    src.mkdir()
+    schema = "source string, doc_id long, n_tokens long"
+    batches = [
+        [("a", 1, 600), ("b", 2, 900)],
+        [("a", 3, 500), ("a", 4, 300), ("b", 5, 200)],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / f"f{i}")
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*")
+    )
+    out = budgeted_admission(
+        stream, key="source", order="doc_id", weight="n_tokens", budget=1000
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("admit_t")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {
+        r["doc_id"]: (r["cum_tokens"], r["admitted"])
+        for r in spark.sql("SELECT * FROM admit_t").collect()
+    }
+    assert rows == {
+        1: (600, 1),   # fits
+        2: (900, 1),   # b's own budget
+        3: (1100, 0),  # 600 carried over + 500 > 1000 — state crossed the batch
+        4: (1400, 0),  # rejection is permanent once the budget is crossed
+        5: (1100, 0),  # b: 900 + 200 > 1000
+    }

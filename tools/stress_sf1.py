@@ -73,6 +73,14 @@ QUERIES_UNDER_TEST = [
     "q195_coverage_quota_selection",
     # round 7: online vector search served as a live stream
     "q196_streaming_vector_search",
+    # round 8: the crawl-to-training-shards composition, PQ-ADC
+    # (train+encode+serve), streaming budget admission (minimal-state
+    # stateful fold), and incremental IVF maintenance (delta-
+    # proportional index upkeep)
+    "q197_corpus_build",
+    "q198_pq_adc_topk",
+    "q199_streaming_budget_admission",
+    "q200_ivf_index_maintenance",
 ]
 
 
@@ -89,11 +97,22 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf1", default="/root/repo/.scratch/sf1")
     ap.add_argument("--sf01", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--only",
+        nargs="*",
+        default=None,
+        help="run only these query ids and MERGE their rows into the "
+        "existing STRESS_SF1.json (incremental additions don't force "
+        "a full re-sweep; same one-warm-JVM protocol per run)",
+    )
     args = ap.parse_args()
     spark = get_spark("stress-sf1")
     spark.sparkContext.setLogLevel("ERROR")
+    dest = Path(__file__).resolve().parents[1] / "STRESS_SF1.json"
     out = {}
-    for qid in QUERIES_UNDER_TEST:
+    if args.only is not None and dest.exists():
+        out = json.loads(dest.read_text())
+    for qid in args.only if args.only is not None else QUERIES_UNDER_TEST:
         # warm codegen/page-cache on the small scale, then time both
         run_once(spark, qid, args.sf01)
         t01, n01 = run_once(spark, qid, args.sf01)
@@ -111,9 +130,7 @@ def main() -> None:
             f"sf1 {t1:8.2f}s ({n1} rows)   vs-linear {ratio:5.2f}x",
             flush=True,
         )
-    Path(__file__).resolve().parents[1].joinpath("STRESS_SF1.json").write_text(
-        json.dumps(out, indent=1) + "\n"
-    )
+    dest.write_text(json.dumps(out, indent=1) + "\n")
 
 
 if __name__ == "__main__":

@@ -45,6 +45,11 @@ FLAGSHIPS = [
     "q91_pagerank_suppliers",
     "q197_corpus_build",
     "q13_embedding_sim_ann",
+    # round-8 additions: PQ train/encode/serve, minimal-state
+    # streaming admission, delta-proportional index maintenance
+    "q198_pq_adc_topk",
+    "q199_streaming_budget_admission",
+    "q200_ivf_index_maintenance",
 ]
 
 
