@@ -81,6 +81,7 @@ QUERIES_UNDER_TEST = [
     "q198_pq_adc_topk",
     "q199_streaming_budget_admission",
     "q200_ivf_index_maintenance",
+    "q201_ivfpq_search",
 ]
 
 

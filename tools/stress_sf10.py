@@ -50,6 +50,7 @@ FLAGSHIPS = [
     "q198_pq_adc_topk",
     "q199_streaming_budget_admission",
     "q200_ivf_index_maintenance",
+    "q201_ivfpq_search",
 ]
 
 
@@ -66,11 +67,20 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf1", default="/root/repo/.scratch/sf1")
     ap.add_argument("--sf10", default="/root/repo/.scratch/sf10")
+    ap.add_argument(
+        "--only",
+        nargs="*",
+        default=None,
+        help="run only these ids and MERGE into STRESS_SF10.json",
+    )
     args = ap.parse_args()
     spark = get_spark("stress-sf10")
     spark.sparkContext.setLogLevel("ERROR")
+    dest = Path(__file__).resolve().parents[1] / "STRESS_SF10.json"
     out = {}
-    for qid in FLAGSHIPS:
+    if args.only is not None and dest.exists():
+        out = json.loads(dest.read_text())
+    for qid in args.only if args.only is not None else FLAGSHIPS:
         # warm codegen/page-cache on the smaller scale, then time both
         run_once(spark, qid, args.sf1)
         t1, n1 = run_once(spark, qid, args.sf1)
@@ -88,9 +98,7 @@ def main() -> None:
             f"sf10 {t10:8.2f}s ({n10} rows)   vs-linear {ratio:5.2f}x",
             flush=True,
         )
-    Path(__file__).resolve().parents[1].joinpath("STRESS_SF10.json").write_text(
-        json.dumps(out, indent=1) + "\n"
-    )
+        dest.write_text(json.dumps(out, indent=1) + "\n")
 
 
 if __name__ == "__main__":
