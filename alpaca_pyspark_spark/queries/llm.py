@@ -2985,6 +2985,74 @@ def _q198_sqdist(a, b):
     )
 
 
+def _pq_train_encode(subs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shared PQ core (q198 raw vectors, q201 coarse residuals): from a
+    ``(vec_id, s, subq)`` integer-grid subspace frame, train the
+    per-subspace codebooks (md5-ordered deterministic seeds, ONE Lloyd
+    iteration with HALF-UP grid-rounded means, empty clusters keep
+    their seed) and encode every vector.  Returns ``(codebook, codes)``
+    — ``(s, j, cq)`` and ``(vec_id, s, code)``.  Every stage meets the
+    corpus through a broadcast of the K·M-row artifact; argmins are
+    struct-min partial aggregates with exact-BIGINT (dist, j)
+    tie-break."""
+    K = _Q198_K_CENTROIDS
+    seeds = (
+        subs.select("vec_id")
+        .distinct()
+        .select(
+            "vec_id", portable_hash60(F.col("vec_id").cast("string")).alias("__h")
+        )
+        .orderBy("__h", "vec_id")
+        .limit(K)
+    )
+    jw = Window.orderBy("__h", "vec_id")
+    seed_ids = seeds.select(
+        "vec_id", (F.row_number().over(jw) - 1).cast("long").alias("j")
+    )
+    seed_sub = seed_ids.join(subs, "vec_id").select(
+        "j", "s", F.col("subq").alias("cq0")
+    )
+    asg = (
+        subs.join(F.broadcast(seed_sub), "s")
+        .withColumn("__d", _q198_sqdist("subq", "cq0"))
+        .groupBy("vec_id", "s")
+        .agg(
+            F.min(F.struct("__d", "j")).alias("__m"),
+            F.first("subq").alias("subq"),  # constant per group
+        )
+        .select("s", F.col("__m.j").alias("j"), "subq")
+    )
+    lane_sums = (
+        asg.select("s", "j", F.posexplode("subq").alias("l", "v"))
+        .groupBy("s", "j", "l")
+        .agg(F.sum("v").alias("n"), F.count(F.lit(1)).alias("c"))
+    )
+    cent_arr = (
+        lane_sums.withColumn(
+            "cql",
+            F.floor((2 * F.col("n") + F.col("c")) / (2 * F.col("c"))).cast("long"),
+        )
+        .groupBy("s", "j")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("l", "cql"))),
+                lambda x: x["cql"],
+            ).alias("cqa")
+        )
+    )
+    codebook = seed_sub.join(cent_arr, ["s", "j"], "left").select(
+        "s", "j", F.coalesce("cqa", "cq0").alias("cq")
+    )
+    codes = (
+        subs.join(F.broadcast(codebook), "s")
+        .withColumn("__d", _q198_sqdist("subq", "cq"))
+        .groupBy("vec_id", "s")
+        .agg(F.min(F.struct("__d", "j")).alias("__m"))
+        .select("vec_id", "s", F.col("__m.j").alias("code"))
+    )
+    return codebook, codes
+
+
 def q198_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRODUCT QUANTIZATION with asymmetric-distance (ADC) top-k — the
     compression half of a planet-scale vector index (Jégou et al.,
@@ -3016,7 +3084,7 @@ def q198_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     4-byte codes, not the vectors.  The exact top-k twin is q13; the
     recall/compression trade is the point."""
     tune(spark)
-    L, M, K = _Q198_LANES, _Q198_M, _Q198_K_CENTROIDS
+    L, M = _Q198_LANES, _Q198_M
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform(
@@ -3038,70 +3106,9 @@ def q198_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s", "subq"),
         )
     )
-    # deterministic seeds: the K corpus vectors with the smallest
-    # portable md5 hash (16 rows — the window's single-partition sort
-    # sees K rows, not the corpus; the corpus-wide order is a top-K)
-    seeds = (
-        emb.select(
-            "vec_id", portable_hash60(F.col("vec_id").cast("string")).alias("__h")
-        )
-        .orderBy("__h", "vec_id")
-        .limit(K)
-    )
-    jw = Window.orderBy("__h", "vec_id")
-    seed_ids = seeds.select(
-        "vec_id", (F.row_number().over(jw) - 1).cast("long").alias("j")
-    )
-    seed_sub = (
-        seed_ids.join(subs, "vec_id")
-        .select("j", "s", F.col("subq").alias("cq0"))
-    )
-    # Lloyd iteration 1 — assign: nearest seed per (vector, subspace),
-    # exact-integer argmin, (dist, j) tie-break via lexicographic
-    # struct-min (map-side partial agg, no window over the corpus)
-    asg = (
-        subs.join(F.broadcast(seed_sub), "s")
-        .withColumn("__d", _q198_sqdist("subq", "cq0"))
-        .groupBy("vec_id", "s")
-        .agg(
-            F.min(F.struct("__d", "j")).alias("__m"),
-            F.first("subq").alias("subq"),  # constant per group
-        )
-        .select("s", F.col("__m.j").alias("j"), "subq")
-    )
-    # Lloyd iteration 1 — update: per-lane integer sums, then the mean
-    # HALF-UP-rounded back onto the lane grid; empty clusters keep
-    # their seed (left-join coalesce)
-    lane_sums = (
-        asg.select("s", "j", F.posexplode("subq").alias("l", "v"))
-        .groupBy("s", "j", "l")
-        .agg(F.sum("v").alias("n"), F.count(F.lit(1)).alias("c"))
-    )
-    cent_arr = (
-        lane_sums.withColumn(
-            "cql",
-            F.floor((2 * F.col("n") + F.col("c")) / (2 * F.col("c"))).cast("long"),
-        )
-        .groupBy("s", "j")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("l", "cql"))),
-                lambda x: x["cql"],
-            ).alias("cqa")
-        )
-    )
-    codebook = seed_sub.join(cent_arr, ["s", "j"], "left").select(
-        "s", "j", F.coalesce("cqa", "cq0").alias("cq")
-    )
-    # encode: nearest trained centroid per (vector, subspace) — the
-    # 4-bit code column a PQ store persists
-    codes = (
-        subs.join(F.broadcast(codebook), "s")
-        .withColumn("__d", _q198_sqdist("subq", "cq"))
-        .groupBy("vec_id", "s")
-        .agg(F.min(F.struct("__d", "j")).alias("__m"))
-        .select("vec_id", "s", F.col("__m.j").alias("code"))
-    )
+    # train (seeds -> one Lloyd iteration) + encode — the shared PQ
+    # core, also driven on coarse residuals by q201
+    codebook, codes = _pq_train_encode(subs)
     # per-query ADC lookup table: exact subspace distance from each
     # query subvector to each centroid (|Q|·M·K rows — broadcast)
     lut = (
@@ -3129,39 +3136,28 @@ def q198_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# The oracle replays the ENTIRE pipeline — grid quantization, seed
-# choice, one Lloyd iteration (assign + rounded-mean update + empty-
-# cluster fallback), encode, LUT, ADC scan, top-k — in pure SQL over
-# the same integer grid, so the hash gate covers the approximation
-# itself, not just a wrapper.
-_Q198_SQL = f"""
-WITH E AS (
-  SELECT vec_id,
-         list_transform(embedding::DOUBLE[],
-           x -> CAST(floor(x * {_Q198_SCALE} + 0.5) AS BIGINT)) AS q
-  FROM embeddings
-),
-SS AS (SELECT unnest(range({_Q198_M})) AS s),
-SUBS AS (
-  SELECT vec_id, s,
-         q[(s*{_Q198_LANES}+1):(s*{_Q198_LANES}+{_Q198_LANES})] AS subq
-  FROM E, SS
-),
+def _pq_sql_core(src: str) -> str:
+    """The PQ train+encode CTE chain (seeds, one Lloyd iteration,
+    empty-cluster fallback, encode) over a ``(vec_id, s, subq)``
+    integer-grid source CTE named ``src`` — shared verbatim by the
+    q198 (raw vectors) and q201 (coarse residuals) oracles so the two
+    approximations cannot silently diverge."""
+    return f"""
 SEED AS (
   SELECT seed_vec, rn - 1 AS j FROM (
     SELECT vec_id AS seed_vec, row_number() OVER (
       ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
                vec_id) AS rn
-    FROM E) WHERE rn <= {_Q198_K_CENTROIDS}
+    FROM (SELECT DISTINCT vec_id FROM {src})) WHERE rn <= {_Q198_K_CENTROIDS}
 ),
 SEEDSUB AS (
-  SELECT j, s, subq AS cq0 FROM SEED JOIN SUBS ON SUBS.vec_id = seed_vec
+  SELECT j, s, subq AS cq0 FROM SEED JOIN {src} ON {src}.vec_id = seed_vec
 ),
 AD AS (
   SELECT v.vec_id, v.s, c.j, v.subq,
          CAST(list_sum(list_transform(range(1, {_Q198_LANES} + 1),
            i -> (v.subq[i] - c.cq0[i]) * (v.subq[i] - c.cq0[i]))) AS BIGINT) AS d
-  FROM SUBS v JOIN SEEDSUB c ON v.s = c.s
+  FROM {src} v JOIN SEEDSUB c ON v.s = c.s
 ),
 ASG AS (
   SELECT s, j, subq FROM (
@@ -3188,14 +3184,35 @@ ED AS (
   SELECT v.vec_id, v.s, c.j,
          CAST(list_sum(list_transform(range(1, {_Q198_LANES} + 1),
            i -> (v.subq[i] - c.cq[i]) * (v.subq[i] - c.cq[i]))) AS BIGINT) AS d
-  FROM SUBS v JOIN CB c ON v.s = c.s
+  FROM {src} v JOIN CB c ON v.s = c.s
 ),
 CODES AS (
   SELECT vec_id, s, j AS code FROM (
     SELECT vec_id, s, j,
            row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn
     FROM ED) WHERE rn = 1
+)"""
+
+
+# The oracle replays the ENTIRE pipeline — grid quantization, seed
+# choice, one Lloyd iteration (assign + rounded-mean update + empty-
+# cluster fallback), encode, LUT, ADC scan, top-k — in pure SQL over
+# the same integer grid, so the hash gate covers the approximation
+# itself, not just a wrapper.
+_Q198_SQL = f"""
+WITH E AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+           x -> CAST(floor(x * {_Q198_SCALE} + 0.5) AS BIGINT)) AS q
+  FROM embeddings
 ),
+SS AS (SELECT unnest(range({_Q198_M})) AS s),
+SUBS AS (
+  SELECT vec_id, s,
+         q[(s*{_Q198_LANES}+1):(s*{_Q198_LANES}+{_Q198_LANES})] AS subq
+  FROM E, SS
+),
+{_pq_sql_core("SUBS")},
 LUT AS (
   SELECT q.vec_id AS query_id, c.s, c.j,
          CAST(list_sum(list_transform(range(1, {_Q198_LANES} + 1),
@@ -3389,6 +3406,216 @@ SELECT cell, old_n, old_sqdist, delta_n, delta_sqdist,
                  > CAST(old_sqdist AS HUGEINT) * delta_n THEN 1
             ELSE 0 END AS BIGINT) AS drift
 FROM J
+"""
+
+
+# ---------------------------------------------------------------- q201
+_Q201_NPROBE = 4
+_Q201_TOPK = 10
+
+
+def q201_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the COMPOSED production ANN layout (FAISS's default
+    billion-scale index; Jégou et al. 2011 §V): the coarse IVF
+    quantizer (q196/q200's deterministic cosine cells) partitions the
+    corpus, PQ codebooks are trained on the coarse RESIDUALS (vector
+    minus its cell centroid, where PQ's grid has far less variance to
+    cover), and serving probes the query's ``nprobe`` nearest cells,
+    scanning only those cells' 4-byte codes with a per-(query, cell)
+    residual lookup table.  q198 proved the PQ kernel; this is the
+    index a 100 TB store actually ships: memory = |corpus|·(cell id +
+    4 bytes), serving work ∝ nprobe/cells of the corpus.
+
+    Engine-exact end to end: the bit-replicable cosine coarse
+    assigner (sequential IEEE fold = DuckDB ``list_cosine_similarity``,
+    cell-index tie-break), integer residuals on the 1e-5 lane grid
+    (BIGINT subtraction — exact), then the SHARED ``_pq_train_encode``
+    core and pure-BIGINT ADC.  The oracle replays coarse assignment,
+    residuals, codebook training, encoding, probing and the ADC scan
+    through the same ``_pq_sql_core`` CTE chain q198 uses.
+
+    Scale shape: coarse assignment is a map-only Arrow batch; the
+    residual join attaches the 16-row centroid table as a broadcast;
+    PQ train/encode keep q198's broadcast + partial-agg shapes; the
+    codes↔cell attach is a co-partitioned corpus equi-join (vec_id
+    keyed, one shuffle); the |Q|·nprobe·M·K-row LUT broadcasts, and
+    its inner join on the cell id IS the probe pruning — unprobed
+    cells never join, so serving touches ~nprobe/cells of the code
+    table."""
+    from ..operators import spread
+    from ..operators.similarity import _det_cell_assigner, _det_seed_centroids
+
+    tune(spark)
+    L, M = _Q198_LANES, _Q198_M
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = _det_seed_centroids(emb, "vec_id", "embedding", _Q200_CELLS)
+
+    def grid(col):
+        return F.transform(
+            col.cast("array<double>"),
+            lambda x: F.floor(x * _Q198_SCALE + F.lit(0.5)).cast("long"),
+        )
+
+    def subspaces(col):
+        return F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(M - 1)),
+                lambda s: F.slice(col, s * L + 1, L),
+            )
+        )
+
+    cw = Window.orderBy("vec_id")
+    centq = (
+        emb.select("vec_id", grid(F.col("embedding")).alias("cq"))
+        .orderBy("vec_id")
+        .limit(_Q200_CELLS)
+        .select((F.row_number().over(cw) - 1).cast("long").alias("cell"), "cq")
+    )
+    base = spread(
+        emb.select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("__v"),
+            grid(F.col("embedding")).alias("qv"),
+        )
+    ).withColumn(
+        "cell", _det_cell_assigner(centroids, 1)(F.col("__v")).getItem(0).cast("long")
+    )
+    res = scoped_persist(
+        base.join(F.broadcast(centq), "cell").select(
+            "vec_id",
+            "cell",
+            F.zip_with("qv", "cq", lambda a, b: a - b).alias("rq"),
+        )
+    )
+    rsubs = scoped_persist(
+        res.select("vec_id", subspaces(F.col("rq")).alias("s", "subq"))
+    )
+    codebook, codes = _pq_train_encode(rsubs)
+    # serving side: probe cells per query, per-(query, cell) residual LUT
+    qp = (
+        spread(
+            emb.filter(F.col("vec_id") < 8).select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").cast("array<double>").alias("__v"),
+                grid(F.col("embedding")).alias("qv"),
+            )
+        )
+        .withColumn(
+            "__cells", _det_cell_assigner(centroids, _Q201_NPROBE)(F.col("__v"))
+        )
+        .select("query_id", "qv", F.explode("__cells").alias("cell"))
+        .withColumn("cell", F.col("cell").cast("long"))
+    )
+    qsubs = (
+        qp.join(F.broadcast(centq), "cell")
+        .select(
+            "query_id",
+            "cell",
+            F.zip_with("qv", "cq", lambda a, b: a - b).alias("rq"),
+        )
+        .select("query_id", "cell", subspaces(F.col("rq")).alias("s", "subq"))
+    )
+    lut = qsubs.join(F.broadcast(codebook), "s").select(
+        "query_id", "cell", "s", "j", _q198_sqdist("subq", "cq").alias("dpart")
+    )
+    cand = codes.join(res.select("vec_id", "cell"), "vec_id")
+    adc = (
+        cand.join(
+            F.broadcast(lut),
+            (cand["cell"] == lut["cell"])
+            & (cand["s"] == lut["s"])
+            & (cand["code"] == lut["j"]),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("dpart").alias("adc_dist"))
+    )
+    rw = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(rw).cast("long"))
+        .filter(F.col("rank") <= _Q201_TOPK)
+        .select("query_id", "vec_id", "rank", "adc_dist")
+    )
+
+
+_Q201_SQL = f"""
+WITH E AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_transform(embedding::DOUBLE[],
+           x -> CAST(floor(x * {_Q198_SCALE} + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+),
+C AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell,
+         v AS cv, qv AS cq
+  FROM (SELECT vec_id, v, qv FROM E ORDER BY vec_id LIMIT {_Q200_CELLS})
+),
+AO AS (
+  SELECT vec_id, qv, cell FROM (
+    SELECT e.vec_id, e.qv, c.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell
+           ) AS rn
+    FROM E e CROSS JOIN C c) WHERE rn = 1
+),
+RES AS (
+  SELECT a.vec_id, a.cell,
+         list_transform(range(1, 65), i -> a.qv[i] - c.cq[i]) AS rq
+  FROM AO a JOIN C c USING (cell)
+),
+SS AS (SELECT unnest(range({_Q198_M})) AS s),
+RSUBS AS (
+  SELECT vec_id, s,
+         rq[(s*{_Q198_LANES}+1):(s*{_Q198_LANES}+{_Q198_LANES})] AS subq
+  FROM RES, SS
+),
+{_pq_sql_core("RSUBS")},
+QP AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT e.vec_id AS query_id, e.qv, c.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell
+           ) AS rn
+    FROM E e CROSS JOIN C c WHERE e.vec_id < 8) WHERE rn <= {_Q201_NPROBE}
+),
+QSUBS AS (
+  SELECT query_id, cell, s,
+         rq[(s*{_Q198_LANES}+1):(s*{_Q198_LANES}+{_Q198_LANES})] AS subq
+  FROM (
+    SELECT q.query_id, q.cell,
+           list_transform(range(1, 65), i -> q.qv[i] - c.cq[i]) AS rq
+    FROM QP q JOIN C c USING (cell)), SS
+),
+LUT AS (
+  SELECT q.query_id, q.cell, c.s, c.j,
+         CAST(list_sum(list_transform(range(1, {_Q198_LANES} + 1),
+           i -> (q.subq[i] - c.cq[i]) * (q.subq[i] - c.cq[i]))) AS BIGINT)
+           AS dpart
+  FROM QSUBS q JOIN CB c ON q.s = c.s
+),
+CAND AS (
+  SELECT co.vec_id, a.cell, co.s, co.code
+  FROM CODES co JOIN AO a USING (vec_id)
+),
+ADC AS (
+  SELECT l.query_id, ca.vec_id, CAST(sum(l.dpart) AS BIGINT) AS adc_dist
+  FROM CAND ca
+  JOIN LUT l ON l.cell = ca.cell AND l.s = ca.s AND l.j = ca.code
+  WHERE ca.vec_id <> l.query_id
+  GROUP BY 1, 2
+),
+R AS (
+  SELECT query_id, vec_id, adc_dist,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY adc_dist, vec_id
+         ) AS BIGINT) AS rank
+  FROM ADC
+)
+SELECT query_id, vec_id, rank, adc_dist FROM R WHERE rank <= {_Q201_TOPK}
 """
 
 
@@ -5212,6 +5439,7 @@ QUERIES = {
     "q198_pq_adc_topk": q198_pq_adc_topk,
     "q199_streaming_budget_admission": q199_streaming_budget_admission,
     "q200_ivf_index_maintenance": q200_ivf_index_maintenance,
+    "q201_ivfpq_search": q201_ivfpq_search,
 }
 
 ORACLE = {
@@ -5233,6 +5461,7 @@ ORACLE = {
     "q198_pq_adc_topk": _Q198_SQL,
     "q199_streaming_budget_admission": _Q199_SQL,
     "q200_ivf_index_maintenance": _Q200_SQL,
+    "q201_ivfpq_search": _Q201_SQL,
     "q166_ngram_novelty": _Q166_SQL,
     "q168_privacy_audit": _Q168_SQL,
     "q169_incremental_dedup": _Q169_SQL,

@@ -24,6 +24,20 @@ def test_usage_registry_counts():
     assert int(m.group(3)) == len(QUERIES), (m.group(3), len(QUERIES))
 
 
+def test_survey_status_note_counts():
+    """SURVEY.md §2G's round-status note must track the live registry
+    (VERDICT r7 item 7: keep it pinned as the registry grows)."""
+    text = (REPO / "SURVEY.md").read_text()
+    m = re.search(
+        r"(\d+)\s*\n?> queries q01–q(\d+), (\d+) oracle-paired", text
+    )
+    assert m, "SURVEY.md status-note sentence not found"
+    max_id = max(int(re.match(r"q(\d+)", k).group(1)) for k in QUERIES)
+    assert int(m.group(1)) == len(QUERIES), (m.group(1), len(QUERIES))
+    assert int(m.group(2)) == max_id, (m.group(2), max_id)
+    assert int(m.group(3)) == len(ORACLE), (m.group(3), len(ORACLE))
+
+
 def test_oracle_is_subset_of_queries():
     assert set(ORACLE) <= set(QUERIES)
 

@@ -948,3 +948,54 @@ def test_q200_maintenance_delta_proportional_plan(spark):
     assert count_broadcasts(df) >= 2, plan
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
     assert "partial_count" in plan or "partial_sum" in plan, plan
+
+
+def test_q201_ivfpq_probe_pruned_plan(spark):
+    """q201's serving join must prune by probed cell: the LUT (cell,
+    subspace, code keyed) attaches as a broadcast so unprobed cells
+    never join; the coarse assignment is a map-only Arrow batch; the
+    codes<->cell attach is an equi-join — no cartesian/nested-loop
+    anywhere and no corpus-wide window except the final per-query
+    top-k."""
+    df = QUERIES["q201_ivfpq_search"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert count_broadcasts(df) >= 3, plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_q199_stream_plan_minimal_state(spark, tmp_path):
+    """q199's admission stream must carry exactly ONE stateful
+    operator — the keyed FlatMapGroupsInPandasWithState fold — and
+    nothing else that accumulates (no watermark, no dedup, no
+    aggregate): the state footprint is the one-BIGINT-per-key
+    contract.  Token counting must happen BEFORE the stream (the
+    staged frame carries n_tokens; the streaming plan has no
+    tokenizer expressions)."""
+    from pyspark.sql import functions as F
+
+    from alpaca_pyspark_spark.functions import tokens
+    from alpaca_pyspark_spark.streaming.stateful import budgeted_admission
+    from alpaca_pyspark_spark.tables import load
+
+    docs = load(spark, SF_DIR, "documents").select(
+        "source",
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    src = str(tmp_path / "admit_docs")
+    docs.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    out = budgeted_admission(
+        stream, key="source", order="doc_id", weight="n_tokens", budget=800
+    )
+    assert out.isStreaming
+    logical = out._jdf.queryExecution().analyzed().toString()
+    assert logical.count("FlatMapGroupsInPandasWithState") == 1, logical
+    for stateful in (
+        "Aggregate [",
+        "Deduplicate",
+        "EventTimeWatermark",
+        "regexp",
+        "split",
+    ):
+        assert stateful not in logical, (stateful, logical)
