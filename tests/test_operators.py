@@ -1098,3 +1098,116 @@ def test_assign_stable_ids_cumsum_requires_weight(spark):
         assign_stable_ids(
             docs, ["doc_id"], weight_col="n_chars", cumsum_col="n_chars"
         )
+
+
+def _pq_fixture_rows():
+    """Deterministic integer subspace frame: 40 vectors x 8 subspaces
+    x 8 lanes, values in [-498, 498] — small enough to replay in numpy,
+    irregular enough that every codebook entry trains."""
+    return [
+        (v, s, [((v * 37 + s * 11 + l * 7) ** 2 % 997) - 498 for l in range(8)])
+        for v in range(40)
+        for s in range(8)
+    ]
+
+
+def _pq_numpy_twin(rows, k=16, lanes=8):
+    """Replays _pq_train_encode exactly in numpy/python ints: md5-seed
+    choice, integer argmin with (dist, j) tie-break, HALF-UP grid-
+    rounded means, empty-cluster seed fallback, encode.  Returns
+    (codebook dict[(s, j)] -> tuple, codes dict[(vec_id, s)] -> j,
+    seed_sse, trained_sse)."""
+    import hashlib
+
+    vecs = sorted({v for v, _, _ in rows})
+    subq = {(v, s): q for v, s, q in rows}
+    subspaces = sorted({s for _, s, _ in rows})
+    h = lambda v: int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)  # noqa: E731
+    seeds = sorted(vecs, key=lambda v: (h(v), v))[:k]
+    seed_cb = {(s, j): tuple(subq[(sv, s)]) for j, sv in enumerate(seeds) for s in subspaces}
+
+    def argmin(q, cb):
+        best = None
+        for j in range(k):
+            d = sum((a - b) * (a - b) for a, b in zip(q, cb[j]))
+            if best is None or (d, j) < best[:2]:
+                best = (d, j)
+        return best  # (dist, j)
+
+    seed_sse, members = 0, {}
+    for v in vecs:
+        for s in subspaces:
+            d, j = argmin(subq[(v, s)], {j: seed_cb[(s, j)] for j in range(k)})
+            seed_sse += d
+            members.setdefault((s, j), []).append(subq[(v, s)])
+    # python // is FLOOR division (same convention as F.floor of the
+    # exact-in-double division for these magnitudes, negatives included)
+    codebook = {
+        (s, j): tuple(
+            (2 * sum(m[l] for m in members[(s, j)]) + len(members[(s, j)]))
+            // (2 * len(members[(s, j)]))
+            for l in range(lanes)
+        )
+        if members.get((s, j))
+        else seed_cb[(s, j)]
+        for s in subspaces
+        for j in range(k)
+    }
+    codes, trained_sse = {}, 0
+    for v in vecs:
+        for s in subspaces:
+            d, j = argmin(subq[(v, s)], {j: codebook[(s, j)] for j in range(k)})
+            codes[(v, s)] = j
+            trained_sse += d
+    return codebook, codes, seed_sse, trained_sse
+
+
+def test_pq_train_encode_matches_numpy_twin(spark):
+    """The distributed PQ trainer must reproduce the sequential
+    reference bit-for-bit: same md5 seeds, same integer argmins and
+    tie-breaks, same HALF-UP grid-rounded means, same codes."""
+    from alpaca_pyspark_spark.queries.llm import _pq_train_encode
+
+    rows = _pq_fixture_rows()
+    df = spark.createDataFrame(rows, "vec_id long, s int, subq array<long>")
+    codebook, codes = _pq_train_encode(df)
+    want_cb, want_codes, _, _ = _pq_numpy_twin(rows)
+    got_cb = {(r["s"], r["j"]): tuple(r["cq"]) for r in codebook.collect()}
+    got_codes = {(r["vec_id"], r["s"]): r["code"] for r in codes.collect()}
+    assert got_cb == want_cb
+    assert got_codes == want_codes
+
+
+def test_pq_train_encode_partition_invariant(spark):
+    """Codebook and codes must not depend on input partitioning — the
+    property that makes the trainer's answer stable on any cluster
+    layout (argmins are struct-min aggregates; means are integer sums)."""
+    from alpaca_pyspark_spark.queries.llm import _pq_train_encode
+
+    rows = _pq_fixture_rows()
+    outs = []
+    for n_parts in (1, 13):
+        df = spark.createDataFrame(
+            rows, "vec_id long, s int, subq array<long>"
+        ).repartition(n_parts)
+        codebook, codes = _pq_train_encode(df)
+        outs.append(
+            (
+                sorted((r["s"], r["j"], tuple(r["cq"])) for r in codebook.collect()),
+                sorted((r["vec_id"], r["s"], r["code"]) for r in codes.collect()),
+            )
+        )
+    assert outs[0] == outs[1]
+
+
+def test_pq_lloyd_iteration_distortion_bound(spark):
+    """k-means monotonicity survives the grid rounding: total trained
+    distortion <= seed distortion + N_subvectors * lanes / 4 (each
+    rounded mean sits within half a grid step per lane of the true
+    SSE-minimizing mean — the exact worst-case slack)."""
+    rows = _pq_fixture_rows()
+    _, _, seed_sse, trained_sse = _pq_numpy_twin(rows)
+    n_subvectors = len(rows)
+    assert trained_sse <= seed_sse + n_subvectors * 8 / 4
+    # and the iteration actually helps on this fixture, not just bounds
+    assert trained_sse < seed_sse
