@@ -2709,10 +2709,15 @@ def q199_streaming_budget_admission(
     from ..streaming.stateful import budgeted_admission
 
     tune(spark)
+    # a NULL text counts 0 tokens (coalesce on BOTH engines): NULL must
+    # not kill the stream or — worse — decrement the running total via
+    # Spark's legacy size(NULL) = -1
     docs = load(spark, sf_dir, "documents").select(
         "source",
         "doc_id",
-        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        F.coalesce(
+            F.size(tokens(F.col("text"))).cast("long"), F.lit(0)
+        ).alias("n_tokens"),
     )
     sunk = run_streaming_gate(
         spark,
@@ -2732,7 +2737,8 @@ def q199_streaming_budget_admission(
 _Q199_SQL = rf"""
 WITH t AS (
   SELECT source, doc_id,
-         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+         COALESCE(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT), 0)
+           AS n_tokens
   FROM documents
 )
 SELECT source, doc_id, n_tokens,
@@ -2985,6 +2991,44 @@ def _q198_sqdist(a, b):
     )
 
 
+def _int_grid(col):
+    """Embedding → BIGINT lanes on the fixed 1e-5 grid (the q135
+    ``floor(x·s + 0.5)`` idiom) — THE quantizer every integer-exact
+    vector query shares (q198/q200/q201), one definition so the grid
+    cannot silently diverge between the PQ, maintenance and IVF-PQ
+    pipelines."""
+    return F.transform(
+        col.cast("array<double>"),
+        lambda x: F.floor(x * _Q198_SCALE + F.lit(0.5)).cast("long"),
+    )
+
+
+def _pq_subspaces(col):
+    """posexplode into (s, subq): the M fixed lane slices of a grid
+    vector — shared by every PQ consumer."""
+    return F.posexplode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_Q198_M - 1)),
+            lambda s: F.slice(col, s * _Q198_LANES + 1, _Q198_LANES),
+        )
+    )
+
+
+def _grid_centroids(emb: DataFrame, n: int) -> DataFrame:
+    """(cell, cq): integer-grid vectors of the ``n`` smallest vec_ids
+    — the deterministic coarse quantizer's centroid table, numbered
+    identically to ``_det_seed_centroids``' cell indices (both order
+    by vec_id).  The row_number window sees ``n`` rows, never the
+    corpus."""
+    cw = Window.orderBy("vec_id")
+    return (
+        emb.select("vec_id", _int_grid(F.col("embedding")).alias("cq"))
+        .orderBy("vec_id")
+        .limit(n)
+        .select((F.row_number().over(cw) - 1).cast("long").alias("cell"), "cq")
+    )
+
+
 def _pq_train_encode(subs: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Shared PQ core (q198 raw vectors, q201 coarse residuals): from a
     ``(vec_id, s, subq)`` integer-grid subspace frame, train the
@@ -3084,27 +3128,14 @@ def q198_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     4-byte codes, not the vectors.  The exact top-k twin is q13; the
     recall/compression trade is the point."""
     tune(spark)
-    L, M = _Q198_LANES, _Q198_M
     emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform(
-            F.col("embedding").cast("array<double>"),
-            lambda x: F.floor(x * _Q198_SCALE + F.lit(0.5)).cast("long"),
-        ).alias("q"),
+        "vec_id", _int_grid(F.col("embedding")).alias("q")
     )
     # one row per (vector, subspace): the frame every stage reads —
     # persisted across its three consumers (train-assign, encode,
     # query LUT)
     subs = scoped_persist(
-        emb.select(
-            "vec_id",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(M - 1)),
-                    lambda s: F.slice("q", s * L + 1, L),
-                )
-            ).alias("s", "subq"),
-        )
+        emb.select("vec_id", _pq_subspaces(F.col("q")).alias("s", "subq"))
     )
     # train (seeds -> one Lloyd iteration) + encode — the shared PQ
     # core, also driven on coarse residuals by q201
@@ -3239,7 +3270,7 @@ SELECT query_id, vec_id, rank, adc_dist FROM R WHERE rank <= {_Q198_TOPK}
 
 # ---------------------------------------------------------------- q200
 _Q200_CELLS = 16
-_Q200_SCALE = 100_000
+_Q200_SCALE = _Q198_SCALE  # one grid for the whole integer-exact vector family
 
 
 def q200_ivf_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3255,11 +3286,14 @@ def q200_ivf_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Signals per cell: populations (``old_n``/``delta_n``/``new_n``),
     exact squared-L2 radius MASS on the 1e-5 integer lane grid
-    (``old_sqdist``/``delta_sqdist`` — BIGINT sums, order-independent),
-    ``grew`` (delta adds >1/8 of the old population) and ``drift``
-    (delta members sit farther out than the old mean radius:
+    (``old_sqdist``/``delta_sqdist`` — DECIMAL(38,0) sums of BIGINT
+    per-member distances, order-independent and wrap-proof to ~1e26
+    members per cell where an int64 sum would silently wrap past
+    ~1.3e7), ``grew`` (delta adds >1/8 of the old population) and
+    ``drift`` (delta members sit farther out than the old mean radius:
     ``delta_sqdist/delta_n > old_sqdist/old_n``, compared as exact
-    cross-multiplied DECIMAL(38,0) — no float division).
+    cross-multiplied 128-bit integers — no float division; the
+    product stays in range up to ~1e12 members per cell).
 
     Engine-exact: cell assignment is the bit-replicable cosine
     assigner q196/q13_ivf_det already gate (sequential IEEE fold =
@@ -3278,40 +3312,33 @@ def q200_ivf_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = emb.filter(F.col("vec_id") % 25 == 0)
     centroids = _det_seed_centroids(corpus, "vec_id", "embedding", _Q200_CELLS)
     assigner = _det_cell_assigner(centroids, 1)
-
-    def grid(col):
-        return F.transform(
-            col.cast("array<double>"),
-            lambda x: F.floor(x * _Q200_SCALE + F.lit(0.5)).cast("long"),
-        )
-
-    cw = Window.orderBy("vec_id")
-    centq = (
-        corpus.select("vec_id", grid(F.col("embedding")).alias("cq"))
-        .orderBy("vec_id")
-        .limit(_Q200_CELLS)
-        .select(
-            (F.row_number().over(cw) - 1).cast("long").alias("cell"), "cq"
-        )
-    )
+    centq = _grid_centroids(corpus, _Q200_CELLS)
 
     def cell_stats(side: DataFrame, n_name: str, sq_name: str) -> DataFrame:
         a = spread(
             side.select(
                 F.col("embedding").cast("array<double>").alias("__v"),
-                grid(F.col("embedding")).alias("qv"),
+                _int_grid(F.col("embedding")).alias("qv"),
             )
         ).withColumn("cell", assigner(F.col("__v")).getItem(0).cast("long"))
+        # the radius MASS accumulates as DECIMAL(38,0): a per-member
+        # distance is <= lanes*(2*grid_max)^2 ~ 7e11, so a BIGINT cell
+        # sum would wrap past ~1.3e7 worst-case members — real at the
+        # corpus sizes this audit is for; 38 digits never wraps and
+        # DuckDB's HUGEINT sum casts to the same decimal exactly
         return (
             a.join(F.broadcast(centq), "cell")
-            .select("cell", _q198_sqdist("qv", "cq").alias("__d"))
+            .select(
+                "cell",
+                _q198_sqdist("qv", "cq").cast("decimal(38,0)").alias("__d"),
+            )
             .groupBy("cell")
             .agg(F.count(F.lit(1)).alias(n_name), F.sum("__d").alias(sq_name))
         )
 
     old = cell_stats(corpus, "old_n", "old_sqdist")
     new = cell_stats(delta, "delta_n", "delta_sqdist")
-    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    zero = F.lit(0).cast("decimal(38,0)")
     return (
         centq.select("cell")
         .join(old, "cell", "left")
@@ -3319,9 +3346,11 @@ def q200_ivf_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "cell",
             F.coalesce("old_n", F.lit(0)).cast("bigint").alias("old_n"),
-            F.coalesce("old_sqdist", F.lit(0)).cast("bigint").alias("old_sqdist"),
+            F.coalesce("old_sqdist", zero).cast("decimal(38,0)").alias("old_sqdist"),
             F.coalesce("delta_n", F.lit(0)).cast("bigint").alias("delta_n"),
-            F.coalesce("delta_sqdist", F.lit(0)).cast("bigint").alias("delta_sqdist"),
+            F.coalesce("delta_sqdist", zero)
+            .cast("decimal(38,0)")
+            .alias("delta_sqdist"),
         )
         .select(
             "cell",
@@ -3336,8 +3365,8 @@ def q200_ivf_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .otherwise(
                 (
-                    dec("delta_sqdist") * F.col("old_n")
-                    > dec("old_sqdist") * F.col("delta_n")
+                    F.col("delta_sqdist") * F.col("old_n")
+                    > F.col("old_sqdist") * F.col("delta_n")
                 ).cast("int")
             )
             .cast("bigint")
@@ -3382,20 +3411,22 @@ SO AS (
   SELECT a.cell, count(*) AS n,
          CAST(sum(CAST(list_sum(list_transform(range(1, 65),
            i -> (a.qv[i] - c.cq[i]) * (a.qv[i] - c.cq[i]))) AS BIGINT))
-           AS BIGINT) AS sq
+           AS DECIMAL(38,0)) AS sq
   FROM AO a JOIN C c USING (cell) GROUP BY 1
 ),
 SD AS (
   SELECT a.cell, count(*) AS n,
          CAST(sum(CAST(list_sum(list_transform(range(1, 65),
            i -> (a.qv[i] - c.cq[i]) * (a.qv[i] - c.cq[i]))) AS BIGINT))
-           AS BIGINT) AS sq
+           AS DECIMAL(38,0)) AS sq
   FROM ADL a JOIN C c USING (cell) GROUP BY 1
 ),
 J AS (
   SELECT c.cell,
-         COALESCE(so.n, 0) AS old_n, COALESCE(so.sq, 0) AS old_sqdist,
-         COALESCE(sd.n, 0) AS delta_n, COALESCE(sd.sq, 0) AS delta_sqdist
+         COALESCE(so.n, 0) AS old_n,
+         COALESCE(so.sq, CAST(0 AS DECIMAL(38,0))) AS old_sqdist,
+         COALESCE(sd.n, 0) AS delta_n,
+         COALESCE(sd.sq, CAST(0 AS DECIMAL(38,0))) AS delta_sqdist
   FROM C c LEFT JOIN SO so USING (cell) LEFT JOIN SD sd USING (cell)
 )
 SELECT cell, old_n, old_sqdist, delta_n, delta_sqdist,
@@ -3446,36 +3477,14 @@ def q201_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import _det_cell_assigner, _det_seed_centroids
 
     tune(spark)
-    L, M = _Q198_LANES, _Q198_M
     emb = load(spark, sf_dir, "embeddings")
     centroids = _det_seed_centroids(emb, "vec_id", "embedding", _Q200_CELLS)
-
-    def grid(col):
-        return F.transform(
-            col.cast("array<double>"),
-            lambda x: F.floor(x * _Q198_SCALE + F.lit(0.5)).cast("long"),
-        )
-
-    def subspaces(col):
-        return F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(M - 1)),
-                lambda s: F.slice(col, s * L + 1, L),
-            )
-        )
-
-    cw = Window.orderBy("vec_id")
-    centq = (
-        emb.select("vec_id", grid(F.col("embedding")).alias("cq"))
-        .orderBy("vec_id")
-        .limit(_Q200_CELLS)
-        .select((F.row_number().over(cw) - 1).cast("long").alias("cell"), "cq")
-    )
+    centq = _grid_centroids(emb, _Q200_CELLS)
     base = spread(
         emb.select(
             "vec_id",
             F.col("embedding").cast("array<double>").alias("__v"),
-            grid(F.col("embedding")).alias("qv"),
+            _int_grid(F.col("embedding")).alias("qv"),
         )
     ).withColumn(
         "cell", _det_cell_assigner(centroids, 1)(F.col("__v")).getItem(0).cast("long")
@@ -3488,7 +3497,7 @@ def q201_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     rsubs = scoped_persist(
-        res.select("vec_id", subspaces(F.col("rq")).alias("s", "subq"))
+        res.select("vec_id", _pq_subspaces(F.col("rq")).alias("s", "subq"))
     )
     codebook, codes = _pq_train_encode(rsubs)
     # serving side: probe cells per query, per-(query, cell) residual LUT
@@ -3497,7 +3506,7 @@ def q201_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb.filter(F.col("vec_id") < 8).select(
                 F.col("vec_id").alias("query_id"),
                 F.col("embedding").cast("array<double>").alias("__v"),
-                grid(F.col("embedding")).alias("qv"),
+                _int_grid(F.col("embedding")).alias("qv"),
             )
         )
         .withColumn(
@@ -3513,7 +3522,7 @@ def q201_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cell",
             F.zip_with("qv", "cq", lambda a, b: a - b).alias("rq"),
         )
-        .select("query_id", "cell", subspaces(F.col("rq")).alias("s", "subq"))
+        .select("query_id", "cell", _pq_subspaces(F.col("rq")).alias("s", "subq"))
     )
     lut = qsubs.join(F.broadcast(codebook), "s").select(
         "query_id", "cell", "s", "j", _q198_sqdist("subq", "cq").alias("dpart")

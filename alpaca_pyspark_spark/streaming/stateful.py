@@ -184,7 +184,13 @@ def budgeted_admission(
         pdf = pd.concat(chunks).sort_values("doc_id")
         cums, flags = [], []
         for w in pdf["n_tokens"]:
-            cum += int(w)
+            # defensive at the fold: a NULL weight (NaN here) counts 0
+            # and a negative weight must NEVER refund spent budget —
+            # one malformed record may not crash the stream or break
+            # the once-rejected-stays-rejected prefix invariant.
+            # (Registered callers coalesce upstream; this is the
+            # operator's own contract.)
+            cum += 0 if pd.isna(w) else max(int(w), 0)
             cums.append(cum)
             flags.append(1 if cum <= budget else 0)
         state.update((cum,))

@@ -1200,7 +1200,7 @@ def test_pq_train_encode_partition_invariant(spark):
     assert outs[0] == outs[1]
 
 
-def test_pq_lloyd_iteration_distortion_bound(spark):
+def test_pq_lloyd_iteration_distortion_bound():
     """k-means monotonicity survives the grid rounding: total trained
     distortion <= seed distortion + N_subvectors * lanes / 4 (each
     rounded mean sits within half a grid step per lane of the true

@@ -179,3 +179,47 @@ def test_budget_admission_state_spans_batches(spark, tmp_path):
         4: (1400, 0),  # rejection is permanent once the budget is crossed
         5: (1100, 0),  # b: 900 + 200 > 1000
     }
+
+
+def test_budget_admission_null_and_negative_weights(spark, tmp_path):
+    """One malformed record must neither kill the stream nor refund
+    spent budget: NULL weights (NaN in the fold) count 0, negative
+    weights clamp to 0 — once a key crosses its budget it can never
+    dip back under and wrongly re-admit later documents."""
+    from alpaca_pyspark_spark.streaming.stateful import budgeted_admission
+
+    src = tmp_path / "admit_nulls"
+    src.mkdir()
+    schema = "source string, doc_id long, n_tokens long"
+    spark.createDataFrame(
+        [("a", 1, 900), ("a", 2, None), ("a", 3, -500), ("a", 4, 200)],
+        schema,
+    ).coalesce(1).write.parquet(str(src / "f0"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*")
+    )
+    out = budgeted_admission(
+        stream, key="source", order="doc_id", weight="n_tokens", budget=1000
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("admit_nulls_t")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {
+        r["doc_id"]: (r["cum_tokens"], r["admitted"])
+        for r in spark.sql("SELECT * FROM admit_nulls_t").collect()
+    }
+    assert rows == {
+        1: (900, 1),
+        2: (900, 1),   # NULL counts 0, does not crash the fold
+        3: (900, 1),   # negative clamps to 0 — no budget refund
+        4: (1100, 0),  # the real 200-token doc still overflows
+    }

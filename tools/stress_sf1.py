@@ -131,7 +131,9 @@ def main() -> None:
             f"sf1 {t1:8.2f}s ({n1} rows)   vs-linear {ratio:5.2f}x",
             flush=True,
         )
-    dest.write_text(json.dumps(out, indent=1) + "\n")
+        # write after EVERY query (like stress_sf10): a crash mid-sweep
+        # keeps the completed rows, and --only can resume from them
+        dest.write_text(json.dumps(out, indent=1) + "\n")
 
 
 if __name__ == "__main__":
