@@ -38,6 +38,17 @@ def test_survey_status_note_counts():
     assert int(m.group(3)) == len(ORACLE), (m.group(3), len(ORACLE))
 
 
+def test_readme_registry_count():
+    """README's 'declared query set (N entries, q01-qMM)' line must
+    track the live registry."""
+    text = (REPO / "README.md").read_text()
+    m = re.search(r"declared query set \((\d+) entries, q01-q(\d+)\)", text)
+    assert m, "README.md registry-count line not found"
+    max_id = max(int(re.match(r"q(\d+)", k).group(1)) for k in QUERIES)
+    assert int(m.group(1)) == len(QUERIES), (m.group(1), len(QUERIES))
+    assert int(m.group(2)) == max_id, (m.group(2), max_id)
+
+
 def test_oracle_is_subset_of_queries():
     assert set(ORACLE) <= set(QUERIES)
 
