@@ -119,7 +119,13 @@ _SHOWCASE_ORDER = [
     # q122_audio_energy leaves: the Arrow byte-kernel fan-out family
     # is repped by q148_frame_sampling below, and q122 stays in the
     # registry + local gate)
-    "q196_streaming_vector_search",
+    # (late round 8: q202 — the same live serving shape upgraded to
+    # the COMPRESSED IVF-PQ layout (probed cells ship only PQ codes,
+    # row-local Arrow ADC, codebook training itself under the hash
+    # gate) — replaces q196 after its green round: the streaming-
+    # vector-serving family stays repped by the strictly harder
+    # variant, and q196 stays oracle-paired in the registry + gate)
+    "q202_streaming_pq_search",
     # text curation / quality filtering (round 5: the quality-filter
     # block between dedup and sampling rotates in; the mining family is
     # repped by q121 below — q78/q79/q102 remain oracle-paired in the

@@ -90,6 +90,50 @@ def _seq_norms(M: "np.ndarray") -> "np.ndarray":
     return np.sqrt(acc)
 
 
+def pq_adc_scorer(cb_py, k: int):
+    """Arrow ADC scorer for streamed PQ serving (q202): per query row,
+    build the M×K asymmetric-distance lookup table from the row's
+    integer-grid residual, score one probed cell's packed members
+    (``array<struct<vec_id, codes>>``) by gathering their codes, and
+    return only the cell's TOP-``k`` by (dist, vec_id) — per-cell
+    top-k then a cross-cell merge is exactly the global top-k because
+    cells partition the candidates, and it keeps the Arrow boundary
+    at O(k) structs per (query, cell) instead of the whole payload
+    (the difference between ~2x-over-linear and under-linear at the
+    measured sf10 decade: 120k python dicts per query vs 10).  The
+    codebook rides the closure (K·M·lanes ints — a model artifact);
+    every distance is exact int64, so the output hashes identically
+    to the SQL oracle's LUT join.  Row-local: no state, no
+    regrouping."""
+    CB = np.asarray(cb_py, dtype=np.int64)  # (M, K, lanes)
+    m, _, lanes = CB.shape
+
+    @F.pandas_udf("array<struct<adc_dist: bigint, vec_id: bigint>>")
+    def score(rq: pd.Series, members: pd.Series) -> pd.Series:
+        out = []
+        for rqv, mem in zip(rq, members):
+            if rqv is None or mem is None or len(mem) == 0:
+                out.append([])
+                continue
+            r = np.asarray(rqv, dtype=np.int64).reshape(m, lanes)
+            diff = r[:, None, :] - CB
+            lut = (diff * diff).sum(axis=2)  # (M, K)
+            codes = np.asarray([mm["codes"] for mm in mem], dtype=np.int64)
+            vec_ids = np.asarray([mm["vec_id"] for mm in mem], dtype=np.int64)
+            dists = lut[np.arange(m)[None, :], codes].sum(axis=1)
+            # deterministic (dist, vec_id) order; keep the cell's top-k
+            top = np.lexsort((vec_ids, dists))[:k]
+            out.append(
+                [
+                    {"adc_dist": int(dists[i]), "vec_id": int(vec_ids[i])}
+                    for i in top
+                ]
+            )
+        return pd.Series(out)
+
+    return score
+
+
 def brute_force_topk_arrow(
     corpus: DataFrame,
     queries: DataFrame,

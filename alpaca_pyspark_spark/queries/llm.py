@@ -3628,6 +3628,260 @@ SELECT query_id, vec_id, rank, adc_dist FROM R WHERE rank <= {_Q201_TOPK}
 """
 
 
+# ---------------------------------------------------------------- q202
+def _q202_artifacts(spark: SparkSession, sf_dir: str, cells: int = _Q200_CELLS):
+    """Batch-build the COMPRESSED serving index from the corpus side
+    (``vec_id % 25 != 0``): coarse cells + residual-PQ codes packed as
+    one payload array per cell (``array<struct<vec_id, codes>>`` —
+    the q196 packing that makes the stream stateless), the
+    |cells|-row grid-centroid table (joins stream-static for
+    row-local residuals), and the codebook COLLECTED into a
+    (M, K, lanes) Python array for the Arrow scorer closure —
+    K·M·lanes ints, a MODEL artifact.  Payload + centroid frames are
+    eagerly checkpointed.  ``cells`` is the IVF dial: the registered
+    query pins it to the oracle's 16; a deployment scales
+    it with the corpus (cells ≈ |corpus|/target_payload) so per-query
+    scan work stays bounded — tools/stress sweeps measure both
+    settings (SCALE.md)."""
+    from ..operators import spread
+    from ..operators.similarity import _det_cell_assigner, _det_seed_centroids
+
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 25 != 0)
+    centroids = _det_seed_centroids(corpus, "vec_id", "embedding", cells)
+    centq = _grid_centroids(corpus, cells)
+    base = spread(
+        corpus.select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("__v"),
+            _int_grid(F.col("embedding")).alias("qv"),
+        )
+    ).withColumn(
+        "cell", _det_cell_assigner(centroids, 1)(F.col("__v")).getItem(0).cast("long")
+    )
+    res = scoped_persist(
+        base.join(F.broadcast(centq), "cell").select(
+            "vec_id",
+            "cell",
+            F.zip_with("qv", "cq", lambda a, b: a - b).alias("rq"),
+        )
+    )
+    rsubs = res.select("vec_id", _pq_subspaces(F.col("rq")).alias("s", "subq"))
+    codebook, codes = _pq_train_encode(rsubs)
+    code_arrays = codes.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("s", "code"))),
+            lambda x: x["code"],
+        ).alias("codes")
+    )
+    cellpay = (
+        res.select("vec_id", "cell")
+        .join(code_arrays, "vec_id")
+        .groupBy("cell")
+        .agg(F.sort_array(F.collect_list(F.struct("vec_id", "codes"))).alias("members"))
+        .localCheckpoint(eager=True)
+    )
+    cb_rows = codebook.orderBy("s", "j").collect()
+    cb_py = [
+        [list(r["cq"]) for r in cb_rows if r["s"] == s]
+        for s in range(_Q198_M)
+    ]
+    centq_ck = centq.localCheckpoint(eager=True)
+    return centroids, centq_ck, cellpay, cb_py
+
+
+def _q202_transform(centroids, centq: DataFrame, cellpay: DataFrame, cb_py):
+    """Stream-side plan: row-local nprobe coarse assignment (Arrow
+    closure), ONE stream-static join per probed cell against the
+    packed payload table plus one against the 16-row grid-centroid
+    table (for the row-local residual), the Arrow ADC scorer per
+    probe, then a row-local integer sort → slice top-k.  Zero
+    stateful operators."""
+    from ..operators.similarity import _det_cell_assigner, pq_adc_scorer
+
+    scorer = pq_adc_scorer(cb_py, _Q201_TOPK)
+
+    def transform(stream: DataFrame) -> DataFrame:
+        q = stream.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("__qv"),
+            _int_grid(F.col("embedding")).alias("__qg"),
+        ).withColumn(
+            "__cells", _det_cell_assigner(centroids, _Q201_NPROBE)(F.col("__qv"))
+        )
+        out = q
+        scored_cols = []
+        empty = F.array().cast("array<struct<adc_dist: bigint, vec_id: bigint>>")
+        for i in range(_Q201_NPROBE):
+            pay_i = cellpay.select(
+                F.col("cell").alias(f"__c{i}"), F.col("members").alias(f"__m{i}")
+            )
+            cq_i = centq.select(
+                F.col("cell").alias(f"__c{i}"), F.col("cq").alias(f"__cq{i}")
+            )
+            out = (
+                out.withColumn(f"__c{i}", F.col("__cells").getItem(i).cast("long"))
+                .join(pay_i, f"__c{i}", "left")
+                .join(cq_i, f"__c{i}", "left")
+                .withColumn(
+                    f"__s{i}",
+                    scorer(
+                        F.zip_with(
+                            "__qg", F.col(f"__cq{i}"), lambda a, b: a - b
+                        ),
+                        F.col(f"__m{i}"),
+                    ),
+                )
+            )
+            scored_cols.append(F.coalesce(F.col(f"__s{i}"), empty))
+        ranked = out.select(
+            "query_id",
+            F.slice(
+                F.array_sort(
+                    F.concat(*scored_cols),
+                    lambda a, b: F.when(
+                        a["adc_dist"] < b["adc_dist"], F.lit(-1)
+                    )
+                    .when(a["adc_dist"] > b["adc_dist"], F.lit(1))
+                    .otherwise(
+                        F.when(a["vec_id"] < b["vec_id"], F.lit(-1))
+                        .when(a["vec_id"] > b["vec_id"], F.lit(1))
+                        .otherwise(F.lit(0))
+                    ),
+                ),
+                1,
+                _Q201_TOPK,
+            ).alias("__top"),
+        )
+        return ranked.select(
+            "query_id", F.posexplode("__top").alias("__pos", "__t")
+        ).select(
+            "query_id",
+            F.col("__t.vec_id").alias("vec_id"),
+            (F.col("__pos") + 1).cast("long").alias("rank"),
+            F.col("__t.adc_dist").alias("adc_dist"),
+        )
+
+    return transform
+
+
+def q202_streaming_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE VECTOR SEARCH OVER THE COMPRESSED INDEX — q196's
+    serving shape upgraded to the q201 storage layout: query
+    embeddings (``vec_id % 25 = 0``) arrive on a live stream and are
+    answered from the corpus's IVF-PQ index with ZERO stateful
+    operators.  The stream never touches a corpus vector: probed
+    cells ship only 4-byte PQ codes, the per-query lookup table is
+    built row-locally from the broadcast codebook, and distances are
+    exact BIGINTs — the whole approximation (coarse assignment,
+    residual codebooks, encoding, probing, ADC) replays in the DuckDB
+    oracle under the hash gate.
+
+    This closes the vector-family matrix: exact (q13) / LSH (q13_ann)
+    / IVF (q13_ivf, served live by q196) / PQ (q198) / IVF-PQ (q201)
+    / index maintenance (q200) — and now IVF-PQ served live.
+
+    State: zero entries, append mode, no watermark/sentinel.  Scale:
+    the per-cell payload is |corpus|/cells × ~4 bytes + id (the
+    num_cells dial keeps it executor-sized); the codebook closure and
+    centroid join are K·M-row model artifacts; per-query work is
+    nprobe payload joins + row-local integer math."""
+    from ..session import release_scoped_caches
+    from ..streaming.gate import run_streaming_gate
+
+    tune(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    centroids, centq, cellpay, cb_py = _q202_artifacts(spark, sf_dir)
+    release_scoped_caches()
+    queries = emb.filter(F.col("vec_id") % 25 == 0).select("vec_id", "embedding")
+    transform = _q202_transform(centroids, centq, cellpay, cb_py)
+    return run_streaming_gate(spark, [(queries, None)], transform, prefix="q202")
+
+
+# The oracle replays the ENTIRE serving path — corpus-side coarse
+# assignment, residual codebook training (the shared _pq_sql_core
+# chain), encoding, the queries' nprobe probe, per-(query, cell)
+# residual LUT and the ADC scan — in SQL; the hash gate covers the
+# full approximation as served by the live stream.
+_Q202_SQL = f"""
+WITH E AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_transform(embedding::DOUBLE[],
+           x -> CAST(floor(x * {_Q198_SCALE} + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+),
+CO AS (SELECT * FROM E WHERE vec_id % 25 <> 0),
+C AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell,
+         v AS cv, qv AS cq
+  FROM (SELECT vec_id, v, qv FROM CO ORDER BY vec_id LIMIT {_Q200_CELLS})
+),
+AO AS (
+  SELECT vec_id, qv, cell FROM (
+    SELECT e.vec_id, e.qv, c.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell
+           ) AS rn
+    FROM CO e CROSS JOIN C c) WHERE rn = 1
+),
+RES AS (
+  SELECT a.vec_id, a.cell,
+         list_transform(range(1, 65), i -> a.qv[i] - c.cq[i]) AS rq
+  FROM AO a JOIN C c USING (cell)
+),
+SS AS (SELECT unnest(range({_Q198_M})) AS s),
+RSUBS AS (
+  SELECT vec_id, s,
+         rq[(s*{_Q198_LANES}+1):(s*{_Q198_LANES}+{_Q198_LANES})] AS subq
+  FROM RES, SS
+),
+{_pq_sql_core("RSUBS")},
+QP AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT e.vec_id AS query_id, e.qv, c.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell
+           ) AS rn
+    FROM E e CROSS JOIN C c WHERE e.vec_id % 25 = 0) WHERE rn <= {_Q201_NPROBE}
+),
+QSUBS AS (
+  SELECT query_id, cell, s,
+         rq[(s*{_Q198_LANES}+1):(s*{_Q198_LANES}+{_Q198_LANES})] AS subq
+  FROM (
+    SELECT q.query_id, q.cell,
+           list_transform(range(1, 65), i -> q.qv[i] - c.cq[i]) AS rq
+    FROM QP q JOIN C c USING (cell)), SS
+),
+LUT AS (
+  SELECT q.query_id, q.cell, c.s, c.j,
+         CAST(list_sum(list_transform(range(1, {_Q198_LANES} + 1),
+           i -> (q.subq[i] - c.cq[i]) * (q.subq[i] - c.cq[i]))) AS BIGINT)
+           AS dpart
+  FROM QSUBS q JOIN CB c ON q.s = c.s
+),
+CAND AS (
+  SELECT co.vec_id, a.cell, co.s, co.code
+  FROM CODES co JOIN AO a USING (vec_id)
+),
+ADC AS (
+  SELECT l.query_id, ca.vec_id, CAST(sum(l.dpart) AS BIGINT) AS adc_dist
+  FROM CAND ca
+  JOIN LUT l ON l.cell = ca.cell AND l.s = ca.s AND l.j = ca.code
+  GROUP BY 1, 2
+),
+R AS (
+  SELECT query_id, vec_id, adc_dist,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY adc_dist, vec_id
+         ) AS BIGINT) AS rank
+  FROM ADC
+)
+SELECT query_id, vec_id, rank, adc_dist FROM R WHERE rank <= {_Q201_TOPK}
+"""
+
+
 # ---------------------------------------------------------------- q166
 def q166_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document n-gram novelty curve: the fraction of a document's
@@ -5449,6 +5703,7 @@ QUERIES = {
     "q199_streaming_budget_admission": q199_streaming_budget_admission,
     "q200_ivf_index_maintenance": q200_ivf_index_maintenance,
     "q201_ivfpq_search": q201_ivfpq_search,
+    "q202_streaming_pq_search": q202_streaming_pq_search,
 }
 
 ORACLE = {
@@ -5471,6 +5726,7 @@ ORACLE = {
     "q199_streaming_budget_admission": _Q199_SQL,
     "q200_ivf_index_maintenance": _Q200_SQL,
     "q201_ivfpq_search": _Q201_SQL,
+    "q202_streaming_pq_search": _Q202_SQL,
     "q166_ngram_novelty": _Q166_SQL,
     "q168_privacy_audit": _Q168_SQL,
     "q169_incremental_dedup": _Q169_SQL,

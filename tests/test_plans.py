@@ -999,3 +999,40 @@ def test_q199_stream_plan_minimal_state(spark, tmp_path):
         "split",
     ):
         assert stateful not in logical, (stateful, logical)
+
+
+def test_q202_stream_plan_stateless(spark, tmp_path):
+    """q202's compressed-index serving stream must hold ZERO state:
+    nprobe stream-static joins against the packed code payloads +
+    the 16-row centroid table, the Arrow ADC scorer, and a row-local
+    sort/slice — no aggregate, no dedup, no watermark, and no raw
+    corpus vectors anywhere on the stream side."""
+    from pyspark.sql import functions as F
+
+    from alpaca_pyspark_spark.queries.llm import _q202_artifacts, _q202_transform
+    from alpaca_pyspark_spark.session import release_scoped_caches
+    from alpaca_pyspark_spark.tables import load
+
+    centroids, centq, cellpay, cb_py = _q202_artifacts(spark, SF_DIR)
+    release_scoped_caches()
+    emb = load(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0).select("vec_id", "embedding")
+    src = str(tmp_path / "q202_queries")
+    queries.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    out = _q202_transform(centroids, centq, cellpay, cb_py)(stream)
+    assert out.isStreaming
+    logical = out._jdf.queryExecution().analyzed().toString()
+    for stateful in (
+        "Aggregate [",
+        "Deduplicate",
+        "FlatMapGroupsWithState",
+        "TransformWithState",
+        "EventTimeWatermark",
+    ):
+        assert stateful not in logical, (stateful, logical)
+    # batch twin of the same transform: no cartesian blowup, no window
+    bout = _q202_transform(centroids, centq, cellpay, cb_py)(queries)
+    plan = formatted_plan(bout)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+    assert "Window" not in plan, plan

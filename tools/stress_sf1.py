@@ -82,6 +82,7 @@ QUERIES_UNDER_TEST = [
     "q199_streaming_budget_admission",
     "q200_ivf_index_maintenance",
     "q201_ivfpq_search",
+    "q202_streaming_pq_search",
 ]
 
 

@@ -51,6 +51,7 @@ FLAGSHIPS = [
     "q199_streaming_budget_admission",
     "q200_ivf_index_maintenance",
     "q201_ivfpq_search",
+    "q202_streaming_pq_search",
 ]
 
 
