@@ -37,183 +37,84 @@ def entry(spark: SparkSession) -> DataFrame:
 #: loaded the core module and left later families driver-unchecked.
 #: The full registry is unchanged; only the ordering is curated.
 _SHOWCASE_ORDER = [
-    # core connector semantics
-    "q01_scan_filter_project", "q02_bars_tumbling", "q03_interval_join_agg",
-    "q04_sort_limit_topk", "q05_groupby_rollup", "q06_asof_join",
-    "q07_adjustment", "q10_semi_anti",
-    # executed streaming (real micro-batch engine under the hash gate;
-    # round 5: q181 — the reference's flagship D5 bar construction run
-    # as a live stream — rotates into the graded prefix)
-    # (round 6: q190 — streaming quality filter at ingest, executed
-    # micro-batch, never driver-graded — rotates in; q114_repeated_
-    # passages leaves to make room: its n-gram-overlap mining family
-    # is repped by q61_contamination_overlap below, and it stays
-    # oracle-paired in the registry + local gate)
-    # (late round 6: q191 — the q189 curation ledger executed as a
-    # live ingest stream over batch-trained artifacts, the round's new
-    # flagship — rotates in; q105_lambda_serving leaves: its batch-
-    # train/stream-serve lambda family is exactly the composition q191
-    # exercises end-to-end, and q105 stays oracle-paired in the
-    # registry + local gate)
-    # (round 7 rotation: q131 streaming dedup executed — never
-    # driver-graded, the in-stream dropDuplicates state family —
-    # rotates in; q190 leaves: its repetition-fold quality gate runs
-    # verbatim as q191's first stage, and q190 stays oracle-paired in
-    # the registry + local gate)
-    # (round 8 rotation: q153 stateful sessions executed — the ONE
-    # executed-streaming family never driver-graded, arbitrary
-    # per-key session state via applyInPandasWithState — and q146
-    # streaming hourly windows executed — watermarked tumbling agg —
-    # rotate in.  q130 leaves: its built-in session_window family is
-    # the easier sibling of q153's custom stateful sessions; q131
-    # leaves: its in-stream dropDuplicates state family is repped by
-    # q193's ingest dedup gate below and q153's keyed-state machinery.
-    # Both stay oracle-paired in the registry + local gate)
-    # (late round 8: q199 — per-source token-budget ADMISSION at
-    # ingest, the new minimal-state applyInPandasWithState family
-    # (one BIGINT per key; q194's prefix-cut rule decided online) —
-    # rotates in.  q145 leaves after three green rounds: its
-    # stream-stream interval outer join stays oracle-paired in the
-    # registry + local gate and plan-pinned, and executed streaming
-    # keeps six prefix reps spanning windowed agg (q146), custom
-    # keyed state (q153), minimal-state admission (q199), stateless
-    # ingest gates (q191/q193/q196) and live bars (q181))
-    "q199_streaming_budget_admission",
-    "q181_streaming_bars_executed", "q153_stateful_sessions_executed",
+    # ROUND 9: the big drain.  VERDICT r8's headline was that the
+    # never-driver-graded backlog (104/215) stays flat because the
+    # rotation retires ~7 rows/round while the registry grows ~6 —
+    # so this round retires EVERY row that is driver-green and whose
+    # family keeps a prefix or gate representative (git history holds
+    # the per-row retirement rationale of rounds 5–8), keeps 16
+    # anchors spanning all families, and rotates in 34 never-graded
+    # oracle-paired rows — every family that had only gate evidence
+    # gets driver-graded this round.  Retired (all stay oracle-paired
+    # in the registry + local gate): q03/q04/q05/q10 (core trimmed to
+    # the 4 reference-distinctive semantics per VERDICT r8 item 1),
+    # q181/q191/q199 (executed-streaming repped by q146/q153/q193 +
+    # incoming q149/q202_dialed), q202 (replaced by its dial-scaled
+    # twin, the strictly-harder configuration), q169/q164/q33/q163/
+    # q177/q198 (dedup+vector repped by q193 + six incoming vector
+    # rows), q15/q61/q186/q187/q165 (curation repped by q197/q188 +
+    # four incoming text rows), q195 (prefix-sum family repped by
+    # q194), q91/q123/q121 (graph/tokenizer/mining repped by q192 +
+    # incoming q125/q170/q179/q50/q52/q76), q82 (TPC-H repped by
+    # q87/q86/q40 + plan tests), q116/q129/q107/q139/q45 (analytics
+    # repped by six incoming rows), q155/q150 (warehouse repped by
+    # q161 + eight incoming sink/format rows), q18/q148 (multimodal
+    # repped by q180).
+    # core connector semantics (4 anchors) + the round-9 flagship:
+    # the FULL live connector loop (replay API → poller stream →
+    # REST sink 2-phase manifest → landed-data bars), hash-gated
+    "q01_scan_filter_project", "q02_bars_tumbling",
+    "q06_asof_join", "q07_adjustment",
+    "q203_connector_roundtrip",       # flagship (r9, new)
+    # VERDICT-r8-named first-timers, front-loaded: this round's own
+    # vector additions, the last ungraded executed-streaming family,
+    # the sink/file-format families, and the named analytics rows
+    "q202_dialed_pq_search",          # scale-dial twin (r9, new)
+    "q200_ivf_index_maintenance",     # first grade
+    "q201_ivfpq_search",              # first grade
+    "q149_stream_static_enrich_executed",  # first grade
+    "q132_sink_roundtrip",            # first grade
+    "q154_backfill_overwrite",        # first grade
+    "q159_csv_ingest_quarantine",     # first grade
+    "q77_bitmap_distinct_rollup",     # first grade
+    "q35_pivot", "q36_unpivot",       # first grades
+    "q68_funnel", "q74_cohort_retention",  # first grades
+    # executed streaming anchors: windowed agg + custom keyed state +
+    # stateless ingest dedup gate
     "q146_streaming_hourly_windows_executed",
-    "q191_streaming_curation",
-    # LLM dedup / similarity (round 5 rotation: q13_embedding_sim and
-    # q12_embedding_dedup_lsh leave the prefix — their families remain
-    # represented by q13_embedding_sim_ann (same cosine top-k, ANN
-    # path) and q176/q177/q12_text_dedup_portable — both stay
-    # oracle-paired in the registry + local gate)
-    # (round 6 rotation: q169 incremental delta-vs-corpus dedup and
-    # q164 substring-containment dedup — never driver-graded — rotate
-    # in; q12_exact_dedup leaves (exact-dedup family runs verbatim
-    # inside q189's pipeline stage and q169's delta-vs-corpus exact
-    # stage) and q176_knn_graph_exact leaves (blocked exact-pairs
-    # kernel family repped by q177_semdedup, which drives the same
-    # all_pairs_above_blocked kernel; both stay oracle-paired in the
-    # registry + local gate)
-    # (round 7: q193 — the q169 ingest gate EXECUTED AS A LIVE STREAM
-    # against a batch-built corpus LSH index, zero state — rotates in;
-    # q12_text_dedup_portable leaves: the portable banded-MinHash-LSH
-    # family runs verbatim inside q193's index build + candidate
-    # pipeline, and q12 stays oracle-paired in the registry + local
-    # gate)
-    "q193_streaming_ingest_neardup", "q169_incremental_dedup",
-    "q164_containment_dedup",
-    "q33_near_dup_components_lsh",
-    "q163_setsim_prefix_join",
-    # (late round 8: q198 — product quantization + ADC top-k on an
-    # exact integer lane grid, codebook training THROUGH the hash
-    # gate — rotates in.  q13_embedding_sim_ann leaves after two
-    # green rounds: the bucketed-ANN serving family stays repped by
-    # q196's live IVF serving below, and q13_ann stays oracle-paired
-    # in the registry + local gate)
-    "q198_pq_adc_topk",
-    "q177_semdedup",
-    # (round 7: q196 — online vector search served AS A LIVE STREAM
-    # against a batch-built IVF index, zero state, the full
-    # approximation under the hash gate — rotates in;
-    # q122_audio_energy leaves: the Arrow byte-kernel fan-out family
-    # is repped by q148_frame_sampling below, and q122 stays in the
-    # registry + local gate)
-    # (late round 8: q202 — the same live serving shape upgraded to
-    # the COMPRESSED IVF-PQ layout (probed cells ship only PQ codes,
-    # row-local Arrow ADC, codebook training itself under the hash
-    # gate) — replaces q196 after its green round: the streaming-
-    # vector-serving family stays repped by the strictly harder
-    # variant, and q196 stays oracle-paired in the registry + gate)
-    "q202_streaming_pq_search",
-    # text curation / quality filtering (round 5: the quality-filter
-    # block between dedup and sampling rotates in; the mining family is
-    # repped by q121 below — q78/q79/q102 remain oracle-paired in the
-    # registry + local gate)
-    # (late round 5: q186 span-REMOVAL rewrite + q187 DSIR importance
-    # resampling complete the curation arc — dedup -> filter ->
-    # target-reweight -> sample.  q32_corpus_curation leaves the prefix
-    # (its composite-curation family is now repped by the four sharper
-    # single-step entries) as does q78_fuzzy_name_pairs (similarity-
-    # join family repped by q163's lossless PPJoin); both stay
-    # oracle-paired in the registry + local gate)
-    # q189 composes the whole block (repetition -> stopword -> exact
-    # dedup -> DSIR) into one per-document disposition ledger and
-    # stands in for q183, whose keep rule runs verbatim inside it.
-    # (round 8 rotation: q188 classifier quality filter — the
-    # logistic-scorer sibling of the LM filters, never driver-graded —
-    # and q165 bigram LM — the LM-artifact family every perplexity
-    # score builds on — rotate in.  q182 leaves: its perplexity-filter
-    # family is repped by q187's DSIR LM ratio (stays) + q165's LM
-    # construction; q189 leaves: the full curation ledger runs
-    # VERBATIM as q197's first stage below (and its streaming twin
-    # q191 stays).  Both stay oracle-paired in the registry + gate)
-    "q15_text_stats", "q61_contamination_overlap",
-    "q188_classifier_quality_filter",
-    "q186_span_dedup_rewrite", "q187_dsir_importance", "q165_bigram_lm",
-    # round-8 flagship: crawl-to-training-shards composition — the
-    # q189 ledger -> q38 packing -> partitioned sink + write-ahead
-    # manifest, read back from disk, conservation hash-enforced
-    "q197_corpus_build",
-    # deterministic corpus selection / packing (round 8: q194 token-
-    # budget selection + q195 coverage-quota selection — new last
-    # round, never driver-graded, distributed weighted prefix-sums —
-    # rotate in.  q37 leaves: deterministic integer selection family
-    # repped by q194/q195's modulus-free prefix-sum rules; q38
-    # leaves: pack_sequences runs VERBATIM as q197's packing stage.
-    # Both stay oracle-paired in the registry + local gate)
-    "q194_token_budget_selection", "q195_coverage_quota_selection",
-    # search / graph (q92_cluster_representatives rotated out round 5
-    # — clustering family repped by q33/q177; stays in the local gate)
-    # (round 7: q192 hybrid lexical+dense retrieval with RRF fusion —
-    # the round's new flagship — rotates in; q90_bm25_topk leaves:
-    # the ranked-lexical-retrieval family is repped by q192's fused
-    # lexical branch, and q90 stays oracle-paired in the registry +
-    # local gate)
-    # (round 8: q89 leaves — its inverted-index/postings family is
-    # built verbatim inside q192's lexical branch; stays oracle-paired
-    # in the registry + local gate)
-    "q192_hybrid_retrieval", "q91_pagerank_suppliers",
-    "q123_bpe_train",
-    "q120_domain_distinctive_tokens",
-    # mining
-    "q121_cusum_changepoint",
-    # TPC-H shapes (round 7: q100_market_share leaves — the
-    # multi-join share-of-total family is repped by q82/q110 below
-    # and q83 in the local gate; q40's bucketed KEYLESS range join —
-    # never driver-graded, the no-equi-key interval family beyond
-    # q03's keyed interval join — rotates in)
-    # (round 8: q87 dominant-supplier-parts and q86 disjunctive-
-    # predicate join — the two plan-richest never-driver-graded TPC-H
-    # shapes (VERDICT r7 item 6) — rotate in.  q84 leaves: the
-    # partial-aggregation scan-summary family is repped by q05's
-    # rollup + q87's grouped-having aggregation and stays pinned by
-    # the partial-agg plan tests; q110 leaves: its min-per-group
-    # multi-join family is repped by q87's dominant-supplier shape.
-    # Both stay oracle-paired in the registry + local gate)
-    "q87_dominant_supplier_parts", "q82_sole_late_shipper",
-    "q86_disjunctive_predicate_join", "q40_range_join_no_key",
-    # advanced analytics (round 6: q129 CUPED experiment readout —
-    # never driver-graded — rotates in; q118_chi_square leaves: the
-    # experiment-statistics family is repped by q129's variance-
-    # reduced readout, and q118 stays oracle-paired in the registry +
-    # local gate)
-    "q116_incremental_view_update",
-    "q129_cuped_experiment_readout", "q107_session_paths",
-    "q139_exact_group_quantiles", "q45_variant_extract",
-    # warehouse / scale (round 7: q60_scd2_history leaves — the
-    # slowly-changing-history family is repped by q161's CDC
-    # merge-upsert, which builds the same validity-interval history
-    # from a change stream; q34_salted_heavy_hitters leaves — the
-    # skew-salting family is repped by q155's salted join, the
-    # harder two-sided variant; both stay oracle-paired in the
-    # registry + local gate.  q161 and q155 have never been
-    # driver-graded)
-    "q161_cdc_merge_upsert", "q155_salted_skew_join",
-    "q150_partitioned_roundtrip",
-    # multimodal (round 5: q180 media-resize — the decode/feature/
-    # resize/frame-sample plumbing completer — rotates in)
-    "q18_multimodal_meta", "q148_frame_sampling", "q180_media_resize",
+    "q153_stateful_sessions_executed",
+    "q193_streaming_ingest_neardup",
+    # vector-family first-timers (PQ/IVF anchored by q200/q201/q202d
+    # above): scalar quantization, hard-negative mining, kNN label
+    # vote — embedding-pipeline breadth
+    "q135_embedding_quantization", "q134_hard_negative_mining",
+    "q140_knn_label_vote",
+    # curation anchors + text first-timers
+    "q197_corpus_build", "q188_classifier_quality_filter",
+    "q54_pii_scrub", "q136_split_leakage_audit",
+    "q173_dataset_card", "q43_data_profile",
+    # tokenizer first-timers (train family q123 retired; encode and
+    # fertility are the serving-side halves)
+    "q170_bpe_encode", "q179_tokenizer_fertility",
+    # selection/sampling: anchor + stratified first-timer
+    "q194_token_budget_selection", "q144_stratified_sample",
+    # search/graph: anchor + triangle-count first-timer
+    "q192_hybrid_retrieval", "q125_triangle_count",
+    # finance mining first-timers (reference-domain analytics)
+    "q50_rolling_volatility", "q52_twap", "q76_ewma",
+    # TPC-H anchors (q40 leaves after two green rounds to make room
+    # for the q203 flagship: the keyless-interval family stays
+    # oracle-paired in the registry + local gate and plan-pinned)
+    "q87_dominant_supplier_parts", "q86_disjunctive_predicate_join",
+    # analytics first-timers
+    "q58_window_rank_suite", "q106_weighted_median",
+    "q48_locf_gapfill", "q115_ignore_nulls_windows",
+    # warehouse: CDC anchor + sink/format/layout first-timers
+    "q161_cdc_merge_upsert",
+    "q160_compaction_roundtrip", "q55_bloom_join_prune",
+    "q156_null_safe_join", "q128_stable_row_ids",
+    # multimodal anchor
+    "q180_media_resize",
 ]
 
 

@@ -30,8 +30,16 @@ def cosine_similarity(a: Column, b: Column) -> Column:
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokenization → ``array<string>`` (no empty tokens)."""
-    return F.array_remove(F.split(F.trim(text), r"\s+"), "")
+    """Whitespace tokenization → ``array<string>`` (no empty tokens).
+
+    The split class is the EXPLICIT ``[ \\t\\n\\f\\r]`` rather than
+    Java's ``\\s`` (which additionally matches ``\\x0B``): the DuckDB
+    oracles tokenize with RE2's ``\\S+``, whose complement class
+    excludes vertical tab, so spelling the class out makes
+    Spark↔oracle token parity exact on EVERY character instead of
+    "every character the fixtures happen to contain" (VERDICT r8
+    item 5).  Both engines treat ``\\x0B`` as a token character."""
+    return F.array_remove(F.split(F.trim(text), "[ \t\n\f\r]+"), "")
 
 
 def word_shingles(toks: Column, k: int) -> Column:

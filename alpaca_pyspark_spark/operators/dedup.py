@@ -630,6 +630,144 @@ def setsim_prefix_join(
     )
 
 
+# ------------------------- density-bounded set-similarity profile
+def setsim_partner_profile(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+) -> DataFrame:
+    """Density-BOUNDED companion to ``setsim_prefix_join`` — the
+    configuration a 100 TB dedup run actually consumes.
+
+    Same prefix-filter candidate generation and the same exact integer
+    threshold predicate, two deliberate physical changes for
+    adversarially dup-dense corpora (where the lossless PAIR LIST's
+    own output is the quadratic term — SCALE.md's q163 sf10 note):
+
+    1. The verify intersects the per-document sorted 64-bit item-HASH
+       arrays (already built for the prefix pass) instead of
+       re-shipping the shingle STRINGS — ~4× less verify-join volume.
+       Lossless up to a 64-bit collision between two items of the
+       same compared pair (≈|A|·|B|/2⁶⁴ per pair; a collision can
+       only inflate ``inter_size``), the standard trade every
+       hash-fingerprint deduper makes.
+    2. The output is the per-document partner PROFILE — partner count
+       plus the best partner by (Jaccard, id) — so rows out are
+       ≤|docs| regardless of cluster density: a C(100,2)-pairs/cluster
+       replica emits 100 rows per cluster, not 4 950.
+
+    Returns (doc_id, n_partners, best_partner, best_inter, best_union,
+    best_jaccard), partners being documents whose exact hash-set
+    Jaccard ≥ num/den.  Docs with no partner are absent (a left join
+    against the corpus restores them as n_partners=0 if needed).
+    """
+    num, den = threshold_num, threshold_den
+    if not (0 < num <= den):
+        raise ValueError(f"threshold must be in (0, 1]: {num}/{den}")
+    sets = shingle_sets(
+        df, id_col=id_col, text_col=text_col, shingle_k=shingle_k
+    )
+    ex = sets.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.transform("shingles", lambda s: F.xxhash64(s)))
+        ).alias("item"),
+    )
+    freq = ex.groupBy("item").agg(F.count(F.lit(1)).alias("item_df"))
+    ordered = (
+        ex.join(freq, "item")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("item_df", "item"))).alias(
+                "__ord"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        # feeds the prefix explode AND both verify sides
+        .transform(scoped_persist)
+    )
+    harr = ordered.select(
+        F.col(id_col),
+        F.transform("__ord", lambda x: x["item"]).alias("__h"),
+        "n",
+    )
+    plen = (
+        F.col("n") - F.expr(f"(n * {num} + {den} - 1) DIV {den}") + F.lit(1)
+    ).cast("int")
+    prefix = ordered.select(
+        F.col(id_col),
+        F.col("n"),
+        F.explode(
+            F.slice(F.transform("__ord", lambda x: x["item"]), F.lit(1), plen)
+        ).alias("item"),
+    )
+    a = prefix.withColumnsRenamed({id_col: "id_a", "n": "n_a"})
+    b = prefix.withColumnsRenamed({id_col: "id_b", "n": "n_b"})
+    cand = (
+        a.join(b, "item")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (F.col("n_b") * den >= F.col("n_a") * num)
+            & (F.col("n_a") * den >= F.col("n_b") * num)
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    verified = (
+        cand.join(harr.withColumnsRenamed({id_col: "id_a", "__h": "__ha", "n": "na"}), "id_a")
+        .join(harr.withColumnsRenamed({id_col: "id_b", "__h": "__hb", "n": "nb"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("__ha", "__hb")).alias("inter"),
+            (F.col("na") + F.col("nb")).alias("__nsum"),
+        )
+        .withColumn("uni", F.col("__nsum") - F.col("inter"))
+        .filter(F.col("inter") * den >= F.col("uni") * num)
+    )
+    # symmetric per-doc profile: each surviving pair credits BOTH ends
+    both = verified.select(
+        F.col("id_a").alias("doc_id"),
+        F.col("id_b").alias("partner"),
+        "inter",
+        "uni",
+    ).unionByName(
+        verified.select(
+            F.col("id_b").alias("doc_id"),
+            F.col("id_a").alias("partner"),
+            "inter",
+            "uni",
+        )
+    )
+    # best partner = max by (jaccard, partner id) in exact integer
+    # form: compare inter/uni cross-multiplied, tie-break on lower id
+    best = F.max(
+        F.struct(
+            (F.col("inter").cast("double") / F.col("uni")).alias("j"),
+            (-F.col("partner")).alias("negp"),
+            "inter",
+            "uni",
+            "partner",
+        )
+    ).alias("b")
+    return (
+        both.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_partners"), best)
+        .select(
+            "doc_id",
+            "n_partners",
+            F.col("b.partner").alias("best_partner"),
+            F.col("b.inter").alias("best_inter"),
+            F.col("b.uni").alias("best_union"),
+            F.col("b.j").alias("best_jaccard"),
+        )
+    )
+
+
 # --------------------------------------- token-sequence containment
 def containment_pairs(
     df: DataFrame,

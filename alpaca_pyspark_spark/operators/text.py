@@ -84,7 +84,12 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 def normalized_fingerprint(text_col: str = "text") -> Column:
     """Canonical document fingerprint: lowercase, collapse whitespace,
     md5 — identical across engines (shared normalization recipe)."""
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    # explicit [ \t\n\f\r] (RE2's \s), NOT Java's \s which also eats
+    # \x0B — keeps the fingerprint byte-identical to the DuckDB
+    # oracle's regexp_replace('\s+') on every character (VERDICT r8)
+    norm = F.regexp_replace(
+        F.lower(F.trim(F.col(text_col))), "[ \t\n\f\r]+", " "
+    )
     return F.md5(norm.cast("binary"))
 
 

@@ -1019,6 +1019,132 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
 """
 
 
+# --------------------------------------------------------------- q203
+def q203_connector_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE FULL LIVE CONNECTOR LOOP, hash-gated end-to-end (VERDICT r8
+    item 7, the last connector seam): a recorded trade tape served
+    through a wire-format REPLAY endpoint → the REST poller stream
+    source (cursor offsets, inclusive-end slices, pagination, Arrow
+    wire parse — ``streaming/source.py``) → projection → the REST
+    sink's 2-phase paged-POST + per-batch manifest protocol
+    (``sources/sink.py``) → read the LANDED records back → reference
+    D5 bar construction (q02's exact shape) over what actually landed.
+
+    The oracle computes the same bars straight from ``events``, so the
+    hash gate proves conservation through the whole loop: every served
+    trade landed exactly once (a drop or a replayed page would change
+    volume/vwap), and ``manifest_rows`` — the sum over committed
+    per-batch manifests — must equal the table count on every row.
+
+    Scale shape: the replay endpoint + tape build are the API
+    STAND-IN (the world side; capacity models the external API, and
+    the real deployment points the same unchanged plumbing at the
+    real endpoint).  The engine side is the scale path: the poller
+    fetches bounded event-time slices per micro-batch, pages are
+    Arrow batches, the sink posts bounded pages per partition, and
+    bar construction is the q02 partial-agg shuffle."""
+    import tempfile
+
+    from ..sources import register_all
+    from ..sources.replay import CaptureSink, ReplayTradesServer
+    from ..streaming.source import StockTradesStreamDataSource
+
+    tune(spark)
+    register_all(spark)
+    spark.dataSource.register(StockTradesStreamDataSource)
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    tape = [
+        (f"U{r['user_id']}", r["ts"], r["value"], 1, r["event_id"])
+        for r in ev.collect()
+    ]
+    symbols = ",".join(sorted({t[0] for t in tape}))
+    lo = min(t[1] for t in tape)
+    hi = max(t[1] for t in tape)
+    from datetime import timedelta, timezone as _tz
+
+    start_iso = lo.replace(tzinfo=_tz.utc).isoformat()
+    end_iso = (hi + timedelta(microseconds=1)).replace(tzinfo=_tz.utc).isoformat()
+    with ReplayTradesServer(tape) as api, CaptureSink() as sink:
+        stream = (
+            spark.readStream.format("Alpaca_Stocks_Trades_Stream")
+            .options(
+                **{
+                    "APCA-API-KEY-ID": "replay",
+                    "APCA-API-SECRET-KEY": "replay",
+                },
+                endpoint=api.endpoint,
+                symbols=symbols,
+                start=start_iso,
+                end=end_iso,
+                # ~5 micro-batches over the 30-day tape; sf0.1+ slices
+                # span multiple 10k-row pages, so pagination + cursor
+                # resume are both on the executed path
+                poll_interval=str(7 * 86400),
+            )
+            .load()
+            .select("symbol", "time", "price", "size", "id")
+        )
+        ckpt = tempfile.mkdtemp(prefix="q203_ckpt_")
+        q = (
+            stream.writeStream.format("Rest_Batch_Sink")
+            .options(endpoint=sink.endpoint, batch_size=5000)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        landed_rows = [
+            (r["symbol"], r["time"], float(r["price"]), int(r["id"]))
+            for r in sink.records
+        ]
+        manifest_rows = sink.committed_rows()
+    landed = spark.createDataFrame(
+        landed_rows, "symbol string, time string, price double, id bigint"
+    )
+    # ISO(+00:00) → UTC wall time, the tape's original naive ts
+    t = landed.select(
+        "symbol",
+        F.col("time").cast("timestamp").cast("timestamp_ntz").alias("ts"),
+        F.col("price").alias("p"),
+    )
+    cents = F.round(F.col("p") * 100).cast("bigint")
+    return (
+        t.groupBy("symbol", F.window("ts", "1 day").start.alias("bar_start"))
+        .agg(
+            F.min_by("p", F.col("ts")).alias("open"),
+            F.max("p").alias("high"),
+            F.min("p").alias("low"),
+            F.max_by("p", F.col("ts")).alias("close"),
+            F.count(F.lit(1)).alias("volume"),
+            F.count(F.lit(1)).alias("trade_count"),
+            (F.sum(cents) / (F.lit(100.0) * F.count(F.lit(1)))).alias("vwap"),
+        )
+        .withColumn("manifest_rows", F.lit(int(manifest_rows)).cast("bigint"))
+    )
+
+
+_Q203_SQL = """
+WITH t AS (
+  SELECT 'U' || CAST(user_id AS VARCHAR) AS symbol, ts, value FROM events
+)
+SELECT symbol,
+       time_bucket(INTERVAL '1 day', ts) AS bar_start,
+       arg_min(value, ts)  AS open,
+       max(value)          AS high,
+       min(value)          AS low,
+       arg_max(value, ts)  AS close,
+       CAST(count(*) AS BIGINT) AS volume,
+       CAST(count(*) AS BIGINT) AS trade_count,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+         / (100.0 * count(*)) AS vwap,
+       CAST((SELECT count(*) FROM events) AS BIGINT) AS manifest_rows
+FROM t
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q01_scan_filter_project": q01_scan_filter_project,
     "q02_bars_tumbling": q02_bars_tumbling,
@@ -1043,6 +1169,7 @@ QUERIES = {
     "q149_stream_static_enrich_executed": q149_stream_static_enrich_executed,
     "q153_stateful_sessions_executed": q153_stateful_sessions_executed,
     "q103_asof_tolerance": q103_asof_tolerance,
+    "q203_connector_roundtrip": q203_connector_roundtrip,
 }
 
 ORACLE = {
@@ -1068,4 +1195,5 @@ ORACLE = {
     "q149_stream_static_enrich_executed": _Q149_SQL,
     "q153_stateful_sessions_executed": _Q153_SQL,
     "q103_asof_tolerance": _Q103_SQL,
+    "q203_connector_roundtrip": _Q203_SQL,
 }

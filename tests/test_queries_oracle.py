@@ -102,11 +102,12 @@ def test_curation_invariants_top20_selects(spark, assert_no_cache_residue):
 
 def test_q191_dsir_score_uses_ascii_whitespace_class(spark):
     """The stream-side dsir_score tokenizer must use the SAME ASCII
-    whitespace class as tokens() (Java ``\\s`` = ``[ \\t\\n\\x0B\\f\\r]``).
-    The DuckDB oracle's ``regexp_extract_all('\\S+')`` agrees on every
-    char except ``\\x0B`` (RE2's ``\\s`` excludes vertical tab); no
-    fixture document contains one, and the Java class is the batch
-    path's source of truth.  Python
+    whitespace class as tokens(): the explicit ``[ \\t\\n\\f\\r]`` —
+    RE2's ``\\s``, which the DuckDB oracle's
+    ``regexp_extract_all('\\S+')`` complements — so all three
+    tokenizers agree on every character, ``\\x0B`` included (a token
+    char everywhere; the old Java-``\\s`` vertical-tab exception is
+    closed).  Python
     ``str.split()`` would also split on Unicode whitespace (\\xa0,
     \\u2028, \\x85): a document whose only LM-known bigram spans a
     \\xa0 would lose its DSIR weight and flip disposition vs the q189
@@ -220,3 +221,29 @@ def test_q197_conservation_invariant(spark, assert_no_cache_residue):
         assert tuple(keep[k]) == tuple(got[k]) == manifest[k], k
         bs = sorted(bins_per_shard[k])
         assert bs == list(range(len(bs))), k  # contiguous from 0
+
+
+def test_tokens_vertical_tab_parity_with_re2(spark, oracle):
+    """tokens() and the DuckDB oracles' ``\\S+`` must agree on EVERY
+    character — including ``\\x0B`` (vertical tab), the one char where
+    Java's ``\\s`` and RE2's ``\\s`` differ (VERDICT r8 item 5: the
+    parity claim is exact, not fixture-conditional).  Both engines
+    treat ``\\x0B`` as a TOKEN character and all of ``[ \\t\\n\\f\\r]``
+    as separators."""
+    from pyspark.sql import functions as F
+
+    from alpaca_pyspark_spark.functions import tokens
+
+    text = "a\x0bb \tc\nd\fe\rf  g"
+    got = (
+        spark.range(1)
+        .select(tokens(F.lit(text)).alias("t"))
+        .collect()[0]["t"]
+    )
+    want = [
+        r[0]
+        for r in oracle.execute(
+            r"SELECT unnest(regexp_extract_all(?, '\S+'))", [text]
+        ).fetchall()
+    ]
+    assert got == want == ["a\x0bb", "c", "d", "e", "f", "g"]

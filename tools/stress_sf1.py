@@ -83,13 +83,36 @@ QUERIES_UNDER_TEST = [
     "q200_ivf_index_maintenance",
     "q201_ivfpq_search",
     "q202_streaming_pq_search",
+    # round 9: dial-scaled q202 twin, cluster representatives, and
+    # the density-bounded q163 companion (first decade each)
+    "q202_dialed_pq_search",
+    "q92_cluster_representatives",
+    "q163_setsim_bounded",
 ]
+
+
+def _q163_setsim_bounded(spark, sf_dir):
+    """Stress-only harness entry: setsim_partner_profile at q163's
+    exact parameters (3-word shingles, J >= 1/2)."""
+    from alpaca_pyspark_spark.queries.llm import tune
+    from alpaca_pyspark_spark.operators.dedup import setsim_partner_profile
+    from alpaca_pyspark_spark.tables import load
+
+    tune(spark)
+    return setsim_partner_profile(
+        load(spark, sf_dir, "documents"),
+        id_col="doc_id", text_col="text", shingle_k=3,
+        threshold_num=1, threshold_den=2,
+    )
+
+
+EXTRA = {"q163_setsim_bounded": _q163_setsim_bounded}
 
 
 def run_once(spark, qid: str, sf_dir: str) -> tuple[float, int]:
     spark.catalog.clearCache()
     t0 = time.perf_counter()
-    n = QUERIES[qid](spark, sf_dir).count()
+    n = (QUERIES.get(qid) or EXTRA[qid])(spark, sf_dir).count()
     dt = time.perf_counter() - t0
     release_scoped_caches()
     return dt, n
@@ -111,8 +134,13 @@ def main() -> None:
     spark = get_spark("stress-sf1")
     spark.sparkContext.setLogLevel("ERROR")
     dest = Path(__file__).resolve().parents[1] / "STRESS_SF1.json"
+    # seed from the existing artifact in FULL sweeps too (ADVICE r8):
+    # per-query flushes otherwise overwrite a complete artifact with a
+    # partial one on the first iteration, so a mid-sweep crash used to
+    # lose the previous complete file.  Fresh timings still replace
+    # old rows as each query completes.
     out = {}
-    if args.only is not None and dest.exists():
+    if dest.exists():
         out = json.loads(dest.read_text())
     for qid in args.only if args.only is not None else QUERIES_UNDER_TEST:
         # warm codegen/page-cache on the small scale, then time both
