@@ -106,7 +106,50 @@ def _q163_setsim_bounded(spark, sf_dir):
     )
 
 
-EXTRA = {"q163_setsim_bounded": _q163_setsim_bounded}
+def _q92_cluster_reps_lsh(spark, sf_dir):
+    """Stress-only: q92's pipeline with the LSH scale dial (see
+    stress_sf10.py; the registered exact-quadratic baseline keeps its
+    own row here, the dial is what a deployment runs)."""
+    from pyspark.sql import functions as F
+
+    from alpaca_pyspark_spark.operators.components import connected_components
+    from alpaca_pyspark_spark.operators.dedup import embedding_near_duplicates
+    from alpaca_pyspark_spark.queries.llm import tune
+    from alpaca_pyspark_spark.tables import load
+
+    tune(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    pairs = embedding_near_duplicates(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.5, num_planes=8,
+        dim=64,
+    )
+    comp = connected_components(
+        pairs, emb, src="id_a", dst="id_b", vertex_id="vec_id"
+    )
+    return (
+        comp.join(docs, comp.id == docs.doc_id)
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(
+                F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id"))
+            ).alias("__m"),
+            F.max("n_chars").alias("rep_chars"),
+        )
+        .select(
+            "component",
+            "n_members",
+            (-F.col("__m.neg_id")).alias("rep_doc_id"),
+            "rep_chars",
+        )
+    )
+
+
+EXTRA = {
+    "q163_setsim_bounded": _q163_setsim_bounded,
+    "q92_cluster_reps_lsh": _q92_cluster_reps_lsh,
+}
 
 
 def run_once(spark, qid: str, sf_dir: str) -> tuple[float, int]:

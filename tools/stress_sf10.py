@@ -61,7 +61,15 @@ FLAGSHIPS = [
     "q202_dialed_pq_search",
     "q187_dsir_importance",
     "q188_classifier_quality_filter",
-    "q92_cluster_representatives",
+    # q92's REGISTERED form is the sanctioned exact-quadratic baseline
+    # (num_planes=None: O(n^2) blocked all-pairs) — its sf10 leg would
+    # measure the quadratic term by construction (~100x work per 10x
+    # rows; the sf0.1->sf1 decade in STRESS_SF1.json shows it).  The
+    # sweep therefore measures the LSH-bucketed dial (num_planes=8,
+    # the deployment configuration, same downstream components +
+    # representative selection) — the q163-style "measure the scale
+    # path, document the exact baseline" split.
+    "q92_cluster_reps_lsh",
     "q163_setsim_bounded",
 ]
 
@@ -81,7 +89,50 @@ def _q163_setsim_bounded(spark, sf_dir):
     )
 
 
-EXTRA = {"q163_setsim_bounded": _q163_setsim_bounded}
+def _q92_cluster_reps_lsh(spark, sf_dir):
+    """Stress-only harness entry: q92's pipeline with the LSH scale
+    dial (sign-bucket candidates, num_planes=8) instead of the exact
+    all-pairs baseline; identical clustering + representative rule."""
+    from pyspark.sql import functions as F
+
+    from alpaca_pyspark_spark.operators.components import connected_components
+    from alpaca_pyspark_spark.operators.dedup import embedding_near_duplicates
+    from alpaca_pyspark_spark.queries.llm import tune
+    from alpaca_pyspark_spark.tables import load
+
+    tune(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    pairs = embedding_near_duplicates(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.5, num_planes=8,
+        dim=64,
+    )
+    comp = connected_components(
+        pairs, emb, src="id_a", dst="id_b", vertex_id="vec_id"
+    )
+    return (
+        comp.join(docs, comp.id == docs.doc_id)
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(
+                F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id"))
+            ).alias("__m"),
+            F.max("n_chars").alias("rep_chars"),
+        )
+        .select(
+            "component",
+            "n_members",
+            (-F.col("__m.neg_id")).alias("rep_doc_id"),
+            "rep_chars",
+        )
+    )
+
+
+EXTRA = {
+    "q163_setsim_bounded": _q163_setsim_bounded,
+    "q92_cluster_reps_lsh": _q92_cluster_reps_lsh,
+}
 
 
 def run_once(spark, qid: str, sf_dir: str) -> tuple[float, int]:
