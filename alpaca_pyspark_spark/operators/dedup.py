@@ -518,6 +518,73 @@ def ngram_jaccard_on_pairs(
 
 
 # ------------------------------------- prefix-filtered set-similarity
+def _setsim_prefix_candidates(sets, *, id_col, num, den, persist_ordered=False):
+    """The PPJoin candidate stage shared by ``setsim_prefix_join`` and
+    ``setsim_partner_profile`` (one definition so the two verifies can
+    never diverge on the prefix lemma — review r9).
+
+    Candidate generation runs on 64-bit item HASHES, not the shingle
+    strings: the frequency pass and the prefix join exchange 8 bytes
+    per item instead of ~30-char strings (~4× less shuffle volume,
+    cheaper per-set sort).  Lossless: shared string ⇒ shared hash, and
+    a collision can only merge items — the hash-set Jaccard is ≥ the
+    string-set Jaccard, so the hash-level prefix + size filters can
+    only ADD candidates, never drop a true pair; each caller's exact
+    verify kills false candidates.  The canonical total order is the
+    comparator (item_df, hash) itself — ``array_sort`` on
+    ``struct<item_df, item>`` inside codegen, no materialized global
+    rank, no single-partition window.
+
+    Returns ``(cand, ordered)``: the distinct (id_a, id_b) candidate
+    pairs past the integer size bound, and the per-id
+    ``(__ord: sorted array<struct<item_df, item>>, n)`` table (persist
+    it via ``persist_ordered`` when the caller's verify reuses it)."""
+    ex = sets.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.transform("shingles", lambda s: F.xxhash64(s)))
+        ).alias("item"),
+    )
+    freq = ex.groupBy("item").agg(F.count(F.lit(1)).alias("item_df"))
+    ordered = (
+        ex.join(freq, "item")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("item_df", "item"))).alias(
+                "__ord"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    if persist_ordered:
+        ordered = ordered.transform(scoped_persist)
+    # prefix length p = n − ⌈t·n⌉ + 1, computed in exact integer math
+    plen = (
+        F.col("n") - F.expr(f"(n * {num} + {den} - 1) DIV {den}") + F.lit(1)
+    ).cast("int")
+    prefix = ordered.select(
+        F.col(id_col),
+        F.col("n"),
+        F.explode(
+            F.slice(F.transform("__ord", lambda x: x["item"]), F.lit(1), plen)
+        ).alias("item"),
+    )
+    a = prefix.withColumnsRenamed({id_col: "id_a", "n": "n_a"})
+    b = prefix.withColumnsRenamed({id_col: "id_b", "n": "n_b"})
+    cand = (
+        a.join(b, "item")
+        .filter(F.col("id_a") < F.col("id_b"))
+        # size bound: t·|A| ≤ |B| and t·|B| ≤ |A| (integer form)
+        .filter(
+            (F.col("n_b") * den >= F.col("n_a") * num)
+            & (F.col("n_a") * den >= F.col("n_b") * num)
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return cand, ordered
+
+
 def setsim_prefix_join(
     df: DataFrame,
     *,
@@ -560,53 +627,7 @@ def setsim_prefix_join(
     # persisted: feeds the item-frequency pass AND both sides of the
     # exact verify join
     sets = shingle_sets(df, id_col=id_col, text_col=text_col, shingle_k=shingle_k).transform(scoped_persist)
-    # Candidate generation runs on 64-bit item HASHES, not the shingle
-    # strings: the frequency pass and the prefix join then exchange 8
-    # bytes per item instead of ~30-char strings (~4× less shuffle
-    # volume, cheaper per-set sort).  Still lossless: shared item ⇒
-    # shared hash, so a collision can only ADD a candidate — never
-    # drop one — and the exact string-set verify below kills any
-    # false candidate.  The canonical order becomes (df, hash): any
-    # consistent global total order satisfies the prefix lemma.
-    ex = sets.select(
-        F.col(id_col), F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("item")
-    )
-    freq = ex.groupBy("item").agg(F.count(F.lit(1)).alias("item_df"))
-    # regroup each set sorted by the global canonical order (df asc,
-    # hash asc); array_sort on struct<item_df,item> is exactly that
-    # comparator, evaluated inside codegen
-    ordered = (
-        ex.join(freq, "item")
-        .groupBy(id_col)
-        .agg(
-            F.array_sort(F.collect_list(F.struct("item_df", "item"))).alias("__ord"),
-            F.count(F.lit(1)).alias("n"),
-        )
-    )
-    # prefix length p = n − ⌈t·n⌉ + 1, computed in exact integer math
-    plen = (
-        F.col("n") - F.expr(f"(n * {num} + {den} - 1) DIV {den}") + F.lit(1)
-    ).cast("int")
-    prefix = ordered.select(
-        F.col(id_col),
-        F.col("n"),
-        F.explode(
-            F.slice(F.transform("__ord", lambda x: x["item"]), F.lit(1), plen)
-        ).alias("item"),
-    )
-    a = prefix.withColumnsRenamed({id_col: "id_a", "n": "n_a"})
-    b = prefix.withColumnsRenamed({id_col: "id_b", "n": "n_b"})
-    cand = (
-        a.join(b, "item")
-        .filter(F.col("id_a") < F.col("id_b"))
-        # size bound: t·|A| ≤ |B| and t·|B| ≤ |A| (integer form)
-        .filter(
-            (F.col("n_b") * den >= F.col("n_a") * num)
-            & (F.col("n_a") * den >= F.col("n_b") * num)
-        )
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    cand, _ = _setsim_prefix_candidates(sets, id_col=id_col, num=num, den=den)
     verified = (
         cand.join(sets.withColumnsRenamed({id_col: "id_a", "shingles": "sh_a"}), "id_a")
         .join(sets.withColumnsRenamed({id_col: "id_b", "shingles": "sh_b"}), "id_b")
@@ -671,51 +692,14 @@ def setsim_partner_profile(
     sets = shingle_sets(
         df, id_col=id_col, text_col=text_col, shingle_k=shingle_k
     )
-    ex = sets.select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(F.transform("shingles", lambda s: F.xxhash64(s)))
-        ).alias("item"),
-    )
-    freq = ex.groupBy("item").agg(F.count(F.lit(1)).alias("item_df"))
-    ordered = (
-        ex.join(freq, "item")
-        .groupBy(id_col)
-        .agg(
-            F.array_sort(F.collect_list(F.struct("item_df", "item"))).alias(
-                "__ord"
-            ),
-            F.count(F.lit(1)).alias("n"),
-        )
-        # feeds the prefix explode AND both verify sides
-        .transform(scoped_persist)
+    # ordered persisted: feeds the prefix explode AND both verify sides
+    cand, ordered = _setsim_prefix_candidates(
+        sets, id_col=id_col, num=num, den=den, persist_ordered=True
     )
     harr = ordered.select(
         F.col(id_col),
         F.transform("__ord", lambda x: x["item"]).alias("__h"),
         "n",
-    )
-    plen = (
-        F.col("n") - F.expr(f"(n * {num} + {den} - 1) DIV {den}") + F.lit(1)
-    ).cast("int")
-    prefix = ordered.select(
-        F.col(id_col),
-        F.col("n"),
-        F.explode(
-            F.slice(F.transform("__ord", lambda x: x["item"]), F.lit(1), plen)
-        ).alias("item"),
-    )
-    a = prefix.withColumnsRenamed({id_col: "id_a", "n": "n_a"})
-    b = prefix.withColumnsRenamed({id_col: "id_b", "n": "n_b"})
-    cand = (
-        a.join(b, "item")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(
-            (F.col("n_b") * den >= F.col("n_a") * num)
-            & (F.col("n_a") * den >= F.col("n_b") * num)
-        )
-        .select("id_a", "id_b")
-        .distinct()
     )
     verified = (
         cand.join(harr.withColumnsRenamed({id_col: "id_a", "__h": "__ha", "n": "na"}), "id_a")
@@ -743,8 +727,12 @@ def setsim_partner_profile(
             "uni",
         )
     )
-    # best partner = max by (jaccard, partner id) in exact integer
-    # form: compare inter/uni cross-multiplied, tie-break on lower id
+    # best partner = max by (IEEE-double Jaccard, lower partner id).
+    # The double is a pure function of the exact integers (inter, uni),
+    # so the selection is engine-deterministic; two DISTINCT rationals
+    # within one ulp round to the same double and then resolve by id —
+    # acceptable for a profile (a true cross-multiplied argmax needs a
+    # pairwise compare no partial-aggregatable struct-max expresses)
     best = F.max(
         F.struct(
             (F.col("inter").cast("double") / F.col("uni")).alias("j"),

@@ -83,12 +83,23 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def normalized_fingerprint(text_col: str = "text") -> Column:
     """Canonical document fingerprint: lowercase, collapse whitespace,
-    md5 — identical across engines (shared normalization recipe)."""
-    # explicit [ \t\n\f\r] (RE2's \s), NOT Java's \s which also eats
-    # \x0B — keeps the fingerprint byte-identical to the DuckDB
-    # oracle's regexp_replace('\s+') on every character (VERDICT r8)
-    norm = F.regexp_replace(
-        F.lower(F.trim(F.col(text_col))), "[ \t\n\f\r]+", " "
+    trim, md5 — identical across engines (shared normalization
+    recipe).
+
+    Order matters for exactness on EVERY input: collapse THEN trim.
+    The earlier trim-first form left a trailing space whenever the
+    text ended in non-space whitespace ('hello\\n' → 'hello ') because
+    trim strips only ' ' — a latent divergence from the
+    collapse-then-trim oracles that no fixture happened to hit (round-9
+    review finding).  The whitespace class is the explicit
+    ``[ \\t\\n\\f\\r]`` (RE2's ``\\s``), NOT Java's ``\\s`` which also
+    eats ``\\x0B`` — so Spark and the DuckDB oracles'
+    ``trim(regexp_replace(text, '\\s+', ' ', 'g'))`` agree on every
+    character.  ``lower`` commutes with both steps (character-wise,
+    never creates or destroys whitespace), so oracle forms with lower
+    inside or outside are equivalent."""
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), "[ \t\n\f\r]+", " ")
     )
     return F.md5(norm.cast("binary"))
 

@@ -1808,7 +1808,7 @@ _Q173_SQL = """
 WITH base AS (
   SELECT n_chars, lang, source,
          CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_toks,
-         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
   FROM documents
 ),
 s AS (
@@ -3889,13 +3889,19 @@ def _ivf_dial(n_corpus: int) -> int:
     """Production IVF cell-count dial: the largest power of two whose
     square fits the corpus (cells ≈ √n balances the per-probe payload
     scan, |corpus|/cells, against the probe fan-out), floored at the
-    oracle grid's {_Q200_CELLS}.  Pure integer arithmetic — no
-    floating-point log/sqrt — so the SQL oracle derives the IDENTICAL
-    value from ``count(*)`` and the dialed plan stays hash-gateable at
-    every scale factor (the round-8 amber: the measured scale dial
-    lived only in tools/, outside the gate)."""
+    oracle grid's 16 (``_Q200_CELLS``) and CAPPED at 65536 — the last
+    value in the oracle's candidate list, and the point past which a
+    real deployment shards the index across serving groups rather
+    than growing nlist (n ≥ 2^34 vectors in one index).  Pure integer
+    arithmetic — no floating-point log/sqrt — so the SQL oracle
+    derives the IDENTICAL value from ``count(*)`` at every n and the
+    dialed plan stays hash-gateable at every scale factor (the
+    round-8 amber: the measured scale dial lived only in tools/,
+    outside the gate)."""
     cells = _Q200_CELLS
-    while (cells * 2) * (cells * 2) <= max(n_corpus, _Q200_CELLS * _Q200_CELLS):
+    while cells < 65536 and (cells * 2) * (cells * 2) <= max(
+        n_corpus, _Q200_CELLS * _Q200_CELLS
+    ):
         cells *= 2
     return cells
 

@@ -60,27 +60,33 @@ class ReplayTradesServer:
             key=lambda r: (r[0], r[1], r[4]),
         )
         self._tape = tape
+        # ISO-format timestamps compare lexicographically in time order
+        # (one normalized +00:00 form), so the [start, end] slice is a
+        # bisect over this key list — O(log n) per request instead of a
+        # full-tape rescan per page (round-9 review finding)
+        self._keys = [r[0] for r in tape]
         self._cap = page_limit_cap
         self._server: ThreadingHTTPServer | None = None
         self.requests: list[tuple[str, dict]] = []
 
     # -- request handling --------------------------------------------
     def _page(self, qs: dict[str, list[str]]) -> dict[str, Any]:
+        import bisect
+
         syms = set(qs["symbols"][0].split(",")) if "symbols" in qs else None
-        lo = _iso_utc(datetime.fromisoformat(qs["start"][0])) if "start" in qs else ""
-        hi = (
-            _iso_utc(datetime.fromisoformat(qs["end"][0]))
-            if "end" in qs
-            else "\x7f"
-        )
         limit = min(int(qs.get("limit", [self._cap])[0]), self._cap)
         offset = int(qs.get("page_token", ["0"])[0])
-        # the tape is ISO-sorted, so the [start, end]-INCLUSIVE slice
-        # is contiguous; symbols filter within it
+        i = 0
+        j = len(self._tape)
+        if "start" in qs:
+            lo = _iso_utc(datetime.fromisoformat(qs["start"][0]))
+            i = bisect.bisect_left(self._keys, lo)
+        if "end" in qs:
+            hi = _iso_utc(datetime.fromisoformat(qs["end"][0]))
+            # inclusive end, like the real API: keep every key == hi
+            j = bisect.bisect_right(self._keys, hi)
         window = [
-            r
-            for r in self._tape
-            if lo <= r[0] <= hi and (syms is None or r[1] in syms)
+            r for r in self._tape[i:j] if syms is None or r[1] in syms
         ]
         page, rest = window[offset : offset + limit], window[offset + limit :]
         by_sym: dict[str, list[dict[str, Any]]] = {}
@@ -173,7 +179,20 @@ class CaptureSink:
         return [r for pg in self.pages for r in pg["records"]]
 
     def committed_rows(self, status: str = "committed") -> int:
-        return sum(m["rows"] for m in self.commits if m.get("status") == status)
+        """Total rows across committed manifests, deduplicated by
+        ``batch_id`` (last wins) — the idempotent-sink contract
+        ``RestStreamWriter`` documents: on failure recovery Structured
+        Streaming re-runs the last uncommitted batch, so the server
+        must treat a repeated batch_id as a replay, not new data.
+        (Page-level POSTs carry no batch/partition identity in the
+        wire protocol, so page replays are NOT deduplicated here —
+        a real ingest endpoint dedups on record keys; the q203 gate
+        would surface one as a conservation mismatch.)"""
+        by_batch: dict[Any, int] = {}
+        for i, m in enumerate(self.commits):
+            if m.get("status") == status:
+                by_batch[m.get("batch_id", f"__batch{i}")] = m["rows"]
+        return sum(by_batch.values())
 
     def __exit__(self, *exc) -> None:
         self._server.shutdown()

@@ -247,3 +247,31 @@ def test_tokens_vertical_tab_parity_with_re2(spark, oracle):
         ).fetchall()
     ]
     assert got == want == ["a\x0bb", "c", "d", "e", "f", "g"]
+
+
+def test_fingerprint_edge_whitespace_parity_with_oracle(spark, oracle):
+    """normalized_fingerprint must equal the oracles'
+    ``md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))`` on
+    EVERY input, including text that starts/ends in non-space
+    whitespace — the case trim-first normalization silently got wrong
+    ('hello\\n' → 'hello ' because trim strips only spaces; round-9
+    review finding)."""
+    from pyspark.sql import functions as F
+
+    from alpaca_pyspark_spark.operators.text import normalized_fingerprint
+
+    cases = ["hello\n", "\tWorld", "a\x0bb", " mid  dle ", "\r\fX\r", ""]
+    df = spark.createDataFrame([(t,) for t in cases], "text string")
+    got = [
+        r["fp"]
+        for r in df.select(normalized_fingerprint("text").alias("fp"))
+        .collect()
+    ]
+    want = [
+        oracle.execute(
+            r"SELECT md5(lower(trim(regexp_replace(?, '\s+', ' ', 'g'))))",
+            [t],
+        ).fetchone()[0]
+        for t in cases
+    ]
+    assert got == want

@@ -71,68 +71,23 @@ FLAGSHIPS = [
     # path, document the exact baseline" split.
     "q92_cluster_reps_lsh",
     "q163_setsim_bounded",
+    # round-9 batch 2: second-decade rows for every remaining
+    # (measurable) scale-claimed family — the two exact-quadratic
+    # baselines (q176, q92 exact) and the two disk-/output-capped
+    # pair-list shapes (q163 lossless) stay deliberately absent with
+    # their SCALE.md explanations
+    "q185_temperature_mixture", "q148_frame_sampling",
+    "q186_span_dedup_rewrite", "q184_stopword_filter",
+    "q194_token_budget_selection", "q02_bars_tumbling",
+    "q195_coverage_quota_selection", "q177_semdedup",
+    "q192_hybrid_retrieval", "q183_repetition_filter",
+    "q182_perplexity_filter", "q123_bpe_train",
+    "q190_streaming_quality_filter", "q33_near_dup_components_lsh",
+    "q12_text_dedup_portable", "q191_streaming_curation",
 ]
 
 
-def _q163_setsim_bounded(spark, sf_dir):
-    """Stress-only harness entry: setsim_partner_profile at q163's
-    exact parameters (3-word shingles, J >= 1/2)."""
-    from alpaca_pyspark_spark.queries.llm import tune
-    from alpaca_pyspark_spark.operators.dedup import setsim_partner_profile
-    from alpaca_pyspark_spark.tables import load
-
-    tune(spark)
-    return setsim_partner_profile(
-        load(spark, sf_dir, "documents"),
-        id_col="doc_id", text_col="text", shingle_k=3,
-        threshold_num=1, threshold_den=2,
-    )
-
-
-def _q92_cluster_reps_lsh(spark, sf_dir):
-    """Stress-only harness entry: q92's pipeline with the LSH scale
-    dial (sign-bucket candidates, num_planes=8) instead of the exact
-    all-pairs baseline; identical clustering + representative rule."""
-    from pyspark.sql import functions as F
-
-    from alpaca_pyspark_spark.operators.components import connected_components
-    from alpaca_pyspark_spark.operators.dedup import embedding_near_duplicates
-    from alpaca_pyspark_spark.queries.llm import tune
-    from alpaca_pyspark_spark.tables import load
-
-    tune(spark)
-    emb = load(spark, sf_dir, "embeddings")
-    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    pairs = embedding_near_duplicates(
-        emb, id_col="vec_id", vec_col="embedding", threshold=0.5, num_planes=8,
-        dim=64,
-    )
-    comp = connected_components(
-        pairs, emb, src="id_a", dst="id_b", vertex_id="vec_id"
-    )
-    return (
-        comp.join(docs, comp.id == docs.doc_id)
-        .groupBy("component")
-        .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            F.max(
-                F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id"))
-            ).alias("__m"),
-            F.max("n_chars").alias("rep_chars"),
-        )
-        .select(
-            "component",
-            "n_members",
-            (-F.col("__m.neg_id")).alias("rep_doc_id"),
-            "rep_chars",
-        )
-    )
-
-
-EXTRA = {
-    "q163_setsim_bounded": _q163_setsim_bounded,
-    "q92_cluster_reps_lsh": _q92_cluster_reps_lsh,
-}
+from stress_extra import EXTRA  # noqa: E402  (shared harness entries)
 
 
 def run_once(spark, qid: str, sf_dir: str) -> tuple[float, int]:
@@ -166,6 +121,11 @@ def main() -> None:
     out = {}
     if dest.exists():
         out = json.loads(dest.read_text())
+        if args.only is None:
+            # FULL sweep: drop rows for retired queries so the artifact
+            # never mixes current and stale measurements (review r9) —
+            # --only runs keep everything and merge
+            out = {k: v for k, v in out.items() if k in FLAGSHIPS}
     for qid in args.only if args.only is not None else FLAGSHIPS:
         # warm codegen/page-cache on the smaller scale, then time both
         run_once(spark, qid, args.sf1)
