@@ -1036,3 +1036,38 @@ def test_q202_stream_plan_stateless(spark, tmp_path):
     plan = formatted_plan(bout)
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_q203_landed_bar_plan_is_q02_shape(spark):
+    """q203's read-back bar construction must keep the q02 physical
+    shape on the LANDED data: exactly one exchange (the partial→final
+    bar aggregation) and whole-stage codegen — the connector loop may
+    not degrade the flagship aggregation, and nothing in the landed
+    plan may collect or cartesian."""
+    df = QUERIES["q203_connector_roundtrip"](spark, SF_DIR)
+    assert count_shuffles(df) == 1, formatted_plan(df)
+    assert has_whole_stage_codegen(df), formatted_plan(df)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_dial_matches_oracle_nc_cte_for_all_n(oracle):
+    """The Python dial rule and the dialed oracle's NC CTE must derive
+    the IDENTICAL cell count at EVERY corpus size — including the
+    power-of-4 boundaries where a float log/sqrt derivation would be
+    one ulp away from flipping, and the 65536 cap where the SQL
+    candidate list ends."""
+    from alpaca_pyspark_spark.queries.llm import _ivf_dial
+
+    sql = """
+    SELECT max(p) FROM (SELECT unnest([16, 32, 64, 128, 256, 512, 1024,
+        2048, 4096, 8192, 16384, 32768, 65536]::BIGINT[]) AS p)
+    WHERE p * p <= greatest(?, 256)
+    """
+    boundary = [0, 1, 255, 256, 257, 480, 1023, 1024, 1025, 1920]
+    boundary += [4**k + d for k in range(4, 18) for d in (-1, 0, 1)]
+    boundary += [2 * 4**k for k in range(4, 18)]  # non-power-of-4 mids
+    for n in boundary:
+        want = oracle.execute(sql, [n]).fetchone()[0]
+        assert _ivf_dial(n) == want, n
