@@ -46,6 +46,17 @@ class TradesStreamReader(SimpleDataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {"cursor": self.start_ts.isoformat()}
 
+    # Max symbols per GET: the batch source's grid plans ONE symbol per
+    # request (``plan_partitions``), so it never meets a URL bound; the
+    # poller batches symbols per request for fewer round-trips, but an
+    # unbounded comma-join overflows request-line limits as the symbol
+    # universe grows (http.server rejects >64 KiB; proxies commonly cap
+    # at 8-16 KiB).  1000 symbols ≈ 8 KiB keeps every request inside
+    # the conservative cap while amortizing per-request overhead.
+    # Chunks are disjoint, so the union over chunks is exactly the
+    # slice's rows — no overlap, no gap — at ANY universe size.
+    SYMBOLS_PER_REQUEST = 1000
+
     def _fetch_rows(self, lo, hi) -> list[tuple]:
         fetcher = make_fetcher(
             self.config.endpoint,
@@ -55,7 +66,7 @@ class TradesStreamReader(SimpleDataSourceStreamReader):
             retries=self.config.retries,
         )
         rows: list[tuple] = []
-        params = {
+        base = {
             k: v
             for k, v in self.params.items()
             if k not in ("start", "end", "poll_interval")
@@ -65,15 +76,21 @@ class TradesStreamReader(SimpleDataSourceStreamReader):
         # exactly at a cursor boundary is fetched by exactly one
         # micro-batch (timestamps are microsecond-granular, §1.2), not
         # by both adjacent ones.  dedup_stream covers residual replays.
-        params.update(
+        base.update(
             start=lo.isoformat(),
             end=(hi - timedelta(microseconds=1)).isoformat(),
             limit=self.params.get("limit", str(DEFAULT_LIMIT)),
         )
-        for page in paginate(
-            fetcher, params, rate_limit_delay=self.config.rate_limit_delay
-        ):
-            rows.extend(TRADES_TABLE.iter_rows(page))
+        symbols = [s for s in self.params["symbols"].split(",") if s]
+        for c in range(0, len(symbols), self.SYMBOLS_PER_REQUEST):
+            params = dict(
+                base,
+                symbols=",".join(symbols[c : c + self.SYMBOLS_PER_REQUEST]),
+            )
+            for page in paginate(
+                fetcher, params, rate_limit_delay=self.config.rate_limit_delay
+            ):
+                rows.extend(TRADES_TABLE.iter_rows(page))
         return rows
 
     def read(self, start: dict):

@@ -123,6 +123,91 @@ def test_stream_slices_are_half_open(monkeypatch):
     assert captured["end"] == "2021-01-01T11:59:59.999999+00:00"
 
 
+def test_stream_fetch_chunks_symbols_per_request(monkeypatch):
+    """The poller must bound symbols-per-GET (an unbounded comma-join
+    overflows request-line limits as the universe grows — the batch
+    grid never sends more than one symbol per request) and the chunked
+    union must be exactly the slice: disjoint chunks, original order,
+    unchanged time window on every request."""
+    from alpaca_pyspark_spark.streaming import source as src_mod
+
+    calls = []
+
+    def fake_paginate(fetcher, params, rate_limit_delay=0.0):
+        calls.append(dict(params))
+        return iter(())
+
+    monkeypatch.setattr(src_mod, "paginate", fake_paginate)
+    monkeypatch.setattr(src_mod, "make_fetcher", lambda *a, **k: None)
+
+    reader = src_mod.TradesStreamReader.__new__(src_mod.TradesStreamReader)
+    from alpaca_pyspark_spark.sources.spec import EndpointConfig
+
+    reader.config = EndpointConfig(
+        endpoint="http://x", key_id="k", secret_key="s", rate_limit_delay=0.0
+    )
+    universe = [f"S{i:05d}" for i in range(2500)]
+    reader.params = {
+        "symbols": ",".join(universe),
+        "start": "2021-01-01T00:00:00+00:00",
+        "end": "2021-01-02T00:00:00+00:00",
+    }
+    from datetime import datetime, timezone
+
+    lo = datetime(2021, 1, 1, tzinfo=timezone.utc)
+    hi = datetime(2021, 1, 1, 12, tzinfo=timezone.utc)
+    reader._fetch_rows(lo, hi)
+    sizes = [len(c["symbols"].split(",")) for c in calls]
+    assert sizes == [1000, 1000, 500]
+    rejoined = [s for c in calls for s in c["symbols"].split(",")]
+    assert rejoined == universe  # disjoint, ordered, complete
+    assert all(
+        c["start"] == "2021-01-01T00:00:00+00:00"
+        and c["end"] == "2021-01-01T11:59:59.999999+00:00"
+        for c in calls
+    )
+
+
+def test_stream_chunked_fetch_union_equals_tape(monkeypatch):
+    """Chunked fetch against the REAL replay endpoint (chunk x page
+    interplay): with a tiny chunk dial the poller issues one paginated
+    sequence per chunk, and the union over chunks is the tape exactly
+    once — no symbol's rows dropped or doubled at a chunk boundary."""
+    from datetime import datetime, timezone
+
+    from alpaca_pyspark_spark.sources.replay import ReplayTradesServer
+    from alpaca_pyspark_spark.streaming import source as src_mod
+
+    base = datetime(2021, 1, 1, tzinfo=timezone.utc)
+    tape = [
+        (f"S{i % 7}", base.replace(hour=1 + (i % 10)), 100.0 + i, 1, i)
+        for i in range(40)
+    ]
+    monkeypatch.setattr(src_mod.TradesStreamReader, "SYMBOLS_PER_REQUEST", 3)
+    with ReplayTradesServer(tape) as api:
+        reader = src_mod.TradesStreamReader.__new__(src_mod.TradesStreamReader)
+        from alpaca_pyspark_spark.sources.spec import EndpointConfig
+
+        reader.config = EndpointConfig(
+            endpoint=api.endpoint,
+            key_id="k",
+            secret_key="s",
+            rate_limit_delay=0.0,
+        )
+        reader.params = {
+            "symbols": ",".join(sorted({t[0] for t in tape})),
+            "start": base.isoformat(),
+            "end": base.replace(hour=23).isoformat(),
+            "limit": "5",  # force pagination inside every chunk
+        }
+        rows = reader._fetch_rows(base, base.replace(hour=23))
+        # 7 symbols / 3 per request -> 3 chunked sequences
+        assert len({q["symbols"][0] for _, q in api.requests}) == 3
+    got = sorted((r[0], r[6]) for r in rows)  # (symbol, trade id)
+    want = sorted((t[0], t[4]) for t in tape)
+    assert got == want
+
+
 def test_streaming_sessions_rocksdb_state_store(spark, tmp_path):
     """Same watermarked session query under the RocksDB state-store
     provider — the backend a 100 TB cluster actually runs (state no

@@ -89,6 +89,13 @@ QUERIES_UNDER_TEST = [
     "q92_cluster_representatives",
     "q92_cluster_reps_lsh",
     "q163_setsim_bounded",
+    # round 9 (late): the connector-roundtrip flagship's first decade.
+    # The replay endpoint + tape build are the API stand-in (world
+    # side) and scale with the tape by construction; this row measures
+    # that the ENGINE side of the loop — poller slices, paged fetch,
+    # sink paged-POST/manifests, landed-bar shuffle — stays linear
+    # across a 10x tape.
+    "q203_connector_roundtrip",
 ]
 
 
