@@ -79,3 +79,19 @@ def test_round_artifacts_cover_live_registry():
         f"missing={sorted(set(QUERIES) - set(bench))[:5]} "
         f"extra={sorted(set(bench) - set(QUERIES))[:5]}"
     )
+
+
+def test_rotation_ledger_consistency():
+    """ROTATION.md's staged prefixes must stay real: every named qid
+    exists in the registry, the staged round-10 prefix is exactly 50
+    unique entries, and the round-11 remainder is disjoint from it."""
+    text = (REPO / "ROTATION.md").read_text()
+    blocks = re.findall(r"```\n(.*?)```", text, re.S)
+    assert len(blocks) == 2, "expected two staged-prefix code blocks"
+    qids = [re.findall(r"q\d+[a-z0-9_]*", b) for b in blocks]
+    r10, r11 = qids
+    assert len(r10) == 50 and len(set(r10)) == 50, len(r10)
+    assert len(r11) == 20 and len(set(r11)) == 20, len(r11)
+    assert not set(r10) & set(r11)
+    unknown = (set(r10) | set(r11)) - set(QUERIES)
+    assert not unknown, sorted(unknown)
