@@ -154,21 +154,99 @@ GROUP BY 1, 2
 # ---------------------------------------------------------------- q24
 def q24_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (the exact twin of the
-    approx-sketch path below)."""
+    approx-sketch path below).
+
+    The interpolation is built EXPLICITLY over integer cents instead
+    of calling the engines' builtins: Spark's ``percentile`` and
+    DuckDB's ``quantile_cont`` interpolate with different
+    floating-point expression shapes, which agreed on every driver
+    fixture but diverged by 1 ulp on the shape-preserving 10x replica
+    (p95, group R — the replica gate's one catch).  Here both sides
+    evaluate the IDENTICAL IEEE-double sequence — k = (n−1)·p (double
+    multiply; the oracle casts to DOUBLE because a bare 0.95 is
+    DECIMAL in DuckDB and exact-decimal k would diverge from double
+    k), frac = k − floor(k), cents = lo + frac·(hi − lo) on exact
+    bigint cents, one final /100.0 — so the result is bit-identical
+    by construction on ANY data, not fixture-luck (q102's recipe
+    class).  Plan: row_number + count over one group partitioning —
+    a single exchange, like q102; the 100 TB swap is the same
+    (approx_percentile partials, q46 pattern)."""
     tune(spark)
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
-        F.percentile("l_extendedprice", F.lit(0.95)).alias("p95"),
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    w = Window.partitionBy("l_returnflag").orderBy("__c")
+    wg = Window.partitionBy("l_returnflag")
+    d = (
+        li.select("l_returnflag", cents.alias("__c"))
+        .withColumn("__i", F.row_number().over(w) - 1)
+        .withColumn("__n", F.count(F.lit(1)).over(wg))
+    )
+
+    def k_of(p):
+        return (F.col("__n") - 1).cast("double") * F.lit(p)
+
+    def pick(p, which):
+        k = k_of(p)
+        idx = (
+            F.floor(k)
+            if which == "lo"
+            else F.least(F.floor(k) + 1, F.col("__n") - 1)
+        )
+        return F.max(F.when(F.col("__i") == idx, F.col("__c")))
+
+    g = d.groupBy("l_returnflag").agg(
+        F.max("__n").alias("__n"),
+        pick(0.5, "lo").alias("__lo50"),
+        pick(0.5, "hi").alias("__hi50"),
+        pick(0.95, "lo").alias("__lo95"),
+        pick(0.95, "hi").alias("__hi95"),
+    )
+
+    def interp(p, lo, hi):
+        k = k_of(p)
+        frac = k - F.floor(k).cast("double")
+        return (
+            F.col(lo) + frac * (F.col(hi) - F.col(lo)).cast("double")
+        ) / F.lit(100.0)
+
+    return g.select(
+        "l_returnflag",
+        interp(0.5, "__lo50", "__hi50").alias("p50"),
+        interp(0.95, "__lo95", "__hi95").alias("p95"),
     )
 
 
 _Q24_SQL = """
+WITH c AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+  FROM lineitem
+), r AS (
+  SELECT l_returnflag, v,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY v) - 1
+           AS idx,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM c
+), g AS (
+  SELECT l_returnflag, n,
+         max(CASE WHEN idx = CAST(floor(CAST(n - 1 AS DOUBLE) * CAST(0.5 AS DOUBLE)) AS BIGINT)
+                  THEN v END) AS lo50,
+         max(CASE WHEN idx = least(CAST(floor(CAST(n - 1 AS DOUBLE) * CAST(0.5 AS DOUBLE)) AS BIGINT) + 1, n - 1)
+                  THEN v END) AS hi50,
+         max(CASE WHEN idx = CAST(floor(CAST(n - 1 AS DOUBLE) * CAST(0.95 AS DOUBLE)) AS BIGINT)
+                  THEN v END) AS lo95,
+         max(CASE WHEN idx = least(CAST(floor(CAST(n - 1 AS DOUBLE) * CAST(0.95 AS DOUBLE)) AS BIGINT) + 1, n - 1)
+                  THEN v END) AS hi95
+  FROM r GROUP BY 1, 2
+)
 SELECT l_returnflag,
-       quantile_cont(l_extendedprice, 0.5)  AS p50,
-       quantile_cont(l_extendedprice, 0.95) AS p95
-FROM lineitem
-GROUP BY 1
+       (lo50 + (CAST(n - 1 AS DOUBLE) * CAST(0.5 AS DOUBLE)
+                - floor(CAST(n - 1 AS DOUBLE) * CAST(0.5 AS DOUBLE)))
+             * CAST(hi50 - lo50 AS DOUBLE)) / 100.0 AS p50,
+       (lo95 + (CAST(n - 1 AS DOUBLE) * CAST(0.95 AS DOUBLE)
+                - floor(CAST(n - 1 AS DOUBLE) * CAST(0.95 AS DOUBLE)))
+             * CAST(hi95 - lo95 AS DOUBLE)) / 100.0 AS p95
+FROM g
 """
 
 

@@ -25,7 +25,12 @@ for i, a in enumerate(sys.argv[1:], 1):
 SF = args[0] if args else '/root/testdata/sf0.01'
 con = duckdb.connect()
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    # driver testdata ships single files; replica datasets
+    # (tools/make_sf1.py) are Spark-written DIRECTORIES of part files
+    import os
+    path = f"{SF}/{t}.parquet"
+    src = f"{path}/*.parquet" if os.path.isdir(path) else path
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 print('entry rows:', len(m.entry(spark).collect()))
 def norm(v):
     if isinstance(v, float):
