@@ -76,7 +76,13 @@ def _seq_dot_block(A: "np.ndarray", B: "np.ndarray") -> "np.ndarray":
     reassociation), so every entry is bit-identical to the
     ``aggregate``/``zip_with`` fold and to DuckDB's
     ``list_cosine_similarity`` accumulation — verified in tests.
-    ~100× the interpreted fold's throughput."""
+    ~100× the interpreted fold's throughput.
+
+    Total on empty input: ``np.asarray([])`` is 1-D, so an empty
+    side yields the (0 × n) / (n × 0) result instead of an
+    IndexError (empty slices/partitions are routine at scale)."""
+    if A.ndim < 2 or B.ndim < 2:
+        return np.zeros((A.shape[0], B.shape[0]))
     acc = np.zeros((A.shape[0], B.shape[0]))
     for i in range(A.shape[1]):
         acc += A[:, i, None] * B[None, :, i]
@@ -85,6 +91,8 @@ def _seq_dot_block(A: "np.ndarray", B: "np.ndarray") -> "np.ndarray":
 
 def _seq_norms(M: "np.ndarray") -> "np.ndarray":
     acc = np.zeros(M.shape[0])
+    if M.ndim < 2:
+        return acc  # empty input: no vectors, no norms
     for i in range(M.shape[1]):
         acc += M[:, i] * M[:, i]
     return np.sqrt(acc)
@@ -106,7 +114,11 @@ def pq_adc_scorer(cb_py, k: int):
     to the SQL oracle's LUT join.  Row-local: no state, no
     regrouping."""
     CB = np.asarray(cb_py, dtype=np.int64)  # (M, K, lanes)
-    m, _, lanes = CB.shape
+    if CB.ndim < 3:  # empty codebook (no training data): score nothing
+        m, lanes = 0, 0
+        CB = CB.reshape(0, 0, 0)
+    else:
+        m, _, lanes = CB.shape
 
     @F.pandas_udf("array<struct<adc_dist: bigint, vec_id: bigint>>")
     def score(rq: pd.Series, members: pd.Series) -> pd.Series:
@@ -630,6 +642,8 @@ def train_ivf_centroids(
         .collect()
     )
     X = np.asarray([r["__v"] for r in rows], dtype=np.float64)
+    if X.size == 0:  # empty corpus: a 0-cell index (total, like the kernels)
+        return np.zeros((0, 0))
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     C = X[:num_cells].copy()  # deterministic init: first in hash order
     for _ in range(iters):

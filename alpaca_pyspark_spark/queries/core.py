@@ -201,6 +201,9 @@ FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY ROLLUP (r_name, n_name)
+-- Spark emits NO grouping-set rows on empty input (deviating from the
+-- SQL-standard one-()-row); count(*)>0 pins that semantics on any data
+HAVING count(*) > 0
 """
 
 
@@ -1070,6 +1073,17 @@ def q203_connector_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             pdf["event_id"].tolist(),
         )
     )
+    import pandas as pd
+
+    if not tape:
+        # empty tape: nothing to serve, nothing to land — skip the
+        # loop and run the SAME landed-bar pipeline on an empty frame
+        # (one source of truth for the output schema; total on empty
+        # input like every other query)
+        landed_pdf = pd.DataFrame(
+            {"symbol": [], "time": [], "price": [], "id": []}
+        )
+        return _q203_landed_bars(spark, landed_pdf, manifest_rows=0)
     symbols = ",".join(sorted({t[0] for t in tape}))
     lo = min(t[1] for t in tape)
     hi = max(t[1] for t in tape)
@@ -1108,8 +1122,6 @@ def q203_connector_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.processAllAvailable()
         finally:
             q.stop()
-        import pandas as pd
-
         landed_pdf = pd.DataFrame(
             {
                 "symbol": [r["symbol"] for r in sink.records],
@@ -1119,6 +1131,12 @@ def q203_connector_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
         manifest_rows = sink.committed_rows()
+    return _q203_landed_bars(spark, landed_pdf, manifest_rows=manifest_rows)
+
+
+def _q203_landed_bars(spark, landed_pdf, *, manifest_rows: int) -> DataFrame:
+    """q203's read-back leg: D5 bar construction (q02's exact shape)
+    over what actually LANDED, plus the conservation column."""
     # Arrow-path createDataFrame (pandas in, not 100k Python tuples)
     landed = spark.createDataFrame(
         landed_pdf, "symbol string, time string, price double, id bigint"

@@ -87,6 +87,8 @@ SELECT l_returnflag, l_linestatus,
        CAST(count(*) AS BIGINT) AS n_rows
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+-- empty-input semantics pinned to Spark's (no ()-row on empty input)
+HAVING count(*) > 0
 """
 
 
@@ -109,6 +111,8 @@ SELECT l_returnflag, l_linestatus,
        CAST(count(*) AS BIGINT) AS n_rows
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
+-- empty-input semantics pinned to Spark's (no ()-row on empty input)
+HAVING count(*) > 0
 """
 
 

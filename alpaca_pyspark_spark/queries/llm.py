@@ -1790,16 +1790,22 @@ def q173_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum") >= (F.col("n_docs") - 1) / 2 + 1)
         .agg(F.min("n_chars").alias("median_chars"))
     )
+    # try_divide: an EMPTY corpus has n_docs = 0 and the card's ratios
+    # are NULL — matching DuckDB, whose /0 yields NULL, where ANSI
+    # Spark's bare `/` would throw DIVIDE_BY_ZERO (empty-input gate)
     return stats.crossJoin(F.broadcast(median)).select(
         "n_docs",
         "n_tokens",
         "n_langs",
         "n_sources",
-        (F.col("total_chars").cast("double") / F.col("n_docs")).alias("avg_chars"),
+        F.try_divide(
+            F.col("total_chars").cast("double"), F.col("n_docs")
+        ).alias("avg_chars"),
         "median_chars",
         (F.col("n_docs") - F.col("n_unique")).alias("dup_docs"),
-        (
-            (F.col("n_docs") - F.col("n_unique")).cast("double") / F.col("n_docs")
+        F.try_divide(
+            (F.col("n_docs") - F.col("n_unique")).cast("double"),
+            F.col("n_docs"),
         ).alias("dup_rate"),
     )
 
@@ -5568,11 +5574,11 @@ def q197_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         budget=_Q197_BUDGET,
     )
     packed.write.mode("overwrite").partitionBy("lang", "shard").parquet(dest)
-    # read-back side: partition-directory values come back as inferred
-    # INT — recast to the manifest's BIGINT before the join/output
-    back = spark.read.parquet(dest).withColumn(
-        "shard", F.col("shard").cast("bigint")
-    )
+    # read back with the WRITER's schema: partition values parse
+    # straight to the manifest's BIGINT (no inferred-INT recast), no
+    # inference job, and the read stays total when the kept set is
+    # EMPTY (zero part files — an all-filtered crawl slice is routine)
+    back = spark.read.schema(packed.schema).parquet(dest)
     bins = back.groupBy("lang", "shard", "bin").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("bin_tokens"),

@@ -282,7 +282,11 @@ def q132_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     dest = tempfile.mkdtemp(prefix="q132_sink_")
     o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(dest)
-    back = spark.read.parquet(dest)
+    # read back with the WRITER's schema: no inference job over file
+    # footers, and the round-trip stays total when the written slice
+    # is EMPTY (no part files to infer from — routine for a backfill
+    # of an empty partition)
+    back = spark.read.schema(o.schema).parquet(dest)
     cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
     return back.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),

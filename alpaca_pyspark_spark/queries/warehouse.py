@@ -394,7 +394,12 @@ def q150_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     out = tempfile.mkdtemp(prefix="q150_store_")
     e.write.mode("overwrite").partitionBy("event_type").parquet(out)
-    back = spark.read.parquet(out).filter(F.col("event_type") == "purchase")
+    # writer-schema read-back: no inference, total on an empty write
+    back = (
+        spark.read.schema(e.schema)
+        .parquet(out)
+        .filter(F.col("event_type") == "purchase")
+    )
     return back.groupBy(F.to_date(F.col("ts")).alias("day")).agg(
         F.count(F.lit(1)).alias("n"),
         (
@@ -441,7 +446,8 @@ def q154_backfill_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .partitionBy("day")
         .parquet(out)
     )
-    back = spark.read.parquet(out)
+    # writer-schema read-back: no inference, total on an empty write
+    back = spark.read.schema(e.schema).parquet(out)
     return back.groupBy("day").agg(
         F.count(F.lit(1)).alias("n"),
         F.count_distinct("event_type").cast("bigint").alias("n_types"),

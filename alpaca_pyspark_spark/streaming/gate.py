@@ -85,9 +85,14 @@ def events_max_ts(spark: SparkSession, sf_dir: str) -> datetime.datetime:
     watermark would silently withhold the new tail)."""
     key = (sf_dir, _events_fingerprint(sf_dir))
     if key not in _MAX_TS_CACHE:
-        _MAX_TS_CACHE[key] = (
-            load(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
-        )
+        m = load(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+        if m is None:
+            # empty table: any sentinel base works — there is no data
+            # for the watermark to withhold; pick a fixed epoch so the
+            # sentinel protocol (and the query) stays total on empty
+            # input instead of crashing on None arithmetic
+            m = datetime.datetime(2000, 1, 1)
+        _MAX_TS_CACHE[key] = m
     return _MAX_TS_CACHE[key]
 
 
