@@ -6,8 +6,11 @@ SURVEY.md §2D D9): the server resolves "state as of a date".  PySpark
 has no native ``asofJoin`` DataFrame operator, so we implement the
 classic scalable rewrite:
 
-    union(state, probe) → window ``last(value, ignorenulls=True)``
+    union(state, probe) → window ``last(struct(value), ignorenulls)``
     over (partition by keys order by ts, side) → keep probe rows.
+
+(The one-field struct wrap is what keeps NULL state VALUES matchable:
+see the inline note in ``asof_join``.)
 
 Why this over ``pyspark.pandas.merge_asof``: it is pure built-ins
 (whole-stage codegen, no Python workers), costs exactly ONE shuffle on
@@ -69,11 +72,28 @@ def asof_join(
 
     probe_struct = F.struct(*[F.col(c) for c in probe.columns])
     row_type = probe.select(probe_struct.alias("s")).schema["s"].dataType
+
+    # Each state value rides in a one-field STRUCT: the struct itself
+    # is never NULL for a state row, so the ignorenulls window fill
+    # distinguishes "state exists, its value is NULL" (match it, attach
+    # NULL — pandas.merge_asof / DuckDB ASOF semantics) from "no state
+    # yet" (probe filler row).  A bare NULL value would conflate the
+    # two and silently fall back to an OLDER state (null-stress gate).
+    def _vtype(c):
+        return (
+            state.select(F.struct(F.col(c).alias("v")).alias("s"))
+            .schema["s"]
+            .dataType
+        )
+
     state_sel = state.select(
         *[F.col(c) for c in on],
         F.col(state_ts).alias(_TS),
         F.lit(state_side).alias(_SIDE),
-        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        *[
+            F.struct(F.col(c).alias("v")).alias(f"__v_{c}")
+            for c in value_cols
+        ],
         F.col(state_ts).alias("__asof_sts"),
         F.lit(None).cast(row_type).alias(_ROW),
     )
@@ -81,7 +101,7 @@ def asof_join(
         *[F.col(c) for c in on],
         F.col(probe_ts).alias(_TS),
         F.lit(probe_side).alias(_SIDE),
-        *[F.lit(None).cast(state.schema[c].dataType).alias(f"__v_{c}") for c in value_cols],
+        *[F.lit(None).cast(_vtype(c)).alias(f"__v_{c}") for c in value_cols],
         F.lit(None).cast(state.schema[state_ts].dataType).alias("__asof_sts"),
         probe_struct.alias(_ROW),
     )
@@ -106,11 +126,11 @@ def asof_join(
         return probe_rows.select(
             *[F.col(f"{_ROW}.{c}").alias(c) for c in probe.columns],
             *[
-                F.when(fresh, F.col(f"__v_{c}")).alias(c)
+                F.when(fresh, F.col(f"__v_{c}.v")).alias(c)
                 for c in value_cols
             ],
         )
     return probe_rows.select(
         *[F.col(f"{_ROW}.{c}").alias(c) for c in probe.columns],
-        *[F.col(f"__v_{c}").alias(c) for c in value_cols],
+        *[F.col(f"__v_{c}.v").alias(c) for c in value_cols],
     )

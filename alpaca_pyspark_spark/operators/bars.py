@@ -95,6 +95,13 @@ def tumbling_bars_cents(
     """
     p = F.col(price)
     cents = F.round(p * 100).cast("bigint")
+    # A tick without a price is not a valid trade: drop it before the
+    # aggregation.  This is also where Spark and SQL engines diverge —
+    # min_by returns the NULL-valued row, arg_min skips it — so the
+    # explicit filter makes bar semantics engine-portable on
+    # NULL-bearing feeds (null-stress gate; oracles carry the same
+    # ``WHERE value IS NOT NULL``).
+    ticks = ticks.filter(p.isNotNull())
     # Group by the WHOLE window struct (not window().start): in
     # streaming mode the watermark is tracked through the window
     # column, and projecting .start before the agg severs that link

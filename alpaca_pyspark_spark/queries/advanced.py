@@ -31,14 +31,21 @@ def q48_locf_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     analog): each user's daily last purchase value, carried forward
     over days with no purchases, on a per-user generated day spine."""
     tune(spark)
-    e = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    # LOCF carries the last OBSERVATION forward — a NULL value is not
+    # an observation (and arg_max/max_by disagree on NULL-valued rows),
+    # so observations are valued purchases on BOTH sides
+    e = load(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
     return locf_gapfill(e, keys=["user_id"], ts="ts", value_col="value")
 
 
 _Q48_SQL = """
 WITH obs AS (
   SELECT user_id, date_trunc('day', ts) AS bucket, arg_max(value, ts) AS obs
-  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+  FROM events
+  WHERE event_type = 'purchase' AND value IS NOT NULL
+  GROUP BY 1, 2
 ), spine AS (
   SELECT user_id,
          unnest(generate_series(min(bucket), max(bucket), INTERVAL 1 DAY)) AS bucket
@@ -383,8 +390,13 @@ def q58_window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     from pyspark.sql import Window
 
+    # NULL ordering pinned EXPLICITLY on both sides: Spark's ASC
+    # default is NULLS FIRST, DuckDB's is NULLS LAST — on a
+    # NULL-bearing price column every rank function diverges unless
+    # one convention is declared (null-stress gate)
     w = Window.partitionBy("l_returnflag").orderBy(
-        F.col("l_extendedprice").asc(), F.col("l_orderkey").asc(),
+        F.col("l_extendedprice").asc_nulls_first(),
+        F.col("l_orderkey").asc(),
         F.col("l_linenumber").asc(),
     )
     return li.select(
@@ -407,7 +419,7 @@ SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
        CAST(dense_rank() OVER w AS BIGINT) AS drank
 FROM lineitem
 WINDOW w AS (PARTITION BY l_returnflag
-             ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+             ORDER BY l_extendedprice NULLS FIRST, l_orderkey, l_linenumber)
 """
 
 

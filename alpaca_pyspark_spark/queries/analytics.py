@@ -324,7 +324,10 @@ def q71_argmax_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines.  Single partial-aggregatable shuffle (max combines
     map-side)."""
     tune(spark)
-    e = load(spark, sf_dir, "events")
+    # argmax NULL contract: a NULL value cannot be a "highest-value
+    # event" and struct-max NULL-field ordering is engine-specific —
+    # valued events only on BOTH sides (n_events counts them)
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     cents = F.round(F.col("value") * 100).cast("bigint")
     return (
         e.select(
@@ -347,7 +350,7 @@ WITH M AS (
   SELECT user_id,
          max({'c': CAST(round(value * 100) AS BIGINT), 'id': event_id}) AS m,
          CAST(count(*) AS BIGINT) AS n_events
-  FROM events
+  FROM events WHERE value IS NOT NULL
   GROUP BY user_id
 )
 SELECT user_id, m.id AS top_event_id,
@@ -692,8 +695,11 @@ WITH x AS (
   FROM y
 ), p AS (
   SELECT user_id, sid,
-         array_to_string(list(event_type ORDER BY ts, event_id)[1:3], '>')
-           AS path
+         -- coalesce: an all-NULL-type opening is the EMPTY path on
+         -- both engines (Spark's array_join returns '', DuckDB NULL)
+         coalesce(
+           array_to_string(list(event_type ORDER BY ts, event_id)[1:3], '>'),
+           '') AS path
   FROM z GROUP BY 1, 2
 )
 SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
@@ -1055,7 +1061,9 @@ WITH cells AS (
 SELECT list_reduce(
          list_prepend(0.0, list(
            CAST((o * n - r * c) AS DOUBLE) ** 2 / CAST(r * c * n AS DOUBLE)
-           ORDER BY event_type, cohort)),
+           -- NULLS FIRST: Spark's array_sort puts NULL struct fields
+           -- first; the fold order must match or the float sum drifts
+           ORDER BY event_type NULLS FIRST, cohort)),
          (acc, x) -> acc + x) AS chi_square,
        CAST(count(*) AS BIGINT) AS n_cells,
        CAST(max(n) AS BIGINT) AS n_obs
@@ -1326,8 +1334,15 @@ def q139_exact_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines.  One exchange on the group key; the sort is linear per
     group and never global."""
     tune(spark)
-    ev = load(spark, sf_dir, "events").select(
-        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("__c")
+    # quantiles ignore NULL measures (aggregate NULL contract; NULL
+    # sort position is engine-specific — oracle carries the same WHERE)
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("__c"),
+        )
     )
     w = Window.partitionBy("event_type").orderBy("__c")
     wn = Window.partitionBy("event_type")
@@ -1353,7 +1368,8 @@ def q139_exact_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q139_SQL = """
 WITH C AS (
-  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL
 ), R AS (
   SELECT event_type, c,
          row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn,

@@ -68,6 +68,10 @@ def q02_bars_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     # values (min/max/arg extremes), so no rounding is needed there.
     p = F.col("value")
     cents = F.round(p * 100).cast("bigint")
+    # unpriced ticks don't form bars (engine-portable NULL contract —
+    # Spark min_by keeps NULL-valued rows, SQL arg_min skips them;
+    # the oracle carries the same WHERE)
+    e = e.filter(p.isNotNull())
     return (
         e.groupBy("user_id", F.window("ts", "1 day").start.alias("bar_start"))
         .agg(
@@ -94,6 +98,7 @@ SELECT user_id,
        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
          / (100.0 * count(*)) AS vwap
 FROM events
+WHERE value IS NOT NULL
 GROUP BY 1, 2
 """
 
@@ -723,7 +728,9 @@ def q146_streaming_hourly_windows_executed(spark: SparkSession, sf_dir: str) -> 
         prefix="q146",
     )
     return (
-        sunk.filter(F.col("event_type") != "__sentinel")
+        # eqNullSafe: a plain != is three-valued and silently drops
+        # NULL-typed hours the oracle keeps (null-stress gate)
+        sunk.filter(~F.col("event_type").eqNullSafe("__sentinel"))
         .select(
             F.col("w.start").cast("timestamp_ntz").alias("hour_start"),
             "event_type",
@@ -803,6 +810,7 @@ SELECT user_id,
        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
          / (100.0 * count(*)) AS vwap
 FROM events
+WHERE value IS NOT NULL
 GROUP BY 1, 2
 """
 
@@ -1055,7 +1063,14 @@ def q203_connector_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     register_all(spark)
     spark.dataSource.register(StockTradesStreamDataSource)
-    ev = load(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "value")
+        # a trade without a price cannot be served as a trade: the
+        # tape carries only priced events (oracle: WHERE value IS NOT
+        # NULL), same contract as bar construction
+        .filter(F.col("value").isNotNull())
+    )
     # Tape build is the API STAND-IN boundary (the recorded tape a real
     # deployment would already hold server-side), so it legitimately
     # materializes on the driver — but over the Arrow path (toPandas),
@@ -1165,7 +1180,8 @@ def _q203_landed_bars(spark, landed_pdf, *, manifest_rows: int) -> DataFrame:
 
 _Q203_SQL = """
 WITH t AS (
-  SELECT 'U' || CAST(user_id AS VARCHAR) AS symbol, ts, value FROM events
+  SELECT 'U' || CAST(user_id AS VARCHAR) AS symbol, ts, value
+  FROM events WHERE value IS NOT NULL
 )
 SELECT symbol,
        time_bucket(INTERVAL '1 day', ts) AS bar_start,
@@ -1177,7 +1193,8 @@ SELECT symbol,
        CAST(count(*) AS BIGINT) AS trade_count,
        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
          / (100.0 * count(*)) AS vwap,
-       CAST((SELECT count(*) FROM events) AS BIGINT) AS manifest_rows
+       CAST((SELECT count(*) FROM events WHERE value IS NOT NULL) AS BIGINT)
+         AS manifest_rows
 FROM t
 GROUP BY 1, 2
 """

@@ -176,7 +176,9 @@ def q24_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     a single exchange, like q102; the 100 TB swap is the same
     (approx_percentile partials, q46 pattern)."""
     tune(spark)
-    li = load(spark, sf_dir, "lineitem")
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull()
+    )
     cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
     w = Window.partitionBy("l_returnflag").orderBy("__c")
     wg = Window.partitionBy("l_returnflag")
@@ -224,7 +226,8 @@ _Q24_SQL = """
 WITH c AS (
   SELECT l_returnflag,
          CAST(round(l_extendedprice * 100) AS BIGINT) AS v
-  FROM lineitem
+  -- percentiles ignore NULL measures (explicit: the recipe sorts v)
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
 ), r AS (
   SELECT l_returnflag, v,
          row_number() OVER (PARTITION BY l_returnflag ORDER BY v) - 1
@@ -373,7 +376,11 @@ def q27_pandas_udf_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.pandas_ext import per_key_ols_exact
 
     tune(spark)
-    e = load(spark, sf_dir, "events").select(
+    # regression ignores unpriced events (NULL y cannot be regressed;
+    # the oracle carries the same WHERE — null-stress gate)
+    e = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).select(
         "user_id",
         F.floor(F.col("ts").cast("timestamp").cast("double"))
         .cast("bigint")
@@ -388,7 +395,7 @@ WITH b AS (
   SELECT user_id,
          CAST(floor(epoch(ts)) AS BIGINT) AS x,
          CAST(round(value * 100) AS BIGINT) AS y
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ), c AS (
   SELECT user_id, x - min(x) OVER (PARTITION BY user_id) AS xs, y FROM b
 ), s AS (
@@ -445,6 +452,7 @@ SELECT user_id,
        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
          / (100.0 * count(*)) AS vwap
 FROM events
+WHERE value IS NOT NULL
 GROUP BY 1, 2
 """
 

@@ -40,7 +40,7 @@ from ..functions import (
     word_shingles,
 )
 from ..session import scoped_persist, tune
-from ..tables import load
+from ..tables import load, load_texts, load_vectors
 
 
 # ---------------------------------------------------------------- q12
@@ -233,14 +233,18 @@ def q12_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs on this uniform synthetic corpus (real dedup runs at ~0.95
     on near-identical embeddings)."""
     tune(spark)
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_vectors(spark, sf_dir)
     return embedding_near_duplicates(
         emb, id_col="vec_id", vec_col="embedding", threshold=0.35, num_planes=None
     )
 
 
 _Q12_EMB_SQL = """
-WITH E AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings)
+WITH embeddings AS (
+  -- vector-ops contract: NULL embeddings are excluded (see
+  -- tables.load_vectors; main. = the base view, not this CTE)
+  SELECT * FROM main.embeddings WHERE embedding IS NOT NULL
+), E AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        list_cosine_similarity(a.v, b.v) AS cos_sim
 FROM E a JOIN E b ON a.vec_id < b.vec_id
@@ -282,14 +286,18 @@ def q12_embedding_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     are deterministic compile-time constants, so the DuckDB oracle
     replicates the exact bucketing and finds the identical pair set."""
     tune(spark)
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_vectors(spark, sf_dir)
     return embedding_near_duplicates(
         emb, id_col="vec_id", vec_col="embedding", threshold=0.35, num_planes=8, dim=64
     )
 
 
 _Q12_EMB_LSH_SQL = f"""
-WITH E AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH embeddings AS (
+  -- vector-ops contract: NULL embeddings are excluded (see
+  -- tables.load_vectors; main. = the base view, not this CTE)
+  SELECT * FROM main.embeddings WHERE embedding IS NOT NULL
+), E AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 B AS (SELECT vec_id, v, {_bucket_sql('v')} AS bucket FROM E)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        list_cosine_similarity(a.v, b.v) AS cos_sim
@@ -307,7 +315,7 @@ def q33_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.components import connected_components
 
     tune(spark)
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_vectors(spark, sf_dir)
     pairs = embedding_near_duplicates(
         emb, id_col="vec_id", vec_col="embedding", threshold=0.5, num_planes=None
     )
@@ -317,7 +325,11 @@ def q33_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q33_SQL = """
-WITH RECURSIVE
+WITH RECURSIVE embeddings AS (
+  -- vector-ops contract: NULL embeddings are excluded (see
+  -- tables.load_vectors; main. = the base view, not this CTE)
+  SELECT * FROM main.embeddings WHERE embedding IS NOT NULL
+),
 E AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
@@ -347,7 +359,7 @@ def q33_near_dup_components_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.components import connected_components
 
     tune(spark)
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_vectors(spark, sf_dir)
     pairs = embedding_near_duplicates(
         emb, id_col="vec_id", vec_col="embedding", threshold=0.5, num_planes=8, dim=64
     )
@@ -357,7 +369,11 @@ def q33_near_dup_components_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q33_LSH_SQL = f"""
-WITH RECURSIVE
+WITH RECURSIVE embeddings AS (
+  -- vector-ops contract: NULL embeddings are excluded (see
+  -- tables.load_vectors; main. = the base view, not this CTE)
+  SELECT * FROM main.embeddings WHERE embedding IS NOT NULL
+),
 E AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 B AS (SELECT vec_id, v, {_bucket_sql('v')} AS bucket FROM E),
 pairs AS (
@@ -387,7 +403,7 @@ def q13_embedding_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     (scored partition-locally by ``brute_force_topk_arrow``, then one
     per-query top-k window over |corpus|×8 scalar rows)."""
     tune(spark)
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_vectors(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -397,7 +413,11 @@ def q13_embedding_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q13_SQL = """
-WITH E AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+WITH embeddings AS (
+  -- vector-ops contract: NULL embeddings are excluded (see
+  -- tables.load_vectors; main. = the base view, not this CTE)
+  SELECT * FROM main.embeddings WHERE embedding IS NOT NULL
+), E AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
 P AS (
   SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
          list_cosine_similarity(q.v, c.v) AS cos_sim
@@ -424,7 +444,7 @@ def q13_embedding_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     row counts.  The scale path: bucket pruning replaces the full
     corpus scan."""
     tune(spark)
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_vectors(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -438,7 +458,11 @@ def q13_embedding_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q13_ANN_SQL = f"""
-WITH E AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH embeddings AS (
+  -- vector-ops contract: NULL embeddings are excluded (see
+  -- tables.load_vectors; main. = the base view, not this CTE)
+  SELECT * FROM main.embeddings WHERE embedding IS NOT NULL
+), E AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 B AS (SELECT vec_id, v, {_bucket_sql('v')} AS bucket FROM E),
 Q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qb FROM B WHERE vec_id < 8),
 P AS (
@@ -470,7 +494,7 @@ def q13_embedding_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ivf_topk
 
     tune(spark)
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_vectors(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -491,7 +515,7 @@ def q13_embedding_sim_ivf_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ivf_topk_det
 
     tune(spark)
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_vectors(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -502,7 +526,11 @@ def q13_embedding_sim_ivf_det(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q13_IVF_DET_SQL = """
-WITH E AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH embeddings AS (
+  -- vector-ops contract: NULL embeddings are excluded (see
+  -- tables.load_vectors; main. = the base view, not this CTE)
+  SELECT * FROM main.embeddings WHERE embedding IS NOT NULL
+), E AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 C AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v AS cv
   FROM (SELECT vec_id, v FROM E ORDER BY vec_id LIMIT 16)
@@ -556,12 +584,16 @@ def q176_knn_graph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import knn_graph_exact
 
     tune(spark)
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_vectors(spark, sf_dir)
     return knn_graph_exact(emb, id_col="vec_id", vec_col="embedding", k=5)
 
 
 _Q176_SQL = """
-WITH E AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+WITH embeddings AS (
+  -- vector-ops contract: NULL embeddings are excluded (see
+  -- tables.load_vectors; main. = the base view, not this CTE)
+  SELECT * FROM main.embeddings WHERE embedding IS NOT NULL
+), E AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
 P AS (
   SELECT a.vec_id AS src, b.vec_id AS dst,
          list_cosine_similarity(a.v, b.v) AS cos_sim
@@ -592,14 +624,18 @@ def q177_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import semdedup
 
     tune(spark)
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_vectors(spark, sf_dir)
     return semdedup(
         emb, id_col="vec_id", vec_col="embedding", threshold=0.25, num_cells=16
     )
 
 
 _Q177_SQL = """
-WITH E AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH embeddings AS (
+  -- vector-ops contract: NULL embeddings are excluded (see
+  -- tables.load_vectors; main. = the base view, not this CTE)
+  SELECT * FROM main.embeddings WHERE embedding IS NOT NULL
+), E AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 C AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v AS cv
   FROM (SELECT vec_id, v FROM E ORDER BY vec_id LIMIT 16)
@@ -730,12 +766,16 @@ JOIN R r ON k.doc_id = r.keep_id
 def q16_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-overlap language identification."""
     tune(spark)
-    docs = load(spark, sf_dir, "documents")
+    docs = load_texts(spark, sf_dir)
     return with_lang_id(docs.select("doc_id", "text"), "text").drop("text")
 
 
 _Q16_SQL = """
-WITH T AS (
+WITH documents AS (
+  -- text-analysis contract: NULL text excluded (see
+  -- tables.load_texts; main. = the base view, not this CTE)
+  SELECT * FROM main.documents WHERE text IS NOT NULL
+), T AS (
   SELECT doc_id, list_distinct(regexp_extract_all(text, '\\S+')) AS toks
   FROM documents
 ), S AS (
@@ -779,7 +819,7 @@ def q18_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract).  Oracle recomputes the deterministic fake decode in
     SQL."""
     tune(spark)
-    docs = load(spark, sf_dir, "documents")
+    docs = load_texts(spark, sf_dir)
     media = synthesize_media(docs)
     return decode_media(media).select(
         "doc_id", "media_type", "n_bytes", "width", "height", "checksum"
@@ -787,6 +827,11 @@ def q18_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q18_SQL = """
+WITH documents AS (
+  -- text-analysis contract: NULL text excluded (see
+  -- tables.load_texts; main. = the base view, not this CTE)
+  SELECT * FROM main.documents WHERE text IS NOT NULL
+)
 SELECT doc_id,
        CASE CAST(doc_id % 3 AS INTEGER)
          WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
@@ -815,12 +860,16 @@ def q122_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     replicate the featurizer in SQL bit-for-bit — the honest-stub
     pattern of q18."""
     tune(spark)
-    docs = load(spark, sf_dir, "documents")
+    docs = load_texts(spark, sf_dir)
     return audio_energy_windows(synthesize_media(docs), window_bytes=32)
 
 
 _Q122_SQL = """
-WITH audio AS (
+WITH documents AS (
+  -- text-analysis contract: NULL text excluded (see
+  -- tables.load_texts; main. = the base view, not this CTE)
+  SELECT * FROM main.documents WHERE text IS NOT NULL
+), audio AS (
   SELECT doc_id, text, CAST(length(text) AS BIGINT) AS L
   FROM documents WHERE doc_id % 3 = 1
 ), w AS (
@@ -881,7 +930,7 @@ def q19_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact char-3-gram Jaccard over consecutive doc-id pairs — the
     standalone verification metric of the dedup family."""
     tune(spark)
-    docs = load(spark, sf_dir, "documents")
+    docs = load_texts(spark, sf_dir)
     pairs = docs.select(
         F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
     )
@@ -896,7 +945,11 @@ def q19_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q19_SQL = """
-WITH G AS (
+WITH documents AS (
+  -- text-analysis contract: NULL text excluded (see
+  -- tables.load_texts; main. = the base view, not this CTE)
+  SELECT * FROM main.documents WHERE text IS NOT NULL
+), G AS (
   SELECT doc_id,
          list_distinct(list_transform(
            range(1, length(text) - 1),
@@ -997,7 +1050,7 @@ def q39_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import with_token_counts
 
     tune(spark)
-    docs = with_token_counts(with_fingerprint(load(spark, sf_dir, "documents")))
+    docs = with_token_counts(with_fingerprint(load_texts(spark, sf_dir)))
     eval_fps = (
         docs.filter(F.pmod("doc_id", F.lit(97)) == 0).select("fingerprint").distinct()
     )
@@ -1009,7 +1062,11 @@ def q39_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q39_SQL = r"""
-WITH fp AS (
+WITH documents AS (
+  -- text-analysis contract: NULL text excluded (see
+  -- tables.load_texts; main. = the base view, not this CTE)
+  SELECT * FROM main.documents WHERE text IS NOT NULL
+), fp AS (
   SELECT doc_id, source,
          md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint,
          CAST(len(regexp_extract_all(
@@ -1044,7 +1101,7 @@ def q42_embedding_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     values bit-exact AND hashable.  (The array-shaped variant is a
     trivial re-``collect_list`` over this.)"""
     tune(spark)
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_vectors(spark, sf_dir)
     v = F.col("embedding").cast("array<double>")
     norm = F.sqrt(
         F.aggregate(
@@ -1071,7 +1128,11 @@ def q42_embedding_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q42_SQL = """
-WITH E AS (
+WITH embeddings AS (
+  -- vector-ops contract: NULL embeddings are excluded (see
+  -- tables.load_vectors; main. = the base view, not this CTE)
+  SELECT * FROM main.embeddings WHERE embedding IS NOT NULL
+), E AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
          sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x * x),
                              'sum')) AS l2_norm
@@ -1168,7 +1229,7 @@ def q134_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import cosine_similarity
 
     tune(spark)
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_vectors(spark, sf_dir)
     v = F.col("embedding").cast("array<double>")
     q = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"),
@@ -1195,7 +1256,11 @@ def q134_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q134_SQL = """
-WITH E AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+WITH embeddings AS (
+  -- vector-ops contract: NULL embeddings are excluded (see
+  -- tables.load_vectors; main. = the base view, not this CTE)
+  SELECT * FROM main.embeddings WHERE embedding IS NOT NULL
+), E AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
 P AS (
   SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
          list_cosine_similarity(q.v, c.v) AS cos_sim
@@ -1258,7 +1323,7 @@ def q124_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     would 16× the output for no reason): the projection stays
     map-only, one row per vector, every cell pandas-hashable."""
     tune(spark)
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_vectors(spark, sf_dir)
     comps = [
         " + ".join(
             f"CAST(embedding[{k}] AS DOUBLE) * CAST({s} AS DOUBLE)"
@@ -1281,7 +1346,11 @@ def _jl_oracle_sql() -> str:
         )
         comps.append(f"{expr} AS proj_{i}")
     arr = ",\n  ".join(comps)
-    return f"SELECT vec_id,\n  {arr}\nFROM embeddings"
+    # vector-ops contract (tables.load_vectors): NULL embeddings excluded
+    return (
+        f"SELECT vec_id,\n  {arr}\n"
+        "FROM embeddings WHERE embedding IS NOT NULL"
+    )
 
 
 _Q124_SQL = _jl_oracle_sql()
@@ -1331,7 +1400,7 @@ def q135_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     caveats.  Map-only: zero shuffles, pure codegen over the array
     column."""
     tune(spark)
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = load_vectors(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("__v")
     )
     scale = F.array_max(F.transform(F.col("__v"), lambda x: F.abs(x)))
@@ -1361,7 +1430,11 @@ def q135_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q135_SQL = """
-WITH E AS (
+WITH embeddings AS (
+  -- vector-ops contract: NULL embeddings are excluded (see
+  -- tables.load_vectors; main. = the base view, not this CTE)
+  SELECT * FROM main.embeddings WHERE embedding IS NOT NULL
+), E AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ), S AS (
   SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale FROM E
@@ -1398,7 +1471,7 @@ def q136_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import portable_hash60
 
     tune(spark)
-    docs = load(spark, sf_dir, "documents")
+    docs = load_texts(spark, sf_dir)
     split = docs.withColumn(
         "__is_val", portable_hash60(F.col("doc_id").cast("string")) % 10 >= 8
     )
@@ -1432,7 +1505,11 @@ def q136_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q136_SQL = r"""
-WITH D AS (
+WITH documents AS (
+  -- text-analysis contract: NULL text excluded (see
+  -- tables.load_texts; main. = the base view, not this CTE)
+  SELECT * FROM main.documents WHERE text IS NOT NULL
+), D AS (
   SELECT doc_id, text,
          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 >= 8
            AS is_val
@@ -1474,7 +1551,7 @@ def q140_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure); the vote argmax is a deterministic (votes ↓, label ↑)
     window pick, and the label dimension attaches by broadcast."""
     tune(spark)
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_vectors(spark, sf_dir)
     corpus = emb.filter(F.col("vec_id") >= 20)
     queries = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -1504,7 +1581,11 @@ def q140_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q140_SQL = """
-WITH E AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+WITH embeddings AS (
+  -- vector-ops contract: NULL embeddings are excluded (see
+  -- tables.load_vectors; main. = the base view, not this CTE)
+  SELECT * FROM main.embeddings WHERE embedding IS NOT NULL
+), E AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
 P AS (
   SELECT q.vec_id AS query_id, c.vec_id AS vec_id, c.label,
          list_cosine_similarity(q.v, c.v) AS cos_sim
@@ -1671,7 +1752,7 @@ def q148_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import frame_sample
 
     tune(spark)
-    docs = load(spark, sf_dir, "documents")
+    docs = load_texts(spark, sf_dir)
     media = synthesize_media(docs)
     fs = frame_sample(media, every_n_bytes=64)
     return fs.select(
@@ -1683,6 +1764,11 @@ def q148_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 # length(text) for every row), so char slicing yields the identical
 # frame payloads as the operator's byte slicing cast to STRING.
 _Q148_SQL = """
+WITH documents AS (
+  -- text-analysis contract: NULL text excluded (see
+  -- tables.load_texts; main. = the base view, not this CTE)
+  SELECT * FROM main.documents WHERE text IS NOT NULL
+)
 SELECT d.doc_id,
        CAST(t.i AS BIGINT) AS frame_no,
        substr(d.text, CAST(t.i * 64 + 1 AS INT), 64) AS frame
@@ -1864,7 +1950,7 @@ def q175_lang_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     by a window over the |labels|² matrix, not the corpus.  Rates are
     one division over identical integers."""
     tune(spark)
-    docs = load(spark, sf_dir, "documents")
+    docs = load_texts(spark, sf_dir)
     pred = with_lang_id(docs.select("lang", "text")).select(
         F.coalesce("lang", F.lit("")).alias("declared"), "lang_pred"
     )
@@ -1887,7 +1973,11 @@ def q175_lang_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q175_SQL = """
-WITH T AS (
+WITH documents AS (
+  -- text-analysis contract: NULL text excluded (see
+  -- tables.load_texts; main. = the base view, not this CTE)
+  SELECT * FROM main.documents WHERE text IS NOT NULL
+), T AS (
   SELECT coalesce(lang, '') AS declared,
          list_distinct(regexp_extract_all(text, '\\S+')) AS toks
   FROM documents
@@ -1991,7 +2081,7 @@ def q171_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     q13-verified pairing); sqrt and one division are IEEE-identical on
     identical operands."""
     tune(spark)
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_vectors(spark, sf_dir)
     v = F.transform("embedding", lambda x: x.cast("double"))
 
     def dot(x):
@@ -2007,7 +2097,11 @@ def q171_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q171_SQL = """
-WITH E AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings)
+WITH embeddings AS (
+  -- vector-ops contract: NULL embeddings are excluded (see
+  -- tables.load_vectors; main. = the base view, not this CTE)
+  SELECT * FROM main.embeddings WHERE embedding IS NOT NULL
+), E AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings)
 SELECT vec_id,
        sqrt(list_inner_product(v[1:32], v[1:32]))
          / sqrt(list_inner_product(v, v)) AS retained_32,
@@ -2507,7 +2601,7 @@ def q194_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the same driver aggregation (``weight_total_col``) — the
     corpus is scanned exactly once."""
     tune(spark)
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_texts(spark, sf_dir).select("doc_id", "text")
     t = tokens(F.col("text"))
     scored = docs.select(
         "doc_id",
@@ -2561,7 +2655,7 @@ def q195_coverage_quota_selection(spark: SparkSession, sf_dir: str) -> DataFrame
     (``assign_stable_ids``); the two scalars (corpus size, floor
     count) are one aggregated row broadcast back over the corpus."""
     tune(spark)
-    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    docs = load_texts(spark, sf_dir).select("doc_id", "source", "text")
     t = tokens(F.col("text"))
     scored = docs.select(
         "doc_id",
@@ -2611,7 +2705,11 @@ def q195_coverage_quota_selection(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 _Q195_SQL = r"""
-WITH t AS (
+WITH documents AS (
+  -- text-analysis contract: NULL text excluded (see
+  -- tables.load_texts; main. = the base view, not this CTE)
+  SELECT * FROM main.documents WHERE text IS NOT NULL
+), t AS (
   SELECT doc_id, source,
          CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS nt,
          CAST(len(list_distinct(regexp_extract_all(text, '\S+'))) AS BIGINT)
@@ -2650,7 +2748,11 @@ FROM f LEFT JOIN g ON g.doc_id = f.doc_id CROSS JOIN n
 
 
 _Q194_SQL = r"""
-WITH t AS (
+WITH documents AS (
+  -- text-analysis contract: NULL text excluded (see
+  -- tables.load_texts; main. = the base view, not this CTE)
+  SELECT * FROM main.documents WHERE text IS NOT NULL
+), t AS (
   SELECT doc_id,
          CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
          CAST(len(list_distinct(regexp_extract_all(text, '\S+'))) AS BIGINT)
@@ -2788,7 +2890,7 @@ def _q196_artifacts(spark: SparkSession, sf_dir: str):
       under).  Eagerly checkpointed."""
     from ..operators.similarity import _det_cell_assigner, _det_seed_centroids
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_vectors(spark, sf_dir)
     corpus = emb.filter(F.col("vec_id") % 25 != 0)
     centroids = _det_seed_centroids(corpus, "vec_id", "embedding", _Q196_CELLS)
     from ..operators import spread
@@ -2926,7 +3028,7 @@ def q196_streaming_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.gate import run_streaming_gate
 
     tune(spark)
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_vectors(spark, sf_dir)
     centroids, cells = _q196_artifacts(spark, sf_dir)
     release_scoped_caches()
     queries = emb.filter(F.col("vec_id") % 25 == 0).select("vec_id", "embedding")
@@ -2935,7 +3037,11 @@ def q196_streaming_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q196_SQL = f"""
-WITH E AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH embeddings AS (
+  -- vector-ops contract: NULL embeddings are excluded (see
+  -- tables.load_vectors; main. = the base view, not this CTE)
+  SELECT * FROM main.embeddings WHERE embedding IS NOT NULL
+), E AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 CORP AS (SELECT * FROM E WHERE vec_id % 25 <> 0),
 C AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v AS cv
@@ -3136,7 +3242,7 @@ def q198_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     4-byte codes, not the vectors.  The exact top-k twin is q13; the
     recall/compression trade is the point."""
     tune(spark)
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = load_vectors(spark, sf_dir).select(
         "vec_id", _int_grid(F.col("embedding")).alias("q")
     )
     # one row per (vector, subspace): the frame every stage reads —
@@ -3239,7 +3345,11 @@ CODES AS (
 # the same integer grid, so the hash gate covers the approximation
 # itself, not just a wrapper.
 _Q198_SQL = f"""
-WITH E AS (
+WITH embeddings AS (
+  -- vector-ops contract: NULL embeddings are excluded (see
+  -- tables.load_vectors; main. = the base view, not this CTE)
+  SELECT * FROM main.embeddings WHERE embedding IS NOT NULL
+), E AS (
   SELECT vec_id,
          list_transform(embedding::DOUBLE[],
            x -> CAST(floor(x * {_Q198_SCALE} + 0.5) AS BIGINT)) AS q
@@ -3315,7 +3425,7 @@ def q200_ivf_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import _det_cell_assigner, _det_seed_centroids
 
     tune(spark)
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_vectors(spark, sf_dir)
     corpus = emb.filter(F.col("vec_id") % 25 != 0)
     delta = emb.filter(F.col("vec_id") % 25 == 0)
     centroids = _det_seed_centroids(corpus, "vec_id", "embedding", _Q200_CELLS)
@@ -3384,7 +3494,11 @@ def q200_ivf_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q200_SQL = f"""
-WITH E AS (
+WITH embeddings AS (
+  -- vector-ops contract: NULL embeddings are excluded (see
+  -- tables.load_vectors; main. = the base view, not this CTE)
+  SELECT * FROM main.embeddings WHERE embedding IS NOT NULL
+), E AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
          list_transform(embedding::DOUBLE[],
            x -> CAST(floor(x * {_Q200_SCALE} + 0.5) AS BIGINT)) AS qv
@@ -3485,7 +3599,7 @@ def q201_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import _det_cell_assigner, _det_seed_centroids
 
     tune(spark)
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_vectors(spark, sf_dir)
     centroids = _det_seed_centroids(emb, "vec_id", "embedding", _Q200_CELLS)
     centq = _grid_centroids(emb, _Q200_CELLS)
     base = spread(
@@ -3558,7 +3672,11 @@ def q201_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q201_SQL = f"""
-WITH E AS (
+WITH embeddings AS (
+  -- vector-ops contract: NULL embeddings are excluded (see
+  -- tables.load_vectors; main. = the base view, not this CTE)
+  SELECT * FROM main.embeddings WHERE embedding IS NOT NULL
+), E AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
          list_transform(embedding::DOUBLE[],
            x -> CAST(floor(x * {_Q198_SCALE} + 0.5) AS BIGINT)) AS qv
@@ -3654,7 +3772,7 @@ def _q202_artifacts(spark: SparkSession, sf_dir: str, cells: int = _Q200_CELLS):
     from ..operators import spread
     from ..operators.similarity import _det_cell_assigner, _det_seed_centroids
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_vectors(spark, sf_dir)
     corpus = emb.filter(F.col("vec_id") % 25 != 0)
     centroids = _det_seed_centroids(corpus, "vec_id", "embedding", cells)
     centq = _grid_centroids(corpus, cells)
@@ -3798,7 +3916,7 @@ def q202_streaming_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.gate import run_streaming_gate
 
     tune(spark)
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_vectors(spark, sf_dir)
     centroids, centq, cellpay, cb_py = _q202_artifacts(spark, sf_dir)
     release_scoped_caches()
     queries = emb.filter(F.col("vec_id") % 25 == 0).select("vec_id", "embedding")
@@ -3812,7 +3930,11 @@ def q202_streaming_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # residual LUT and the ADC scan — in SQL; the hash gate covers the
 # full approximation as served by the live stream.
 _Q202_SQL = f"""
-WITH E AS (
+WITH embeddings AS (
+  -- vector-ops contract: NULL embeddings are excluded (see
+  -- tables.load_vectors; main. = the base view, not this CTE)
+  SELECT * FROM main.embeddings WHERE embedding IS NOT NULL
+), E AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
          list_transform(embedding::DOUBLE[],
            x -> CAST(floor(x * {_Q198_SCALE} + 0.5) AS BIGINT)) AS qv
@@ -3932,7 +4054,7 @@ def q202_dialed_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.gate import run_streaming_gate
 
     tune(spark)
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_vectors(spark, sf_dir)
     cells = _ivf_dial(emb.filter(F.col("vec_id") % 25 != 0).count())
     centroids, centq, cellpay, cb_py = _q202_artifacts(spark, sf_dir, cells=cells)
     release_scoped_caches()
@@ -4374,7 +4496,7 @@ def q183_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     already-partitioned doc_id key.  No corpus-global state at all, so
     the operator is embarrassingly data-parallel at 100 TB."""
     tune(spark)
-    docs = load(spark, sf_dir, "documents")
+    docs = load_texts(spark, sf_dir)
     t = tokens(F.col("text"))
     base = docs.select(
         "doc_id",
@@ -4430,7 +4552,11 @@ def q183_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # report) and q190 (streaming twin's batch oracle) gate the SAME rule,
 # so they derive from ONE spec string and cannot drift apart.
 _GOPHER_REP_CTES = r"""
-WITH toks AS (
+WITH documents AS (
+  -- text-analysis contract: NULL text excluded (see
+  -- tables.load_texts; main. = the base view, not this CTE)
+  SELECT * FROM main.documents WHERE text IS NOT NULL
+), toks AS (
   SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS t FROM documents
 ),
 base AS (
@@ -4780,7 +4906,7 @@ def _q188_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q188's SCORING stage (per-vec integer dot products, ~1 row/vec)
     — exposed for plan tests, same reason as :func:`_q187_scored`."""
     tune(spark)
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_vectors(spark, sf_dir)
     comp = (
         emb.select(
             "vec_id", "label", F.posexplode("embedding").alias("dim", "comp")
@@ -4849,7 +4975,11 @@ def q188_classifier_quality_filter(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 _Q188_SQL = """
-WITH comp AS (
+WITH embeddings AS (
+  -- vector-ops contract: NULL embeddings are excluded (see
+  -- tables.load_vectors; main. = the base view, not this CTE)
+  SELECT * FROM main.embeddings WHERE embedding IS NOT NULL
+), comp AS (
   SELECT vec_id, label, i - 1 AS dim,
          CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
            AS comp_micro
@@ -4924,7 +5054,7 @@ def q190_streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame
     from ..streaming.gate import run_streaming_gate
 
     tune(spark)
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_texts(spark, sf_dir).select("doc_id", "text")
 
     def score(stream: DataFrame) -> DataFrame:
         t = tokens(F.col("text"))
@@ -5066,7 +5196,7 @@ def q191_streaming_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.gate import run_streaming_gate
 
     tune(spark)
-    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    docs = load_texts(spark, sf_dir).select("doc_id", "lang", "text")
     stops, canon_fp, lm_payload, cutoff = _q191_artifacts(spark, sf_dir)
     # artifacts are materialized (collected / checkpointed): drop the
     # batch stages' operator persists before the stream starts
@@ -5262,7 +5392,7 @@ def _q189_pipeline(spark: SparkSession, sf_dir: str):
     from types import SimpleNamespace
 
     tune(spark)
-    docs = load(spark, sf_dir, "documents")
+    docs = load_texts(spark, sf_dir)
     t = tokens(F.col("text"))
     base = docs.select(
         "doc_id",
@@ -5392,7 +5522,11 @@ def _q189_pipeline(spark: SparkSession, sf_dir: str):
 
 
 _Q189_SQL = r"""
-WITH toks AS (
+WITH documents AS (
+  -- text-analysis contract: NULL text excluded (see
+  -- tables.load_texts; main. = the base view, not this CTE)
+  SELECT * FROM main.documents WHERE text IS NOT NULL
+), toks AS (
   SELECT doc_id, lang, text, regexp_extract_all(trim(text), '\S+') AS t
   FROM documents
 ),

@@ -582,7 +582,12 @@ def q106_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle matches bit-for-bit.  One exchange on the group key; the
     running sum is a linear pass (same scaling argument as q41)."""
     tune(spark)
-    li = load(spark, sf_dir, "lineitem")
+    # weighted median ignores rows missing the value OR the weight
+    # (aggregate NULL contract; the running sum and the sort are
+    # engine-portable only over non-NULL integers — oracle same WHERE)
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull() & F.col("l_quantity").isNotNull()
+    )
     cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
     wgt = F.round(F.col("l_quantity")).cast("bigint")
     base = li.select(
@@ -620,6 +625,7 @@ WITH base AS (
          CAST(round(l_quantity) AS BIGINT) AS w,
          l_orderkey, l_linenumber
   FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
 ), cum AS (
   SELECT l_returnflag, c, w,
          sum(w) OVER (PARTITION BY l_returnflag

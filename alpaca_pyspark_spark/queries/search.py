@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from ..functions import tokens, word_shingles
 from ..session import scoped_persist, tune
-from ..tables import load
+from ..tables import load, load_vectors
 
 #: Fixed retrieval query for q90 (terms chosen to exist in the corpus).
 BM25_TERMS = ("hash", "join", "vector")
@@ -285,7 +285,7 @@ def q92_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import embedding_near_duplicates
 
     tune(spark)
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_vectors(spark, sf_dir)
     docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
     pairs = embedding_near_duplicates(
         emb, id_col="vec_id", vec_col="embedding", threshold=0.5, num_planes=None
@@ -311,7 +311,11 @@ def q92_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q92_SQL = """
-WITH RECURSIVE
+WITH RECURSIVE embeddings AS (
+  -- vector-ops contract: NULL embeddings are excluded (see
+  -- tables.load_vectors; main. = the base view, not this CTE)
+  SELECT * FROM main.embeddings WHERE embedding IS NOT NULL
+),
 E AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
@@ -1069,7 +1073,7 @@ def q192_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("lex_rank") <= _HY_CAND)
         .select("query_id", "item_id", "lex_rank")
     )
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_vectors(spark, sf_dir)
     dense = brute_force_topk_arrow(
         emb,
         emb.filter(F.col("vec_id") < 4).select(
@@ -1100,7 +1104,11 @@ def q192_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q192_SQL = rf"""
-WITH tk AS (
+WITH embeddings AS (
+  -- vector-ops contract: NULL embeddings are excluded (see
+  -- tables.load_vectors; main. = the base view, not this CTE)
+  SELECT * FROM main.embeddings WHERE embedding IS NOT NULL
+), tk AS (
   SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '\S+')) AS toks
   FROM documents
 ),

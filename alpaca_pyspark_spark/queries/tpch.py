@@ -466,7 +466,14 @@ def q110_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
     cents = _cents("l_extendedprice")
-    offers = li.groupBy("l_partkey", "l_suppkey").agg(F.min(cents).alias("offer_cents"))
+    # offers come from PRICED lines only: an all-NULL (part, supp)
+    # group would put a NULL field into the argmin struct, whose
+    # ordering is engine-specific (oracle carries the same WHERE)
+    offers = (
+        li.filter(F.col("l_extendedprice").isNotNull())
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(cents).alias("offer_cents"))
+    )
     best = (
         offers.groupBy("l_partkey")
         .agg(F.min(F.struct("offer_cents", "l_suppkey")).alias("__m"))
@@ -496,7 +503,7 @@ _Q110_SQL = """
 WITH offers AS (
   SELECT l_partkey, l_suppkey,
          min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS offer_cents
-  FROM lineitem GROUP BY 1, 2
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2
 ), best AS (
   SELECT l_partkey,
          min({'offer_cents': offer_cents, 'l_suppkey': l_suppkey}) AS m

@@ -547,13 +547,17 @@ def q159_csv_ingest_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune(spark)
     docs = load(spark, sf_dir, "documents")
+    # NULL fields serialize as EMPTY CSV fields (read back as NULL).
+    # concat_ws would SKIP a NULL instead — silently shifting every
+    # later column left, which is row corruption, not serialization
+    # (null-stress gate)
     lines = docs.select(
         F.concat_ws(
             ",",
             F.col("doc_id"),
-            F.col("source"),
+            F.coalesce(F.col("source"), F.lit("")),
             F.when(F.col("doc_id") % 11 == 0, F.lit("xx")).otherwise(
-                F.col("n_chars").cast("string")
+                F.coalesce(F.col("n_chars").cast("string"), F.lit(""))
             ),
         ).alias("value")
     )

@@ -61,3 +61,37 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def load_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table under the TEXT-ANALYSIS CONTRACT: rows with
+    NULL text are excluded.  A NULL text is a failed extraction — it
+    cannot be tokenized, fingerprinted, language-identified, packed,
+    or quality-scored, and engines disagree on NULL string/regexp
+    arithmetic — so exclusion is the portable, explicit semantics (the
+    quarantine pattern of q159 handles such rows upstream).  Text
+    queries under this contract load through this helper; their SQL
+    twins carry the matching shadow CTE
+    ``documents AS (SELECT * FROM main.documents WHERE text IS NOT
+    NULL)`` (null-stress gate, round 9)."""
+    from pyspark.sql import functions as F
+
+    return load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+
+
+def load_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings table under the VECTOR-OPS CONTRACT: rows with a
+    NULL embedding are excluded.  A failed encoder run lands a NULL
+    vector in a real pipeline; it cannot be indexed, scored, quantized,
+    or deduped, and engines disagree on NULL-vector arithmetic (DuckDB
+    ``list_inner_product`` rejects NULL elements outright, numpy builds
+    a ragged object array) — so exclusion is the portable, explicit
+    semantics.  Every vector query loads through this helper and every
+    vector oracle carries the matching shadow CTE
+    ``embeddings AS (SELECT * FROM main.embeddings WHERE embedding IS
+    NOT NULL)`` (null-stress gate, round 9)."""
+    from pyspark.sql import functions as F
+
+    return load(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
