@@ -194,3 +194,73 @@ def test_api_stream_to_rest_sink_round_trip(spark, capture_server, mock_api, tmp
     assert {r["symbol"] for r in got} == {"AAPL"}
     assert all(set(r) == {"symbol", "time", "price", "size"} for r in got)
     assert sum(m["body"]["rows"] for m in _CaptureHandler.commits) == 4
+
+
+class _FlakyHandler(_CaptureHandler):
+    """Lands every page, then answers 500 to one of them — the
+    ambiguous-outcome failure (server processed, response lost)."""
+
+    fail_on_ingest = 2  # 1-based index of the ingest POST to 500
+
+    def do_POST(self):  # noqa: N802 (http.server API)
+        body = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+        rec = {"body": body, "headers": dict(self.headers), "t": time.monotonic()}
+        with _CaptureHandler.lock:
+            if self.path.endswith("/commit"):
+                _FlakyHandler.commits.append(rec)
+                code = 200
+            else:
+                _FlakyHandler.ingests.append(rec)
+                code = (
+                    500
+                    if len(_FlakyHandler.ingests) == _FlakyHandler.fail_on_ingest
+                    else 200
+                )
+        self.send_response(code)
+        self.send_header("content-type", "application/json")
+        self.end_headers()
+        self.wfile.write(b"{}")
+
+
+@pytest.fixture()
+def flaky_server():
+    _FlakyHandler.ingests = []
+    _FlakyHandler.commits = []
+    server = ThreadingHTTPServer(("127.0.0.1", 0), _FlakyHandler)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{server.server_address[1]}/v1"
+    server.shutdown()
+
+
+def test_rest_sink_partial_failure_commits_nothing(spark, flaky_server):
+    """Fault injection for the 2-phase claim ('a consumer that waits
+    for the manifest sees either the complete batch or nothing'): the
+    server LANDS a page but answers 500 — the ambiguous outcome.  The
+    retry session never re-POSTs (POST is excluded from
+    allowed_methods: not idempotent), the task raises, the job fails,
+    and the commit path carries ONLY the abort tombstone — orphan
+    pages are detectable precisely because no committed manifest ever
+    arrives."""
+    from alpaca_pyspark_spark.sources import register_all
+    from alpaca_pyspark_spark.tables import load
+
+    register_all(spark)
+    e = load(spark, SF_DIR, "events").select("event_id", "user_id", "value")
+    # the writer's IOError surfaces wrapped in the engine's job-failure
+    # type, which differs by Spark version — match the message instead
+    with pytest.raises(Exception, match="500|sink POST|Job aborted"):
+        (
+            e.coalesce(1)
+            .write.format("Rest_Batch_Sink")
+            .options(endpoint=flaky_server, batch_size=100)
+            .mode("append")
+            .save()
+        )
+    with _CaptureHandler.lock:
+        ingests = list(_FlakyHandler.ingests)
+        commits = list(_FlakyHandler.commits)
+    assert len(ingests) >= _FlakyHandler.fail_on_ingest  # pages landed
+    statuses = {c["body"]["status"] for c in commits}
+    assert "committed" not in statuses
+    assert statuses <= {"aborted"}
