@@ -56,6 +56,48 @@ def reject_unhashable_cells(rows: Iterable[Sequence], cols: Sequence[str]) -> No
                 )
 
 
+#: Spark output types whose VALUE RENDERING is identical on both sides
+#: of the cross-engine oracle boundary.  Anything outside this set can
+#: be rows+schema green yet hash red: round 9's only driver-red row
+#: (q200) emitted DECIMAL(38,0) — Spark collects ``Decimal('123')``
+#: where DuckDB yields an int-rendered HUGEINT, flipping every row's
+#: hash while counts and names stay green.  Container types are
+#: already rejected by ``reject_unhashable_cells``; this guard runs
+#: SCHEMA-side so the violation is caught before a single row is
+#: collected, and registry-wide via the oracle sweep.
+HASH_STABLE_TYPES = frozenset(
+    {
+        "string",
+        "bigint",
+        "int",
+        "smallint",
+        "tinyint",
+        "double",
+        "float",
+        "boolean",
+        "date",
+        "timestamp",
+        "timestamp_ntz",
+    }
+)
+
+
+def reject_hash_unstable_schema(schema) -> None:
+    """Raise AssertionError naming the first output column whose type
+    is outside the hash-stable set (``pyspark.sql.types.StructType``
+    in, judged by ``simpleString``)."""
+    for f in schema.fields:
+        t = f.dataType.simpleString()
+        if t not in HASH_STABLE_TYPES:
+            raise AssertionError(
+                f"output column {f.name!r} has type {t!r} — outside the "
+                f"hash-stable oracle-boundary set {sorted(HASH_STABLE_TYPES)}. "
+                "Cast at the output boundary (keep wide/exotic types "
+                "internal); decimal output is how q200 went driver-red "
+                "in round 9 with rows+schema green."
+            )
+
+
 def driver_canon_hash(rows: Iterable[Sequence], cols: Sequence[str]) -> int:
     """The driver's exact canonicalization: DataFrame → sort_values
     (all columns) → hash_pandas_object summed.  NO exception handling

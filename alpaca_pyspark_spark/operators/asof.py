@@ -86,7 +86,13 @@ def asof_join(
             .dataType
         )
 
-    state_sel = state.select(
+    # A NULL state timestamp cannot participate in "latest state at or
+    # before t" — but the window's NULLS-FIRST sort would place it
+    # before every probe and its struct-wrapped value would be carried
+    # forward as the "earliest" state wherever no real state precedes
+    # the probe (ADVICE r9).  Drop such rows: an unknown-time state
+    # matches nothing, by contract.
+    state_sel = state.filter(F.col(state_ts).isNotNull()).select(
         *[F.col(c) for c in on],
         F.col(state_ts).alias(_TS),
         F.lit(state_side).alias(_SIDE),

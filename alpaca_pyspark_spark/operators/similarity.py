@@ -80,9 +80,19 @@ def _seq_dot_block(A: "np.ndarray", B: "np.ndarray") -> "np.ndarray":
 
     Total on empty input: ``np.asarray([])`` is 1-D, so an empty
     side yields the (0 × n) / (n × 0) result instead of an
-    IndexError (empty slices/partitions are routine at scale)."""
+    IndexError (empty slices/partitions are routine at scale).  A
+    NON-empty 1-D input (a single vector passed unstacked) is a
+    caller bug and fails loudly instead of silently zero-scoring."""
     if A.ndim < 2 or B.ndim < 2:
-        return np.zeros((A.shape[0], B.shape[0]))
+        for name, M in (("A", A), ("B", B)):
+            if M.ndim < 2 and M.size:
+                raise ValueError(
+                    f"{name} is a non-empty 1-D array — stack single "
+                    "vectors to shape (1, dim) before scoring"
+                )
+        return np.zeros(
+            (0 if A.ndim < 2 else A.shape[0], 0 if B.ndim < 2 else B.shape[0])
+        )
     acc = np.zeros((A.shape[0], B.shape[0]))
     for i in range(A.shape[1]):
         acc += A[:, i, None] * B[None, :, i]
@@ -90,9 +100,14 @@ def _seq_dot_block(A: "np.ndarray", B: "np.ndarray") -> "np.ndarray":
 
 
 def _seq_norms(M: "np.ndarray") -> "np.ndarray":
-    acc = np.zeros(M.shape[0])
     if M.ndim < 2:
-        return acc  # empty input: no vectors, no norms
+        if M.size:
+            raise ValueError(
+                "non-empty 1-D array — stack single vectors to shape "
+                "(1, dim) before scoring"
+            )
+        return np.zeros(0)  # empty input: no vectors, no norms
+    acc = np.zeros(M.shape[0])
     for i in range(M.shape[1]):
         acc += M[:, i] * M[:, i]
     return np.sqrt(acc)
@@ -752,8 +767,11 @@ def _det_cell_assigner(centroids: list[list[float]], topn: int):
     """Pandas UDF: vector → its ``topn`` nearest cells by cosine,
     tie-broken by cell index, computed with the sequential-order
     kernel — every double is bit-identical to the engine's scalar
-    ``aggregate`` fold AND to DuckDB's ``list_cosine_similarity``
-    (dot / (‖v‖·‖c‖), one IEEE accumulate per dimension), so the
+    ``aggregate`` fold, and EMPIRICALLY bit-identical to DuckDB's
+    ``list_cosine_similarity`` on the float32-widened embedding
+    family for every NON-SELF pair (self-pairs provably diverge by
+    1 ulp, and random full-precision doubles diverge at ulp level —
+    the q204 canary pins the live boundary), so the ORDER-BY-based
     assignment is exactly replicable in the oracle.  An earlier
     all-literal ``aggregate``-fold expression had the same doubles but
     ran interpreted per row (higher-order functions don't codegen):
@@ -770,6 +788,27 @@ def _det_cell_assigner(centroids: list[list[float]], topn: int):
         return pd.Series([row.tolist() for row in order])
 
     return cells
+
+
+def cosine_block_scores(centroids: list[list[float]]):
+    """Pandas UDF: vector → its RAW cosine to every centroid, as the
+    sequential-fold doubles the oracle's ``list_cosine_similarity``
+    must reproduce bit-for-bit (the q204 canary's kernel — same fold
+    as ``_det_cell_assigner`` but emitting the scores instead of the
+    argsort, so a cross-engine divergence is visible per-double
+    rather than only at near-tie assignment flips)."""
+    C = np.asarray(centroids, dtype=np.float64)
+    nc = _seq_norms(C)
+
+    @F.pandas_udf("array<double>")
+    def cos_all(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        M = np.stack(v.to_numpy()).astype(np.float64, copy=False)
+        sims = _seq_dot_block(M, C) / (_seq_norms(M)[:, None] * nc[None, :])
+        return pd.Series([row.tolist() for row in sims])
+
+    return cos_all
 
 
 def ivf_topk_det(

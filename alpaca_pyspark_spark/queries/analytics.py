@@ -636,39 +636,33 @@ def q107_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     total order, and count the top-20 opening paths — the
     click-stream sequence analysis behind funnel design.
 
-    Both the islands pass and the path collect run on the SAME
-    user_id exchange (window then partial-aggregated collect); the
-    path histogram exchange carries |distinct paths| rows and top-20
-    is TakeOrdered."""
+    Runs on the SKEW-ADAPTIVE sessionizer (``operators/
+    sessionize.py``): a max-key-count probe picks the original
+    single-exchange shape when no key can straggle, or the two-level
+    time-bucket pre-split when one can — there the opening slice is
+    merged island-wise with per-island state capped at 3 structs, so
+    a 3M-event hot session costs 3 structs per bucket instead of one
+    task collecting all 3M rows (the 3.82x sf10 straggler
+    SKEW_STRESS.json measured on the single-exchange shape; 0.93x
+    with the pre-split).  The path histogram exchange carries
+    |distinct paths| rows and top-20 is TakeOrdered."""
+    from ..operators.sessionize import session_openings_adaptive
+
     tune(spark)
     e = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
-    ow = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    sessions = session_openings_adaptive(
+        e,
+        key="user_id",
+        ts="ts",
+        gap="30 minutes",
+        order_extra=("event_id",),
+        head_cols=("event_id", "event_type"),
+        head_k=3,
     )
-    new_s = F.when(
-        F.col("ts") > F.lag("ts").over(ow) + F.expr("INTERVAL 30 MINUTES"), 1
-    ).otherwise(F.when(F.lag("ts").over(ow).isNull(), 1).otherwise(0))
-    sess = e.withColumn("__sid", F.sum(new_s).over(run))
-    paths = (
-        sess.groupBy("user_id", "__sid")
-        .agg(
-            F.array_join(
-                F.slice(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(
-                                F.struct("ts", "event_id", "event_type")
-                            )
-                        ),
-                        lambda r: r["event_type"],
-                    ),
-                    1,
-                    3,
-                ),
-                ">",
-            ).alias("path")
-        )
+    paths = sessions.select(
+        F.array_join(
+            F.transform(F.col("__head"), lambda r: r["event_type"]), ">"
+        ).alias("path")
     )
     return (
         paths.groupBy("path")

@@ -544,10 +544,24 @@ def q11_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- q14
 def q14_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization with a 30-minute inactivity gap (batch
-    gaps-and-islands; streaming twin in streaming/sessions.py)."""
+    gaps-and-islands; streaming twin in streaming/sessions.py).
+
+    Runs on the SKEW-ADAPTIVE operator (``operators/sessionize.py``):
+    a cheap max-key-count probe picks the single per-key window when
+    no key can straggle, or the two-level time-bucket pre-split +
+    boundary-island stitch when one can — the two plans are
+    output-identical (same oracle SQL).  SKEW_STRESS.json measured
+    why both exist: on a 30%-hot key at sf10 the single-pass plan
+    straggles 2.75x while the pre-split runs 0.73x; on sparse-uniform
+    data the pre-split's island bookkeeping costs ~4x while the
+    single pass is flat."""
+    from ..operators.sessionize import session_summary_adaptive
+
     tune(spark)
     e = load(spark, sf_dir, "events")
-    return session_summary(e.select("user_id", "ts"), key="user_id", ts="ts", gap="30 minutes")
+    return session_summary_adaptive(
+        e.select("user_id", "ts"), key="user_id", ts="ts", gap="30 minutes"
+    )
 
 
 # --------------------------------------------------------------- q130

@@ -6,8 +6,11 @@ multimodal plumbing.
 
 Oracle-design notes:
 - cosine: DuckDB ``list_cosine_similarity`` on DOUBLE[] is bit-exact
-  vs Spark's ``zip_with``+``aggregate`` fold (verified empirically) —
-  q13 compares raw doubles, no tolerance.
+  vs Spark's ``zip_with``+``aggregate`` fold for every NON-SELF pair
+  of this float32-widened data family (an empirical property, not an
+  IEEE identity: self-pairs diverge by 1 ulp and arbitrary-precision
+  inputs diverge at ulp level — see q204_cosine_parity_canary, the
+  registered tripwire) — q13 compares raw doubles, no tolerance.
 - ratios/scores: both engines evaluate the same IEEE expression tree
   over exactly-equal integer inputs → bit-identical doubles.
 - MinHash/SimHash pipelines hash with xxhash64 (no DuckDB
@@ -3404,10 +3407,12 @@ def q200_ivf_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Signals per cell: populations (``old_n``/``delta_n``/``new_n``),
     exact squared-L2 radius MASS on the 1e-5 integer lane grid
-    (``old_sqdist``/``delta_sqdist`` — DECIMAL(38,0) sums of BIGINT
-    per-member distances, order-independent and wrap-proof to ~1e26
-    members per cell where an int64 sum would silently wrap past
-    ~1.3e7), ``grew`` (delta adds >1/8 of the old population) and
+    (``old_sqdist``/``delta_sqdist`` — accumulated as DECIMAL(38,0)
+    sums of BIGINT per-member distances, order-independent and
+    wrap-proof to ~1e26 members per cell where an int64 sum would
+    silently wrap past ~1.3e7; EMITTED as BIGINT, exact at any gate
+    scale, because decimal is hash-unstable across the Spark/DuckDB
+    oracle boundary), ``grew`` (delta adds >1/8 of the old population) and
     ``drift`` (delta members sit farther out than the old mean radius:
     ``delta_sqdist/delta_n > old_sqdist/old_n``, compared as exact
     cross-multiplied 128-bit integers — no float division; the
@@ -3454,8 +3459,8 @@ def q200_ivf_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias(n_name), F.sum("__d").alias(sq_name))
         )
 
-    old = cell_stats(corpus, "old_n", "old_sqdist")
-    new = cell_stats(delta, "delta_n", "delta_sqdist")
+    old = cell_stats(corpus, "old_n", "__old_sq")
+    new = cell_stats(delta, "delta_n", "__delta_sq")
     zero = F.lit(0).cast("decimal(38,0)")
     return (
         centq.select("cell")
@@ -3464,18 +3469,24 @@ def q200_ivf_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "cell",
             F.coalesce("old_n", F.lit(0)).cast("bigint").alias("old_n"),
-            F.coalesce("old_sqdist", zero).cast("decimal(38,0)").alias("old_sqdist"),
+            F.coalesce("__old_sq", zero).cast("decimal(38,0)").alias("__old_sq"),
             F.coalesce("delta_n", F.lit(0)).cast("bigint").alias("delta_n"),
-            F.coalesce("delta_sqdist", zero)
+            F.coalesce("__delta_sq", zero)
             .cast("decimal(38,0)")
-            .alias("delta_sqdist"),
+            .alias("__delta_sq"),
         )
+        # the radius mass stays DECIMAL(38,0) through the drift
+        # cross-multiply (wrap-proof); the EMITTED columns are BIGINT —
+        # decimal output is the one hash-unstable type at the
+        # cross-engine oracle boundary (driver r9: rows+schema green,
+        # hash red, unique to this query's decimal columns), and at any
+        # gate scale the mass is far below 2^63 so the cast is exact
         .select(
             "cell",
             "old_n",
-            "old_sqdist",
+            F.col("__old_sq").cast("bigint").alias("old_sqdist"),
             "delta_n",
-            "delta_sqdist",
+            F.col("__delta_sq").cast("bigint").alias("delta_sqdist"),
             (F.col("old_n") + F.col("delta_n")).alias("new_n"),
             (F.col("delta_n") * 8 > F.col("old_n")).cast("bigint").alias("grew"),
             F.when(
@@ -3483,8 +3494,8 @@ def q200_ivf_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .otherwise(
                 (
-                    F.col("delta_sqdist") * F.col("old_n")
-                    > F.col("old_sqdist") * F.col("delta_n")
+                    F.col("__delta_sq") * F.col("old_n")
+                    > F.col("__old_sq") * F.col("delta_n")
                 ).cast("int")
             )
             .cast("bigint")
@@ -3551,7 +3562,8 @@ J AS (
          COALESCE(sd.sq, CAST(0 AS DECIMAL(38,0))) AS delta_sqdist
   FROM C c LEFT JOIN SO so USING (cell) LEFT JOIN SD sd USING (cell)
 )
-SELECT cell, old_n, old_sqdist, delta_n, delta_sqdist,
+SELECT cell, old_n, CAST(old_sqdist AS BIGINT) AS old_sqdist,
+       delta_n, CAST(delta_sqdist AS BIGINT) AS delta_sqdist,
        old_n + delta_n AS new_n,
        CAST(delta_n * 8 > old_n AS BIGINT) AS grew,
        CAST(CASE WHEN delta_n = 0 OR old_n = 0 THEN 0
@@ -5851,6 +5863,101 @@ FROM t LEFT JOIN dropped d USING (doc_id)
 """
 
 
+# --------------------------------------------------------------- q204
+_Q204_CELLS = 8
+_Q204_MOD = 37
+
+
+def q204_cosine_parity_canary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COSINE-PARITY CANARY — the bit-equality claim ~30 vector
+    oracles lean on, isolated to one tiny hash-gated row set.
+
+    The whole deterministic-ANN family (q13_ivf_det, q196, q200,
+    q201, q202*, semdedup) rests on one cross-engine invariant: the
+    sequential-IEEE cosine fold (``operators/similarity.py``
+    ``_seq_dot_block``/``_seq_norms``, one accumulate per dimension)
+    is BIT-identical to DuckDB's ``list_cosine_similarity``.  A
+    driver-side engine change that breaks that invariant would turn
+    ~30 queries red at once with no localization (round 9's q200 red
+    row took a round of analysis to attribute — it turned out to be
+    the OTHER boundary, decimal rendering).  This canary emits the
+    RAW cosine doubles for a fixed probe set (``vec_id % 37 == 0``)
+    against the family's deterministic seed centroids (the 8 smallest
+    vec_ids), so any future fold divergence flips exactly this query:
+    canary red + family green = near-tie assignment drift; canary
+    red + family red = the fold itself.
+
+    SELF-PAIRS ARE EXCLUDED, by measurement: building this canary
+    showed the engines provably DIVERGE on a vector scored against
+    itself — the fold yields ``dot/(sqrt(s)·sqrt(s))`` =
+    1.0000000000000002 while DuckDB returns exactly 1.0 (consistent
+    with a ``dot/sqrt(sa·sb)`` denominator, where self-pairs cancel
+    exactly) — and random non-float32 inputs show ulp-level
+    divergence in both directions, so cross-engine bit-equality of
+    raw cosines is an EMPIRICAL property of this float32-widened
+    data family (every non-self pair matches), not an IEEE identity.
+    The ~30 sibling oracles are insulated because they consume cosine
+    only through ORDER BY with a cell-index tie-break; this canary is
+    the tripwire that tells us if that insulation is ever the only
+    thing left standing.
+
+    Scale shape: centroid collect is O(cells·dim); the fold is one
+    map-only Arrow batch over the probes; output is |probes|·cells
+    rows — a canary, not a search."""
+    from ..operators import spread
+    from ..operators.similarity import (
+        _det_seed_centroids,
+        cosine_block_scores,
+    )
+
+    tune(spark)
+    emb = load_vectors(spark, sf_dir)
+    cos_all = cosine_block_scores(
+        _det_seed_centroids(emb, "vec_id", "embedding", _Q204_CELLS)
+    )
+    cent_ids = [
+        r["vec_id"]
+        for r in emb.select("vec_id").orderBy("vec_id").limit(_Q204_CELLS).collect()
+    ]
+    probes = spread(
+        emb.filter(
+            (F.col("vec_id") % _Q204_MOD == 0)
+            & ~F.col("vec_id").isin(cent_ids or [-1])
+        ).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("__v")
+        )
+    )
+    return probes.select(
+        "vec_id", F.posexplode(cos_all(F.col("__v"))).alias("cell", "cosine")
+    ).select(
+        "vec_id", F.col("cell").cast("bigint").alias("cell"), "cosine"
+    )
+
+
+_Q204_SQL = f"""
+WITH embeddings AS (
+  SELECT * FROM main.embeddings WHERE embedding IS NOT NULL
+), E AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), C AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell,
+         v AS cv
+  FROM (SELECT vec_id, v FROM E ORDER BY vec_id LIMIT {_Q204_CELLS})
+), P AS (
+  -- self-pairs excluded: the engines' raw cosines provably differ on
+  -- a vector scored against itself (see the query docstring)
+  SELECT vec_id, v FROM E
+  WHERE vec_id % {_Q204_MOD} = 0
+    AND vec_id NOT IN (
+      SELECT vec_id FROM (SELECT vec_id FROM E ORDER BY vec_id
+                          LIMIT {_Q204_CELLS}))
+)
+SELECT p.vec_id, c.cell,
+       list_cosine_similarity(p.v, c.cv) AS cosine
+FROM P p CROSS JOIN C c
+"""
+
+
 QUERIES = {
     "q163_setsim_prefix_join": q163_setsim_prefix_join,
     "q164_containment_dedup": q164_containment_dedup,
@@ -5923,6 +6030,7 @@ QUERIES = {
     "q201_ivfpq_search": q201_ivfpq_search,
     "q202_streaming_pq_search": q202_streaming_pq_search,
     "q202_dialed_pq_search": q202_dialed_pq_search,
+    "q204_cosine_parity_canary": q204_cosine_parity_canary,
 }
 
 ORACLE = {
@@ -5947,6 +6055,7 @@ ORACLE = {
     "q201_ivfpq_search": _Q201_SQL,
     "q202_streaming_pq_search": _Q202_SQL,
     "q202_dialed_pq_search": _Q202_DIALED_SQL,
+    "q204_cosine_parity_canary": _Q204_SQL,
     "q166_ngram_novelty": _Q166_SQL,
     "q168_privacy_audit": _Q168_SQL,
     "q169_incremental_dedup": _Q169_SQL,

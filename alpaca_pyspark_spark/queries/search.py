@@ -342,6 +342,114 @@ GROUP BY component
 """
 
 
+# --------------------------------------------------------- q92_lsh
+_Q92_LSH_PLANES = 8
+
+
+def q92_cluster_reps_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q92's clustering + representative rule under the LSH SCALE
+    DIAL: candidate pairs come from an 8-plane random-hyperplane sign
+    bucket (SimHash-for-vectors) instead of the registered
+    exact-quadratic baseline — the production shape, since the exact
+    twin's all-pairs scan is the documented sanctioned baseline that
+    cannot ship at 100 TB.  Registered the same way q202_dialed
+    closed q202's amber: the ENTIRE approximation is replayed in the
+    oracle — the SHA-256-derived hyperplanes are deterministic
+    constants, so the SQL computes the identical sign buckets
+    (``list_dot_product(v, plane) >= 0`` per plane), the identical
+    bucket-equi candidate join, the identical cosine >= 0.5 filter,
+    and the same recursive min-id components — putting the FULL LSH
+    pipeline (bucketing included) under the value-hash gate, not just
+    its output shape.
+
+    Scale: the self-join is bucket-partitioned (2^planes cells) —
+    no all-pairs; components are pointer-jumping over the candidate
+    graph; the representative argmax is the same lexicographic
+    ``max(struct)`` partial-agg as q92.  Measured at the sf1→sf10
+    decade in STRESS_SF10.json under this registered name."""
+    from ..operators.components import connected_components
+    from ..operators.dedup import embedding_near_duplicates
+
+    tune(spark)
+    emb = load_vectors(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    pairs = embedding_near_duplicates(
+        emb,
+        id_col="vec_id",
+        vec_col="embedding",
+        threshold=0.5,
+        num_planes=_Q92_LSH_PLANES,
+        dim=64,
+    )
+    comp = connected_components(pairs, emb, src="id_a", dst="id_b", vertex_id="vec_id")
+    return (
+        comp.join(docs, comp.id == docs.doc_id)
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(
+                F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id"))
+            ).alias("__m"),
+            F.max("n_chars").alias("rep_chars"),
+        )
+        .select(
+            "component",
+            "n_members",
+            (-F.col("__m.neg_id")).alias("rep_doc_id"),
+            "rep_chars",
+        )
+    )
+
+
+def _q92_lsh_bucket_sql() -> str:
+    """The 8-plane sign bucket as a SQL expression over ``v``, built
+    from the SAME deterministic hyperplanes the Spark operator uses
+    (``operators.similarity._hyperplane`` — SHA-256(plane, coord));
+    ``repr`` round-trips each double exactly, so both engines dot
+    against bit-identical plane constants."""
+    from ..operators.similarity import _hyperplane
+
+    terms = []
+    for p in range(_Q92_LSH_PLANES):
+        lit = ", ".join(repr(x) for x in _hyperplane(p, 64))
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, [{lit}]) >= 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+_Q92_LSH_SQL = f"""
+WITH RECURSIVE embeddings AS (
+  SELECT * FROM main.embeddings WHERE embedding IS NOT NULL
+),
+E AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+B AS (SELECT vec_id, v, {_q92_lsh_bucket_sql()} AS b FROM E),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM B a JOIN B b ON a.b = b.b AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= 0.5
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT reach.id, edges.v FROM reach JOIN edges ON reach.r = edges.u
+),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+SELECT component,
+       CAST(count(*) AS BIGINT) AS n_members,
+       -((max({{'n_chars': n_chars, 'neg_id': -doc_id}})).neg_id) AS rep_doc_id,
+       CAST(max(n_chars) AS BIGINT) AS rep_chars
+FROM comp JOIN documents ON comp.id = doc_id
+GROUP BY component
+"""
+
+
 # ---------------------------------------------------------------- q93
 def q93_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One iteration of BPE tokenizer training: count adjacent
@@ -1174,6 +1282,7 @@ QUERIES = {
     "q192_hybrid_retrieval": q192_hybrid_retrieval,
     "q91_pagerank_suppliers": q91_pagerank_suppliers,
     "q92_cluster_representatives": q92_cluster_representatives,
+    "q92_cluster_reps_lsh": q92_cluster_reps_lsh,
     "q93_bpe_merge_pairs": q93_bpe_merge_pairs,
     "q114_repeated_passages": q114_repeated_passages,
     "q120_domain_distinctive_tokens": q120_domain_distinctive_tokens,
@@ -1190,6 +1299,7 @@ ORACLE = {
     "q192_hybrid_retrieval": _Q192_SQL,
     "q91_pagerank_suppliers": _Q91_SQL,
     "q92_cluster_representatives": _Q92_SQL,
+    "q92_cluster_reps_lsh": _Q92_LSH_SQL,
     "q93_bpe_merge_pairs": _Q93_SQL,
     "q114_repeated_passages": _Q114_SQL,
     "q120_domain_distinctive_tokens": _Q120_SQL,

@@ -81,7 +81,11 @@ class TradesStreamReader(SimpleDataSourceStreamReader):
             end=(hi - timedelta(microseconds=1)).isoformat(),
             limit=self.params.get("limit", str(DEFAULT_LIMIT)),
         )
-        symbols = [s for s in self.params["symbols"].split(",") if s]
+        # absent/empty symbols = an EMPTY universe: fetch nothing (the
+        # poller never passes a blank-symbols request through to the
+        # server, whose 'all symbols' interpretation would be an
+        # unbounded fan-out; ADVICE r9 pinned this as the contract)
+        symbols = [s for s in self.params.get("symbols", "").split(",") if s]
         for c in range(0, len(symbols), self.SYMBOLS_PER_REQUEST):
             params = dict(
                 base,

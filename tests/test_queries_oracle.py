@@ -37,6 +37,9 @@ def test_rows_only_query_runs(spark, assert_no_cache_residue, qid):
     assert_driver_canonicalizable(
         [tuple(r[c] for c in cols) for r in rows], cols
     )
+    from alpaca_pyspark_spark.canon import reject_hash_unstable_schema
+
+    reject_hash_unstable_schema(df.schema)
 
 
 def test_all_oracle_keys_have_queries():

@@ -11,6 +11,13 @@ replica (identical volume, identical schema — the wall-time ratio
 isolates pure skew sensitivity, with AQE's skew-join mitigation on as
 in production).
 
+TIMING-ONLY DATASET: the hot-key remap collapses many users onto one
+user_id, which creates duplicate (user_id, ts) pairs — the replica
+INTENTIONALLY violates the ``events_key_unique`` contract that makes
+min_by/argmax picks deterministic.  Never run the oracle compare or
+``contracts.assert_contracts`` against it (they would flag it or
+diverge nondeterministically); it exists only for wall-time ratios.
+
 Usage: python tools/make_skew.py [--dest /root/repo/.scratch/skew0.1]
 """
 

@@ -21,43 +21,14 @@ def _q163_setsim_bounded(spark, sf_dir):
 
 
 def _q92_cluster_reps_lsh(spark, sf_dir):
-    """q92's clustering + representative rule under the LSH scale dial
-    (sign-bucket candidates, num_planes=8) instead of the registered
-    exact-quadratic baseline."""
-    from pyspark.sql import functions as F
+    """q92's clustering + representative rule under the LSH scale
+    dial — now REGISTERED as q92_cluster_reps_lsh (round 10, VERDICT
+    r9 item 5); this harness entry delegates to the registry so the
+    stress decades and the oracle gate can never measure different
+    pipelines."""
+    from alpaca_pyspark_spark.queries.search import q92_cluster_reps_lsh
 
-    from alpaca_pyspark_spark.operators.components import connected_components
-    from alpaca_pyspark_spark.operators.dedup import embedding_near_duplicates
-    from alpaca_pyspark_spark.queries.llm import tune
-    from alpaca_pyspark_spark.tables import load
-
-    tune(spark)
-    emb = load(spark, sf_dir, "embeddings")
-    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    pairs = embedding_near_duplicates(
-        emb, id_col="vec_id", vec_col="embedding", threshold=0.5, num_planes=8,
-        dim=64,
-    )
-    comp = connected_components(
-        pairs, emb, src="id_a", dst="id_b", vertex_id="vec_id"
-    )
-    return (
-        comp.join(docs, comp.id == docs.doc_id)
-        .groupBy("component")
-        .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            F.max(
-                F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id"))
-            ).alias("__m"),
-            F.max("n_chars").alias("rep_chars"),
-        )
-        .select(
-            "component",
-            "n_members",
-            (-F.col("__m.neg_id")).alias("rep_doc_id"),
-            "rep_chars",
-        )
-    )
+    return q92_cluster_reps_lsh(spark, sf_dir)
 
 
 EXTRA = {

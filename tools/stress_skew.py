@@ -19,7 +19,11 @@ Families chosen for their partitioning exposure:
                             absorb skew, expected ~1x as the control
   explicit skew handling:   q34 salted heavy hitters
 
-Writes SKEW_STRESS.json and prints a table.
+Writes SKEW_STRESS.json (MERGED per scale — the file holds one block
+per uniform-dir basename, so sf1 and sf10 runs coexist) and prints a
+table.  Queries named in SKIP (q03's naive interval join) are timed
+only where their intermediate fits — at skew10 the naive pair join is
+O(hot^2) ~3.6e10 pairs, the very thing q205 exists to avoid.
 Usage: python tools/stress_skew.py [--uniform DIR --skew DIR]
 """
 
@@ -44,7 +48,21 @@ QUERIES_UNDER_TEST = [
     "q14_stream_session",
     "q107_session_paths",
     "q34_salted_heavy_hitters",
+    # round-10 extension (VERDICT r9 item 7): the remaining
+    # key-partitioned families — per-key windows/sequences like q107
+    "q74_cohort_retention",
+    "q68_funnel",
+    "q152_conversion_delay",
+    # the interval-join pair: naive (skew1 only, see SKIP) vs the
+    # hierarchical decomposition (q205, every scale)
+    "q03_interval_join_agg",
+    "q205_interval_agg_decomposed",
 ]
+
+#: queries whose NAIVE intermediate explodes on the hot replica at a
+#: given scale: {qid: substring of the skew dir where it must be
+#: skipped}.  The skip is recorded in the JSON so absence is explicit.
+SKIP = {"q03_interval_join_agg": "skew10"}
 
 
 def run_once(spark, qid: str, sf_dir: str) -> tuple[float, int]:
@@ -65,9 +83,20 @@ def main() -> None:
     args = ap.parse_args()
     spark = get_spark("stress-skew")
     spark.sparkContext.setLogLevel("ERROR")
+    path = Path("SKEW_STRESS.json")
+    merged = json.loads(path.read_text()) if path.exists() else {}
+    scale = Path(args.uniform).name
     out = {"_meta": {"uniform_dir": args.uniform, "skew_dir": args.skew,
                      "hot_share": "~30% of events on one user_id"}}
+    merged[scale] = out
     for qid in QUERIES_UNDER_TEST:
+        if qid not in QUERIES:
+            continue  # roster entry not registered yet
+        if qid in SKIP and SKIP[qid] in args.skew:
+            out[qid] = {"skipped": f"naive intermediate explodes on {SKIP[qid]}"}
+            print(f"{qid:32s} SKIPPED ({out[qid]['skipped']})")
+            path.write_text(json.dumps(merged, indent=1) + "\n")
+            continue
         run_once(spark, qid, args.uniform)  # warm codegen per query
         tu, nu = run_once(spark, qid, args.uniform)
         run_once(spark, qid, args.skew)
@@ -84,7 +113,7 @@ def main() -> None:
             f"{qid:32s} uniform {tu:7.2f}s ({nu} rows)   "
             f"skew {ts:7.2f}s ({ns} rows)   ratio {ratio:5.2f}x"
         )
-        Path("SKEW_STRESS.json").write_text(json.dumps(out, indent=1) + "\n")
+        path.write_text(json.dumps(merged, indent=1) + "\n")
 
 
 if __name__ == "__main__":
