@@ -144,6 +144,63 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------- q205
+def q205_interval_agg_decomposed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q03's equality + time-containment aggregate on the
+    HIERARCHICAL INTERVAL DECOMPOSITION (``operators/intervalagg.py``)
+    — same oracle SQL, radically different intermediate: the naive
+    pair join evaluates O(|window events|) comparisons per anchor,
+    ~6e10 on skew10's 30%-hot key (0.6e9 measured at skew1).
+    Building this taught an honest lesson the docstring keeps: AQE's
+    skew-split + whole-stage codegen make even 6e10 pair comparisons
+    RUNNABLE (~1.4s warm at skew10, SKEW_STRESS.json) — the naive
+    join is not a straggler, it is a quadratic CPU term.  The
+    decomposition removes that term: follow-ups pre-aggregate once
+    per (user, hour) and (user, minute) — combinable, skew-immune —
+    and each anchor's 1-day window tiles into ~23 full hours +
+    <=118 boundary minutes + exact events in its two edge minutes:
+    ~280 equi-joined rows per anchor, CONSTANT in key heat, so cost
+    stays linear as key density grows another 100x toward 100 TB
+    where the quadratic term dominates wall and spill.  Counts and
+    cent-sums are exact integers in every stratum, so the output is
+    bit-identical to the pair join and the oracle is UNCHANGED
+    (q03's SQL verbatim)."""
+    from ..operators.intervalagg import trailing_interval_agg
+
+    tune(spark)
+    e = load(spark, sf_dir, "events")
+    s = e.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("event_id").alias("signup_id"),
+        F.col("ts").alias("s_ts"),
+    )
+    f = e.select(
+        "user_id",
+        F.col("ts").alias("f_ts"),
+        F.round(F.col("value") * 100).cast("bigint").alias("__cents"),
+    )
+    dec = trailing_interval_agg(
+        s,
+        f,
+        key="user_id",
+        anchor_ts="s_ts",
+        event_ts="f_ts",
+        window_seconds=86400,
+        sum_col="__cents",
+    )
+    return dec.select(
+        "user_id",
+        "signup_id",
+        "n_follow",
+        # the identical IEEE expression q03 evaluates over the same
+        # exact integers: one division, no intermediate rounding
+        (
+            F.col("sum_cents").cast("double")
+            / (F.lit(100.0) * F.col("n_follow"))
+        ).alias("avg_value"),
+    )
+
+
 # ---------------------------------------------------------------- q04
 def q04_sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sort/limit pushdown analog (reference D3/D4) as distributed
@@ -1218,6 +1275,7 @@ QUERIES = {
     "q01_scan_filter_project": q01_scan_filter_project,
     "q02_bars_tumbling": q02_bars_tumbling,
     "q03_interval_join_agg": q03_interval_join_agg,
+    "q205_interval_agg_decomposed": q205_interval_agg_decomposed,
     "q04_sort_limit_topk": q04_sort_limit_topk,
     "q05_groupby_rollup": q05_groupby_rollup,
     "q06_asof_join": q06_asof_join,
@@ -1245,6 +1303,7 @@ ORACLE = {
     "q01_scan_filter_project": _Q01_SQL,
     "q02_bars_tumbling": _Q02_SQL,
     "q03_interval_join_agg": _Q03_SQL,
+    "q205_interval_agg_decomposed": _Q03_SQL,
     "q04_sort_limit_topk": _Q04_SQL,
     "q05_groupby_rollup": _Q05_SQL,
     "q06_asof_join": _Q06_SQL,

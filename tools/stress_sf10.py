@@ -84,6 +84,11 @@ FLAGSHIPS = [
     "q182_perplexity_filter", "q123_bpe_train",
     "q190_streaming_quality_filter", "q33_near_dup_components_lsh",
     "q12_text_dedup_portable", "q191_streaming_curation",
+    # round 10: the skew-adaptive sessionizers (per-key hot probe +
+    # time-bucket pre-split), the hierarchical interval decomposition
+    # (q03's quadratic-CPU term removed), and the cosine canary
+    "q14_stream_session", "q107_session_paths",
+    "q205_interval_agg_decomposed", "q204_cosine_parity_canary",
 ]
 
 

@@ -21,9 +21,11 @@ Families chosen for their partitioning exposure:
 
 Writes SKEW_STRESS.json (MERGED per scale — the file holds one block
 per uniform-dir basename, so sf1 and sf10 runs coexist) and prints a
-table.  Queries named in SKIP (q03's naive interval join) are timed
-only where their intermediate fits — at skew10 the naive pair join is
-O(hot^2) ~3.6e10 pairs, the very thing q205 exists to avoid.
+table.  The q03/q205 pair contrasts the naive interval join (AQE's
+skew-split parallelizes its ~6e10 hot-key pair comparisons into a
+tight codegen loop — measured runnable, NOT a straggler) against the
+hierarchical decomposition that removes the O(pairs) CPU term
+entirely (~1e8 joined rows for the same answer).
 Usage: python tools/stress_skew.py [--uniform DIR --skew DIR]
 """
 
@@ -53,16 +55,16 @@ QUERIES_UNDER_TEST = [
     "q74_cohort_retention",
     "q68_funnel",
     "q152_conversion_delay",
-    # the interval-join pair: naive (skew1 only, see SKIP) vs the
-    # hierarchical decomposition (q205, every scale)
+    # the interval-join pair: naive O(pairs) vs the hierarchical
+    # decomposition (q205) — same oracle, ~500x fewer joined rows
     "q03_interval_join_agg",
     "q205_interval_agg_decomposed",
 ]
 
-#: queries whose NAIVE intermediate explodes on the hot replica at a
-#: given scale: {qid: substring of the skew dir where it must be
-#: skipped}.  The skip is recorded in the JSON so absence is explicit.
-SKIP = {"q03_interval_join_agg": "skew10"}
+#: queries to skip on a given replica (substring match on the skew
+#: dir).  Empty since round 10 measured the naive interval join IS
+#: runnable at skew10 (AQE skew-split + codegen); kept as a mechanism.
+SKIP: dict[str, str] = {}
 
 
 def run_once(spark, qid: str, sf_dir: str) -> tuple[float, int]:
