@@ -68,6 +68,24 @@ def sign_bucket(vec: Column, *, dim: int, num_planes: int = 16) -> Column:
     return bucket
 
 
+def lsh_planes_dial(n: int) -> int:
+    """The PRODUCTION plane-count rule: enough hyperplanes that the
+    expected bucket occupancy stays ~32 as the corpus grows —
+    ``max(3, min(16, bit_length(n // 32)))``.  Integer-exact and
+    replayable in SQL as ``LEAST(16, GREATEST(3, LENGTH(BIN(n //
+    32))))`` (for ``n // 32 >= 1`` the binary-string length IS the
+    bit length; both clamp to 3 below that), so an oracle can derive
+    the identical dial from ``count(*)``.  Fixed planes make candidate
+    pairs grow QUADRATICALLY with volume (bucket occupancy ∝ n —
+    measured 1.43-1.76x over-linear for the 8-plane q92 twin at the
+    sf1→sf10 decade); this dial holds occupancy constant, so pairs
+    grow linearly.  The cap at 16 bounds the static 16-plane bucket
+    expression both engines share: masking its low ``planes`` bits
+    equals bucketing with exactly ``planes`` planes, because bit p is
+    plane p's sign."""
+    return max(3, min(16, (n // 32).bit_length()))
+
+
 def _seq_dot_block(A: "np.ndarray", B: "np.ndarray") -> "np.ndarray":
     """All-pairs dot products with the EXACT IEEE summation order of
     the engine's scalar fold: one accumulate step per dimension

@@ -401,16 +401,16 @@ def q92_cluster_reps_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q92_lsh_bucket_sql() -> str:
-    """The 8-plane sign bucket as a SQL expression over ``v``, built
-    from the SAME deterministic hyperplanes the Spark operator uses
-    (``operators.similarity._hyperplane`` — SHA-256(plane, coord));
-    ``repr`` round-trips each double exactly, so both engines dot
-    against bit-identical plane constants."""
+def _q92_lsh_bucket_sql(n_planes: int = _Q92_LSH_PLANES) -> str:
+    """The ``n_planes``-plane sign bucket as a SQL expression over
+    ``v``, built from the SAME deterministic hyperplanes the Spark
+    operator uses (``operators.similarity._hyperplane`` —
+    SHA-256(plane, coord)); ``repr`` round-trips each double exactly,
+    so both engines dot against bit-identical plane constants."""
     from ..operators.similarity import _hyperplane
 
     terms = []
-    for p in range(_Q92_LSH_PLANES):
+    for p in range(n_planes):
         lit = ", ".join(repr(x) for x in _hyperplane(p, 64))
         terms.append(
             f"(CASE WHEN list_dot_product(v, [{lit}]) >= 0 "
@@ -425,6 +425,97 @@ WITH RECURSIVE embeddings AS (
 ),
 E AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
 B AS (SELECT vec_id, v, {_q92_lsh_bucket_sql()} AS b FROM E),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM B a JOIN B b ON a.b = b.b AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= 0.5
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT reach.id, edges.v FROM reach JOIN edges ON reach.r = edges.u
+),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+SELECT component,
+       CAST(count(*) AS BIGINT) AS n_members,
+       -((max({{'n_chars': n_chars, 'neg_id': -doc_id}})).neg_id) AS rep_doc_id,
+       CAST(max(n_chars) AS BIGINT) AS rep_chars
+FROM comp JOIN documents ON comp.id = doc_id
+GROUP BY component
+"""
+
+
+# --------------------------------------------------------------- q206
+def q206_cluster_reps_lsh_dialed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q92_lsh under the PRODUCTION plane dial — the q202→q202_dialed
+    move applied to the LSH family's one over-linear row: fixed
+    8-plane bucketing makes candidate pairs grow quadratically with
+    volume (bucket occupancy ∝ n; measured 1.43-1.76x over 10x-linear
+    at the sf1→sf10 decade), so the deployment rule derives planes
+    from corpus size (``lsh_planes_dial``: occupancy pinned at ~32,
+    pairs linear).  The ENTIRE dialed approximation sits under the
+    hash gate: the oracle computes the same 16-plane sign bucket from
+    literal hyperplane constants and masks it to the dial's low bits
+    — bit p IS plane p's sign, so ``bucket16 & (2^planes - 1)``
+    equals bucketing with exactly ``planes`` planes — with planes
+    derived from ``count(*)`` by the same integer rule
+    (LEAST/GREATEST/LENGTH(BIN(n//32)))."""
+    from ..operators.components import connected_components
+    from ..operators.dedup import embedding_near_duplicates
+    from ..operators.similarity import lsh_planes_dial
+
+    tune(spark)
+    emb = load_vectors(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    planes = lsh_planes_dial(emb.count())
+    pairs = embedding_near_duplicates(
+        emb,
+        id_col="vec_id",
+        vec_col="embedding",
+        threshold=0.5,
+        num_planes=planes,
+        dim=64,
+    )
+    comp = connected_components(pairs, emb, src="id_a", dst="id_b", vertex_id="vec_id")
+    return (
+        comp.join(docs, comp.id == docs.doc_id)
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(
+                F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id"))
+            ).alias("__m"),
+            F.max("n_chars").alias("rep_chars"),
+        )
+        .select(
+            "component",
+            "n_members",
+            (-F.col("__m.neg_id")).alias("rep_doc_id"),
+            "rep_chars",
+        )
+    )
+
+
+_Q206_SQL = f"""
+WITH RECURSIVE embeddings AS (
+  SELECT * FROM main.embeddings WHERE embedding IS NOT NULL
+),
+E AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+P AS (
+  SELECT LEAST(16, GREATEST(3, LENGTH(BIN(count(*) // 32)))) AS planes
+  FROM E
+),
+B AS (
+  SELECT vec_id, v,
+         ({_q92_lsh_bucket_sql(16)})
+           & ((1 << (SELECT planes FROM P)) - 1) AS b
+  FROM E
+),
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
   FROM B a JOIN B b ON a.b = b.b AND a.vec_id < b.vec_id
@@ -1283,6 +1374,7 @@ QUERIES = {
     "q91_pagerank_suppliers": q91_pagerank_suppliers,
     "q92_cluster_representatives": q92_cluster_representatives,
     "q92_cluster_reps_lsh": q92_cluster_reps_lsh,
+    "q206_cluster_reps_lsh_dialed": q206_cluster_reps_lsh_dialed,
     "q93_bpe_merge_pairs": q93_bpe_merge_pairs,
     "q114_repeated_passages": q114_repeated_passages,
     "q120_domain_distinctive_tokens": q120_domain_distinctive_tokens,
@@ -1300,6 +1392,7 @@ ORACLE = {
     "q91_pagerank_suppliers": _Q91_SQL,
     "q92_cluster_representatives": _Q92_SQL,
     "q92_cluster_reps_lsh": _Q92_LSH_SQL,
+    "q206_cluster_reps_lsh_dialed": _Q206_SQL,
     "q93_bpe_merge_pairs": _Q93_SQL,
     "q114_repeated_passages": _Q114_SQL,
     "q120_domain_distinctive_tokens": _Q120_SQL,

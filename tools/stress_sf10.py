@@ -89,6 +89,11 @@ FLAGSHIPS = [
     # (q03's quadratic-CPU term removed), and the cosine canary
     "q14_stream_session", "q107_session_paths",
     "q205_interval_agg_decomposed", "q204_cosine_parity_canary",
+    # q92's LSH family: the registered fixed-8-plane twin stays as the
+    # pinned-dial contrast (1.76x over-linear by construction); the
+    # DIALED form (planes from count via lsh_planes_dial, occupancy
+    # pinned ~32) is the deployment configuration
+    "q206_cluster_reps_lsh_dialed",
 ]
 
 
