@@ -198,18 +198,24 @@ def _local_islands(
     # last), so without this test the stitch would re-window ~all
     # islands per key and give the straggler right back; with it the
     # stitch input is only the ~2·gap/bucket fraction that sits within
-    # gap of an edge.  Session tz is pinned UTC (session.py), so the
-    # ntz→epoch mapping is exact-linear; the +1s slack covers the
-    # second-floor of the epoch cast (conservative: slack only ever
-    # ADDS islands to the stitch).  NULL epochs (the NULL-ts island)
-    # coalesce to exposed — the stitch is where they glom onto the
-    # key's first real session, matching the single-pass operator.
+    # gap of an edge.  Under the engine's pinned-UTC session tz
+    # (session.py) the ntz→epoch mapping is exact-linear and a +1s
+    # slack covers the second-floor of the epoch cast; under any OTHER
+    # tz a DST transition can shrink an epoch-space edge distance by
+    # up to 1h relative to ntz-space gap arithmetic, so the slack
+    # widens to gap+3601s (conservative: slack only ever ADDS islands
+    # to the stitch — correctness never depends on the slack being
+    # tight).  NULL epochs (the NULL-ts island) coalesce to exposed —
+    # the stitch is where they meet the key's real sessions, matching
+    # the single-pass operator.
+    tz = events.sparkSession.conf.get("spark.sql.session.timeZone", "")
+    slack = gsec + (1 if tz in ("UTC", "Etc/UTC", "GMT", "+00:00") else 3601)
     lo = F.col("__bkt") * F.lit(bsec)
     hi = (F.col("__bkt") + 1) * F.lit(bsec)
     s_ep = F.col("__start").cast("timestamp").cast("long")
     e_ep = F.col("__end").cast("timestamp").cast("long")
-    exposed = (F.col("__first") & (s_ep < lo + F.lit(gsec + 1))) | (
-        F.col("__last") & (e_ep + F.lit(gsec + 1) >= hi)
+    exposed = (F.col("__first") & (s_ep < lo + F.lit(slack))) | (
+        F.col("__last") & (e_ep + F.lit(slack) >= hi)
     )
     from ..session import scoped_persist
 

@@ -1071,3 +1071,39 @@ def test_ivf_dial_matches_oracle_nc_cte_for_all_n(oracle):
     for n in boundary:
         want = oracle.execute(sql, [n]).fetchone()[0]
         assert _ivf_dial(n) == want, n
+
+
+def test_q205_interval_decomposition_all_equi_joins(spark):
+    """The hierarchical interval decomposition exists to REPLACE the
+    pair-materializing theta join: every stratum must join on
+    (key, bucket) equality — no cartesian product, no nested loop —
+    and the anchor fan-out must stay bounded (explode over sequences,
+    not a join against the event stream)."""
+    df = QUERIES["q205_interval_agg_decomposed"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the event stream is pre-aggregated per bucket before any join:
+    # partial aggregation must appear below the stratum joins
+    assert "HashAggregate" in plan, plan
+
+
+def test_sessionize_presplit_no_nested_loop_and_island_reuse(spark):
+    """The forced pre-split plan must stay a pure exchange/window/agg
+    pipeline (no joins at all until the final per-anchor assembly) and
+    the island table must be REUSED (cached) by its two consumers —
+    without the persist each branch re-ran the event-level windows
+    (measured 2x on the hot side)."""
+    from alpaca_pyspark_spark.operators.sessionize import (
+        session_summary_skew_safe,
+    )
+    from alpaca_pyspark_spark.session import release_scoped_caches
+    from alpaca_pyspark_spark.tables import load
+
+    e = load(spark, SF_DIR, "events").select("user_id", "ts")
+    df = session_summary_skew_safe(e, key="user_id", ts="ts", gap="30 minutes")
+    plan = formatted_plan(df)
+    release_scoped_caches()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("InMemoryTableScan") >= 2, plan

@@ -153,3 +153,33 @@ def test_hot_key_dispatch(spark, monkeypatch):
     got = sz.session_summary_adaptive(df, key="user_id", ts="ts", gap=GAP)
     want = sz.session_summary(df, key="user_id", ts="ts", gap=GAP)
     assert _summary_rows(got) == _summary_rows(want)
+
+
+def test_presplit_equals_single_pass_non_utc_dst(spark):
+    """The exposure refinement widens its slack to gap+3601s under a
+    non-UTC session tz (DST can shrink epoch-space edge distances by
+    up to 1h vs the ntz-space gap arithmetic islands use).  Pin
+    output parity across the 2024-11-03 US fall-back with events
+    placed at bucket edges around the transition."""
+    rng = random.Random(3)
+    rows = []
+    base = datetime(2024, 11, 2, 22, 0, 0)
+    for k in range(1, 6):
+        t = base
+        for _ in range(60):
+            t = t + timedelta(seconds=rng.randint(60, 3000))
+            rows.append((k, t))
+    # exactly-gap straddles right at the DST hour
+    rows += [(9, datetime(2024, 11, 3, 1, 45)), (9, datetime(2024, 11, 3, 2, 15))]
+    df = _mk(spark, rows).select("user_id", "ts")
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        got = sz.session_summary_skew_safe(
+            df, key="user_id", ts="ts", gap=GAP, bucket=BUCKET
+        ).collect()
+        want = sz.session_summary(df, key="user_id", ts="ts", gap=GAP).collect()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+    key = lambda r: (r["user_id"], r["session_id"], r["session_start"])
+    assert sorted(map(key, got)) == sorted(map(key, want))
