@@ -1211,3 +1211,24 @@ def test_pq_lloyd_iteration_distortion_bound():
     assert trained_sse <= seed_sse + n_subvectors * 8 / 4
     # and the iteration actually helps on this fixture, not just bounds
     assert trained_sse < seed_sse
+
+
+def test_lsh_planes_dial_matches_sql_rule():
+    """q206's oracle derives the plane count in SQL as
+    LEAST(16, GREATEST(3, LENGTH(BIN(n // 32)))) — pin that the
+    Python rule (bit_length) and the DuckDB rule agree for every
+    corpus size class, including the 0/boundary cases, or the dialed
+    oracle would silently compare different bucketings."""
+    import duckdb
+
+    from alpaca_pyspark_spark.operators.similarity import lsh_planes_dial
+
+    con = duckdb.connect()
+    ns = list(range(0, 200)) + [
+        2**k + d for k in range(5, 40) for d in (-1, 0, 1)
+    ] + [31, 32, 33, 63, 64, 65, 10**6, 10**9, 2**62]
+    for n in ns:
+        sql, = con.execute(
+            f"SELECT LEAST(16, GREATEST(3, LENGTH(BIN({n} // 32))))"
+        ).fetchone()
+        assert lsh_planes_dial(n) == sql, n
