@@ -181,10 +181,30 @@ def trailing_interval_agg(
         F.sum("__n").alias("__n_all"), F.sum("__s").alias("__s_all")
     )
     # LEFT semantics: anchors with zero window events keep count 0 and
-    # a NULL sum, exactly like the naive LEFT join + count/sum
+    # a NULL sum, exactly like the naive LEFT join + count/sum.  The
+    # join back is NULL-SAFE per column: a NULL payload column (e.g. a
+    # NULL anchor id) groups fine in the strata aggregate, and a plain
+    # equality join would silently drop its counts to zero.  Contract:
+    # anchor ROWS must be unique — duplicate anchors would each carry
+    # the merged group's total (the naive groupBy emits one row).
+    import functools
+
+    per_anchor = per_anchor.alias("__pa")
+    left = anchors.alias("__an")
+    cond = functools.reduce(
+        lambda x, y: x & y,
+        [
+            F.col(f"__an.{c}").eqNullSafe(F.col(f"__pa.{c}"))
+            for c in anchors.columns
+        ],
+    )
     return (
-        anchors.join(per_anchor, anchors.columns, "left")
-        .withColumn(count_alias, F.coalesce("__n_all", F.lit(0)).cast("long"))
-        .withColumn(sum_alias, F.col("__s_all"))
-        .drop("__n_all", "__s_all")
+        left.join(per_anchor, cond, "left")
+        .select(
+            *[F.col(f"__an.{c}") for c in anchors.columns],
+            F.coalesce(F.col("__pa.__n_all"), F.lit(0))
+            .cast("long")
+            .alias(count_alias),
+            F.col("__pa.__s_all").alias(sum_alias),
+        )
     )

@@ -329,8 +329,15 @@ def hot_keys(events: DataFrame, key: str) -> list:
     counts = scoped_persist(events.groupBy(key).count())
     total = counts.agg(F.sum("count")).first()[0] or 0
     floor = max(HOT_MIN_ROWS, HOT_TASK_FACTOR * total / n)
+    # a NULL key cannot be routed through the isin() split (SQL NULL
+    # never equals anything), so it stays on the single-pass side even
+    # if hot — its rows form one window partition there, same as
+    # before the dispatch existed; real schemas make the session key
+    # non-null, so this is a documented degradation, not a wrong answer
     return [
-        r[key] for r in counts.filter(F.col("count") > floor).collect()
+        r[key]
+        for r in counts.filter(F.col("count") > floor).collect()
+        if r[key] is not None
     ]
 
 

@@ -113,3 +113,21 @@ def test_non_hour_window_rejected(spark):
             s, f, key="user_id", anchor_ts="s_ts", event_ts="f_ts",
             window_seconds=5400, sum_col="__cents",
         )
+
+
+def test_null_payload_column_keeps_counts(spark):
+    """A NULL anchor payload column (e.g. a NULL id) must keep its
+    window counts: the join-back is null-safe per column — a plain
+    equality join would silently zero it while the naive groupBy
+    aggregates it normally."""
+    anchors = [(1, None, datetime(2024, 1, 1, 2, 0, 0))]
+    events = [(1, 2, datetime(2024, 1, 1, 2, 0, 0, 1), 20)]
+    s, f = _frames(spark, anchors, events)
+    dec = trailing_interval_agg(
+        s, f, key="user_id", anchor_ts="s_ts", event_ts="f_ts",
+        window_seconds=DAY, sum_col="__cents",
+    )
+    rows = dec.collect()
+    assert len(rows) == 1
+    assert rows[0]["n_follow"] == 1 and rows[0]["sum_cents"] == 20
+    assert _rows(dec.select("user_id", "signup_id", "n_follow", "sum_cents")) == _rows(_naive(s, f, DAY))
