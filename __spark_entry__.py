@@ -37,46 +37,54 @@ def entry(spark: SparkSession) -> DataFrame:
 #: loaded the core module and left later families driver-unchecked.
 #: The full registry is unchanged; only the ordering is curated.
 _SHOWCASE_ORDER = [
-    # ROUND 10: staged rotation per ROTATION.md:27-46 — 5 sentinels +
-    # 45 never-driver-graded families.  One swap vs the staged list:
-    # q197_corpus_build (driver-r9 green, stays oracle-paired in the
-    # registry + local gate) yields its sentinel slot to
-    # q200_ivf_index_maintenance, round 9's single red row (driver
-    # hash mismatch on its DECIMAL(38,0) output columns, now emitted
-    # as BIGINT on both sides) — VERDICT r9 item 1 requires q200 back
-    # in the graded prefix, and the swap preserves the staged 45
-    # first-time families so the never-graded debt still drops to 20.
-    # Sentinels: multi-round-green continuity + the connector flagship
-    # + the red-row regrade.
-    "q01_scan_filter_project", "q02_bars_tumbling", "q06_asof_join",
-    "q200_ivf_index_maintenance",     # r9 red row, fixed — regrade
-    "q203_connector_roundtrip",       # flagship (r9)
-    # 45 never-graded families, in ROTATION.md's staged order:
-    # text/curation audits
-    "q183_repetition_filter", "q184_stopword_filter",
-    "q185_temperature_mixture", "q166_ngram_novelty",
-    "q168_privacy_audit", "q171_matryoshka_audit",
-    "q174_template_prefixes", "q175_lang_label_audit",
-    "q172_kwic_index",
-    # embedding/vector breadth
-    "q42_embedding_ops", "q124_random_projection",
-    "q133_token_rarity_profile", "q141_cross_source_overlap",
-    "q158_source_language_gini", "q162_cross_validation_folds",
-    # analytics/mining
-    "q49_listagg", "q51_drawdown", "q53_document_chunking",
-    "q56_token_vocab", "q57_stratified_sample", "q59_conditional_agg",
-    "q62_repetition_stats", "q63_corpus_mixture",
-    "q64_shipping_priority", "q65_exists_subquery",
-    "q138_pareto_frontier", "q151_rfm_segments",
-    "q152_conversion_delay", "q142_last_touch_attribution",
-    "q143_seasonal_naive_error", "q66_order_count_distribution",
-    "q67_interval_coalesce", "q69_snapshot_diff",
-    "q70_small_quantity_revenue", "q71_argmax_event",
-    "q72_value_histogram", "q73_weighted_sample",
-    "q75_hopping_window", "q108_schema_evolution_union",
-    "q109_trailing_active_users", "q117_sequence_gaps",
-    "q119_grouped_mode", "q147_clustering_coefficient",
-    "q80_brand_skyline", "q81_grouped_regression",
+    # ROUND 11: staged rotation per ROTATION.md — the final
+    # debt-draining prefix.  24 never-driver-graded families (the 20
+    # staged at ROTATION.md:63-73 + the four round-10 additions
+    # q204/q205/q206/q92_lsh) clear the never-graded count to ZERO,
+    # and the 26 sentinel slots seed the round-12+ re-validation
+    # cadence with the highest-risk families: every EXECUTED streaming
+    # query, every approximation dial, the live connector loop, and
+    # the two sessionize consumers (q14/q107) whose adaptive skew
+    # dispatch landed in round 10 AFTER their last driver grade —
+    # plus q03, whose interval-agg path gains the same adaptive
+    # dispatch this round (VERDICT r10 item 5).
+    #
+    # Sentinels — core semantics on freshly-changed code paths:
+    "q01_scan_filter_project", "q02_bars_tumbling",
+    "q03_interval_join_agg",          # adaptive dispatch lands r11
+    "q06_asof_join",
+    "q14_stream_session",             # adaptive sessionizer (r10 change)
+    "q107_session_paths",             # adaptive sessionizer (r10 change)
+    "q203_connector_roundtrip",       # live connector flagship
+    # Sentinels — executed micro-batch streaming (highest-risk class):
+    "q130_streaming_sessions_executed", "q131_streaming_dedup_executed",
+    "q145_streaming_outer_join_executed",
+    "q146_streaming_hourly_windows_executed",
+    "q181_streaming_bars_executed", "q149_stream_static_enrich_executed",
+    "q153_stateful_sessions_executed", "q190_streaming_quality_filter",
+    "q191_streaming_curation", "q193_streaming_ingest_neardup",
+    "q196_streaming_vector_search", "q199_streaming_budget_admission",
+    "q197_corpus_build",
+    # Sentinels — approximation dials + incremental maintenance:
+    "q198_pq_adc_topk", "q200_ivf_index_maintenance", "q201_ivfpq_search",
+    "q202_streaming_pq_search", "q202_dialed_pq_search",
+    "q169_incremental_dedup",
+    # 24 first-timers — round-10 flagships first (q204 is the
+    # cosine bit-parity tripwire for ~30 vector oracles; its first
+    # driver grade is the round's most informative single row):
+    "q204_cosine_parity_canary", "q205_interval_agg_decomposed",
+    "q206_cluster_reps_lsh_dialed", "q92_cluster_reps_lsh",
+    # ...then ROTATION.md's staged 20:
+    "q83_revenue_share_threshold", "q104_merkle_block_diff",
+    "q167_rendezvous_rebalance", "q127_referential_integrity",
+    "q85_large_volume_orders", "q88_idle_rich_customers",
+    "q178_corpus_tokenize", "q137_collocation_lift",
+    "q157_frequent_tokens_sketch",    # rows-only by design (sketch)
+    "q93_bpe_merge_pairs", "q94_returned_revenue_customers",
+    "q95_late_shipment_priority", "q96_promo_revenue_share",
+    "q97_top_supplier", "q98_nation_pair_flows", "q99_profit_by_nation",
+    "q101_local_supplier_revenue", "q111_priority_late_orders",
+    "q112_discount_band_revenue", "q113_supplier_diversity",
 ]
 
 
