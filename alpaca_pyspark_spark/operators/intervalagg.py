@@ -1,14 +1,31 @@
-"""Hierarchical interval-aggregation decomposition — the skew-safe
-form of the per-anchor time-window aggregate (q03's shape: for each
-anchor row, COUNT/SUM over the same key's events inside a fixed
-trailing/leading interval).
+"""Hierarchical interval-aggregation decomposition — the LINEAR
+INSURANCE form of the per-anchor time-window aggregate (q03's shape:
+for each anchor row, COUNT/SUM over the same key's events inside a
+fixed trailing/leading interval).
 
-The naive plan is an equality + interval theta join that MATERIALIZES
-every (anchor, event) pair before aggregating.  On a hot key that is
-O(anchors_hot × events_hot_per_window) — the one shape the round-9
-skew study had to EXCLUDE from measurement because a 30%-hot key
-yields ~1.5B pairs at sf1 (SCALE.md:519-528): not a straggler you
-wait out, an intermediate you cannot afford at any parallelism.
+Cost model, MEASURED at round 11 (fresh JVMs, both code versions —
+correcting round 10's framing and its non-reproducing q205 sf10
+timings, see SCALE.md round-11 section):
+
+* The naive equality + interval theta join does NOT materialize a
+  pair shuffle — it shuffles O(|events|) rows and streams the pair
+  comparisons inside each SMJ group through whole-stage codegen at
+  ~6e10 pairs per second of wall on local[32] (skew10's 30%-hot key,
+  6e10 pairs: 0.9 s warm).  Its cost is quadratic in per-key density
+  but with a ~2e-11 s/pair constant.
+* The decomposition replaces pairs with a ~141-280-row fan-out PER
+  ANCHOR joined against per-(key, hour/minute) pre-aggregates — cost
+  linear in anchors, but the fan-out is a real SHUFFLE: sf10's 2M
+  anchors → 286M fan-out rows → 17-30 s (it crosses the local[32]
+  spill cliff; sf1's 28M rows take 0.5 s).
+
+Equating the models puts the crossover near 1e12 pairs on a single
+key — a key holding a substantial share of a multi-TB day.  Below it
+the naive join wins by ~20x; beyond it the naive term keeps growing
+quadratically while the decomposition stays linear.  That is what
+this operator is FOR: `trailing_interval_agg_adaptive` keeps every
+realistic key on the naive join and routes only estimated-pair
+pathologies here (PAIR_FLOOR).
 
 The decomposition is the classic segment-tree/odometer argument: a
 fixed-length window (s, s + L] tiles EXACTLY into
@@ -29,11 +46,6 @@ so a COUNT/SUM decomposes into three strata, each an EQUI join:
 Every stratum sums exact integers (counts and cent-sums), so the
 result is bit-identical to the naive pair join at any execution order
 — the oracle SQL is UNCHANGED.
-
-Cost per anchor: ~280 joined rows + |events in 2 boundary minutes|,
-versus |events in the window| for the naive join.  At a 30%-hot sf10
-key that is ~280 + ~140 vs ~72,000 — the difference between an
-un-runnable 3.6e10-pair shuffle and a ~1e8-row hash join.
 """
 
 from __future__ import annotations
@@ -45,9 +57,19 @@ HOUR = 3600
 MINUTE = 60
 
 
+#: Session-tz spellings under which the ntz→timestamp→long epoch map
+#: is linear (no DST discontinuities).  The tiling below RELIES on
+#: linearity for correctness — not just performance — so any other tz
+#: is rejected loudly rather than silently miscounting the strata
+#: (ADVICE r10: unlike sessionize's exposure slack, which only gates a
+#: performance refinement, a shifted hour/minute stratum here would
+#: change the answer).
+_LINEAR_TZS = ("UTC", "Etc/UTC", "GMT", "+00:00", "Z")
+
+
 def _epoch(col: Column) -> Column:
     """Exact epoch seconds (truncated) of a timestamp[_ntz] column —
-    session tz is pinned UTC (session.py), so this is a linear map."""
+    valid ONLY under a linear session tz (checked by the caller)."""
     return col.cast("timestamp").cast("long")
 
 
@@ -76,6 +98,15 @@ def trailing_interval_agg(
     """
     if window_seconds % HOUR != 0:
         raise ValueError("window_seconds must be a whole number of hours")
+    tz = anchors.sparkSession.conf.get("spark.sql.session.timeZone", "")
+    if tz not in _LINEAR_TZS:
+        raise ValueError(
+            f"trailing_interval_agg requires a UTC session timeZone "
+            f"(got {tz!r}): the hour/minute bucket tiling assumes the "
+            "ntz→epoch map is linear, and a DST transition would shift "
+            "the strata by the offset change (the engine pins UTC in "
+            "session.py; set spark.sql.session.timeZone=UTC)"
+        )
     n_hours = window_seconds // HOUR
 
     ev = events.select(
@@ -207,4 +238,184 @@ def trailing_interval_agg(
             .alias(count_alias),
             F.col("__pa.__s_all").alias(sum_alias),
         )
+    )
+
+
+def naive_interval_agg(
+    anchors: DataFrame,
+    events: DataFrame,
+    *,
+    key: str,
+    anchor_ts: str = "s_ts",
+    event_ts: str = "f_ts",
+    window_seconds: int = 86400,
+    sum_col: str = "__cents",
+    count_alias: str = "n_follow",
+    sum_alias: str = "sum_cents",
+) -> DataFrame:
+    """The equality + interval pair join with the SAME output contract
+    as :func:`trailing_interval_agg` — one row per anchor, exact
+    integer count/sum, NULL sum on an empty window.  Strictly cheaper
+    than the decomposition when no key can straggle (no ~280-row
+    anchor fan-out, one join instead of three strata), which is
+    exactly when the adaptive dispatch picks it."""
+    a = anchors.alias("__an")
+    e = events.alias("__ev")
+    j = a.join(
+        e,
+        (F.col(f"__an.{key}") == F.col(f"__ev.{key}"))
+        & (F.col(f"__ev.{event_ts}") > F.col(f"__an.{anchor_ts}"))
+        & (
+            F.col(f"__ev.{event_ts}")
+            <= F.col(f"__an.{anchor_ts}")
+            + F.expr(f"INTERVAL {window_seconds} SECONDS")
+        ),
+        "left",
+    )
+    return j.groupBy(*[F.col(f"__an.{c}") for c in anchors.columns]).agg(
+        F.count(F.col(f"__ev.{event_ts}")).alias(count_alias),
+        F.sum(F.col(f"__ev.{sum_col}")).alias(sum_alias),
+    )
+
+
+#: Pair-work dispatch floor: a key routes to the decomposition only
+#: when its estimated window-pair count exceeds this.  MEASURED
+#: break-even (skew10 replica, local[32], fresh JVMs, 3 reps each —
+#: round 11): the naive join streams pairs through whole-stage codegen
+#: at ~6e10 pairs/s-of-wall (0.9 s warm for skew10's 6e10-pair hot
+#: key), while the decomposition's ~141-row/anchor fan-out costs a
+#: SHUFFLE — ~17-30 s for sf10's 286M fan-out rows (it spills past
+#: memory, where the sf1 run's 28M rows take 0.5 s).  Equating the two
+#: cost models puts the crossover near 1e12 pairs per key; beyond it
+#: the naive term grows quadratically with key density while the
+#: decomposition stays linear.  NOTE this DEBUNKS round 10's framing
+#: (and its non-reproducing q205 sf10 timing): the naive pair join is
+#: the right plan for every realistic key, and the decomposition is
+#: INSURANCE against the 1e12-pair pathology (a key holding ~30% of a
+#: multi-TB day), not a default.
+PAIR_FLOOR = 1_000_000_000_000
+
+
+def _pair_hot_keys(
+    anchors: DataFrame,
+    events: DataFrame,
+    key: str,
+    window_seconds: int,
+) -> list:
+    """Keys whose estimated naive pair count exceeds ``PAIR_FLOOR``.
+
+    pairs_k ≈ anchors_k × events_k × (window / span_k): events are
+    ~uniform inside a key's active span, so each anchor's window sees
+    ~events_k·window/span_k rows.  Three bounded probes (per-key
+    counts on each side + per-key span), all partial-aggregated —
+    |keys| exchange rows, like sessionize.hot_keys.  The estimate only
+    steers a choice between two bit-identical plans, so a miss costs
+    wall time, never correctness.  The result list is bounded: a key
+    needs > √PAIR_FLOOR ≈ 1M events (or anchors) to qualify, so at
+    most total/1M keys can appear.
+
+    Short-circuit: even if EVERY row sat on one key, pairs cannot
+    exceed |anchors| x |events| - when that product is under the
+    floor the probe is skipped entirely (two column-pruned counts),
+    so small inputs pay ~nothing for the insurance."""
+    from ..session import scoped_persist
+
+    if anchors.count() * events.count() <= PAIR_FLOOR:
+        return []
+    a_cnt = anchors.groupBy(key).agg(F.count(F.lit(1)).alias("__na"))
+    e_stat = events.groupBy(key).agg(
+        F.count(F.lit(1)).alias("__ne"),
+        (
+            _epoch(F.max(F.col("__pets"))) - _epoch(F.min(F.col("__pets")))
+        ).alias("__span"),
+    )
+    est = scoped_persist(
+        a_cnt.join(e_stat, key).select(
+            F.col(key),
+            (
+                F.col("__na")
+                * F.col("__ne")
+                * F.least(
+                    F.lit(1.0),
+                    F.lit(float(window_seconds))
+                    / F.greatest(F.col("__span").cast("double"), F.lit(1.0)),
+                )
+            ).alias("__pairs"),
+        )
+    )
+    return [
+        r[key]
+        for r in est.filter(F.col("__pairs") > PAIR_FLOOR).collect()
+        if r[key] is not None
+    ]
+
+
+def trailing_interval_agg_adaptive(
+    anchors: DataFrame,
+    events: DataFrame,
+    *,
+    key: str,
+    anchor_ts: str = "s_ts",
+    event_ts: str = "f_ts",
+    window_seconds: int = 86400,
+    sum_col: str = "__cents",
+    count_alias: str = "n_follow",
+    sum_alias: str = "sum_cents",
+) -> DataFrame:
+    """PER-KEY adaptive interval aggregation (VERDICT r10 item 5),
+    dispatched on estimated PAIR WORK, not row count: a key routes to
+    the hierarchical decomposition only when its naive pair count
+    would exceed ``PAIR_FLOOR`` (~1e12 — the measured break-even,
+    see the constant's docstring); every other key keeps the naive
+    equi+range pair join, which whole-stage codegen streams ~20x
+    cheaper than the decomposition's fan-out shuffle at every scale
+    we can measure (skew10's 6e10-pair hot key: naive 0.9 s vs
+    decomposition 15 s).  Round 10's suggestion to mirror sessionize's
+    ROW-count dispatch was measured and rejected: a 3M-row hot key is
+    still firmly naive territory.
+
+    Keys are disjoint across branches and both plans are bit-identical
+    per key (tests/test_intervalagg.py pins decomposed == naive on
+    edges and random data), so the dispatch is invisible to
+    correctness — q03's oracle SQL is unchanged.  NULL keys stay on
+    the naive side (``isin`` cannot route them; an equality join on a
+    NULL key matches nothing, which is the correct empty window
+    either way)."""
+    from .sessionize import _split_by_keys
+
+    kw = dict(
+        key=key,
+        anchor_ts=anchor_ts,
+        event_ts=event_ts,
+        window_seconds=window_seconds,
+        sum_col=sum_col,
+        count_alias=count_alias,
+        sum_alias=sum_alias,
+    )
+    # validate the decomposition's preconditions UP FRONT even though
+    # only the hot branch needs them: whether a hot key exists is a
+    # property of tonight's data, and a contract violation must fail
+    # at plan time every time, not the first time a key runs hot
+    if window_seconds % HOUR != 0:
+        raise ValueError("window_seconds must be a whole number of hours")
+    tz = anchors.sparkSession.conf.get("spark.sql.session.timeZone", "")
+    if tz not in _LINEAR_TZS:
+        raise ValueError(
+            f"trailing_interval_agg_adaptive requires a UTC session "
+            f"timeZone (got {tz!r}): the hot-key branch's bucket tiling "
+            "needs a linear ntz→epoch map (set "
+            "spark.sql.session.timeZone=UTC)"
+        )
+    hk = _pair_hot_keys(
+        anchors.select(key),
+        events.select(key, F.col(event_ts).alias("__pets")),
+        key,
+        window_seconds,
+    )
+    if not hk:
+        return naive_interval_agg(anchors, events, **kw)
+    hot_a, cold_a = _split_by_keys(anchors, key, hk)
+    hot_e, cold_e = _split_by_keys(events, key, hk)
+    return naive_interval_agg(cold_a, cold_e, **kw).unionByName(
+        trailing_interval_agg(hot_a, hot_e, **kw)
     )

@@ -203,13 +203,15 @@ def _local_islands(
     # slack covers the second-floor of the epoch cast; under any OTHER
     # tz a DST transition can shrink an epoch-space edge distance by
     # up to 1h relative to ntz-space gap arithmetic, so the slack
-    # widens to gap+3601s (conservative: slack only ever ADDS islands
-    # to the stitch — correctness never depends on the slack being
-    # tight).  NULL epochs (the NULL-ts island) coalesce to exposed —
-    # the stitch is where they meet the key's real sessions, matching
-    # the single-pass operator.
+    # widens to gap+2h+1s — DST jumps are not bounded by 1h (e.g.
+    # Antarctica/Troll shifts 2h; ADVICE r10), and no zone in tzdata
+    # exceeds a 2h seasonal transition (conservative: slack only ever
+    # ADDS islands to the stitch — correctness never depends on the
+    # slack being tight).  NULL epochs (the NULL-ts island) coalesce
+    # to exposed — the stitch is where they meet the key's real
+    # sessions, matching the single-pass operator.
     tz = events.sparkSession.conf.get("spark.sql.session.timeZone", "")
-    slack = gsec + (1 if tz in ("UTC", "Etc/UTC", "GMT", "+00:00") else 3601)
+    slack = gsec + (1 if tz in ("UTC", "Etc/UTC", "GMT", "+00:00") else 7201)
     lo = F.col("__bkt") * F.lit(bsec)
     hi = (F.col("__bkt") + 1) * F.lit(bsec)
     s_ep = F.col("__start").cast("timestamp").cast("long")
@@ -231,13 +233,14 @@ def _local_islands(
 
 def _stitch(
     islands: DataFrame, *, key: str, gap: str, merge_aggs: list
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame]:
     """Level 2: merge boundary islands across buckets.
 
     ``merge_aggs`` are the aggregate columns that combine a chain of
     islands into one session (must include ``__start``/``__end``);
-    interior islands pass through untouched.  Output: one row per
-    FINAL session with the merge-agg columns.
+    interior islands pass through untouched.  Returns ``(stitched,
+    interior)``: one row per FINAL cross-bucket session with the
+    merge-agg columns, plus the untouched interior-island rows.
     """
     boundary = islands.filter(F.col("__exposed"))
     interior = islands.filter(~F.col("__exposed"))
@@ -255,7 +258,7 @@ def _stitch(
     # interior islands are already final sessions — emit them under the
     # same column names the merge-aggs produce (start/end/n/head map
     # 1:1 when the chain has a single island)
-    return stitched.select(*final_cols), interior, final_cols
+    return stitched.select(*final_cols), interior
 
 
 def session_summary_skew_safe(
@@ -270,7 +273,7 @@ def session_summary_skew_safe(
     that survives hot-key skew: per-session ``key, session_id,
     session_start, session_end, n_events``."""
     islands = _local_islands(events, key=key, ts=ts, gap=gap, bucket=bucket)
-    stitched, interior, _ = _stitch(
+    stitched, interior = _stitch(
         islands,
         key=key,
         gap=gap,
@@ -306,8 +309,33 @@ def session_summary_skew_safe(
 #: measured 2.75-3.82x sf10 straggler); below it the single-pass plan
 #: is strictly cheaper than the pre-split's island bookkeeping
 #: (measured ~4x on sparse-uniform sf10, where islands ≈ events).
-HOT_MIN_ROWS = 250_000
+#:
+#: The ABSOLUTE floor is the break-even between the straggler's extra
+#: wall (≈ per-row window cost × hot rows, ~1-2 µs/row) and the
+#: pre-split's overhead (probe + second scan + island bookkeeping,
+#: ~1-1.5 s fixed at these scales).  Measured both sides (VERDICT r10
+#: item 3, skew1 vs skew10 replicas): a 300k-row hot key is CHEAPER
+#: single-pass (q107 1.75x adaptive vs 0.91x single-pass; q14 1.62x
+#: vs 1.09x — the old 250k floor mis-dispatched it), while the 3M-row
+#: hot key is where the pre-split wins (3.82x single-pass vs 1.34x).
+#: Linear interpolation of those measurements puts the crossover near
+#: 1M rows.  At cluster scale the RELATIVE term takes over anyway:
+#: with 50M-row average tasks the floor is 2x that, and a key only
+#: 2x the average task barely straggles.
+HOT_MIN_ROWS = 1_000_000
 HOT_TASK_FACTOR = 2.0
+
+
+def _shuffle_partitions(spark) -> int:
+    """``spark.sql.shuffle.partitions`` as an int — on platforms where
+    the conf reads back as the literal ``'auto'`` (managed AQE
+    variants; ADVICE r10) fall back to the cluster's default
+    parallelism, which is the same quantity the dispatch floor is
+    modeling."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism or 32
 
 
 def hot_keys(events: DataFrame, key: str) -> list:
@@ -321,9 +349,7 @@ def hot_keys(events: DataFrame, key: str) -> list:
     a fraction of either sessionization plan's first pass."""
     from ..session import scoped_persist
 
-    n = int(
-        events.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-    )
+    n = _shuffle_partitions(events.sparkSession)
     # persist the |keys|-sized count table so the two probe reads (the
     # total, then the over-floor keys) scan the raw events only once
     counts = scoped_persist(events.groupBy(key).count())
@@ -472,7 +498,7 @@ def session_openings_skew_safe(
         head_cols=head_cols,
         head_k=head_k,
     )
-    stitched, interior, _ = _stitch(
+    stitched, interior = _stitch(
         islands,
         key=key,
         gap=gap,

@@ -107,25 +107,48 @@ GROUP BY 1, 2
 def q03_interval_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical delegated query (USAGE.md:264-277): equality +
     time-containment join, COUNT/AVG aggregation.  For each signup
-    event, follow-on activity of the same user within 1 day."""
+    event, follow-on activity of the same user within 1 day.
+
+    Since round 11 this runs the PER-KEY skew-adaptive dispatch
+    (VERDICT r10 item 5, mirroring q14/q107's sessionize move): the
+    naive pair join when no key can straggle — strictly cheaper, one
+    equi+range join — and the q205 hierarchical decomposition for hot
+    keys only, where the pair join's O(anchors × window-events)
+    comparisons become a quadratic CPU term (~6e10 on skew10's
+    30%-hot key).  Both branches are bit-identical per key, so the
+    oracle SQL is UNCHANGED."""
+    from ..operators.intervalagg import trailing_interval_agg_adaptive
+
     tune(spark)
     e = load(spark, sf_dir, "events")
     s = e.filter(F.col("event_type") == "signup").select(
         F.col("user_id"), F.col("event_id").alias("signup_id"), F.col("ts").alias("s_ts")
     )
-    f = e.select("user_id", F.col("event_id").alias("f_id"), F.col("ts").alias("f_ts"), "value")
-    joined = s.join(
-        f,
-        (s.user_id == f.user_id)
-        & (F.col("f_ts") > F.col("s_ts"))
-        & (F.col("f_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 DAY")),
-        "left",
+    f = e.select(
+        "user_id",
+        F.col("ts").alias("f_ts"),
+        F.round(F.col("value") * 100).cast("bigint").alias("__cents"),
     )
-    cents = F.round(F.col("value") * 100).cast("bigint")
-    return joined.groupBy(s.user_id, "signup_id").agg(
-        F.count("f_id").alias("n_follow"),
-        # exact-cents mean (see q02): order-independent, oracle-exact
-        (F.sum(cents) / (F.lit(100.0) * F.count("f_id"))).alias("avg_value"),
+    agg = trailing_interval_agg_adaptive(
+        s,
+        f,
+        key="user_id",
+        anchor_ts="s_ts",
+        event_ts="f_ts",
+        window_seconds=86400,
+        sum_col="__cents",
+    )
+    return agg.select(
+        "user_id",
+        "signup_id",
+        "n_follow",
+        # the identical IEEE expression as before: exact integer cents
+        # summed, ONE final division (see q02) — order-independent,
+        # oracle-exact on both dispatch branches
+        (
+            F.col("sum_cents").cast("double")
+            / (F.lit(100.0) * F.col("n_follow"))
+        ).alias("avg_value"),
     )
 
 
@@ -148,23 +171,24 @@ GROUP BY 1, 2
 def q205_interval_agg_decomposed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q03's equality + time-containment aggregate on the
     HIERARCHICAL INTERVAL DECOMPOSITION (``operators/intervalagg.py``)
-    — same oracle SQL, radically different intermediate: the naive
-    pair join evaluates O(|window events|) comparisons per anchor,
-    ~6e10 on skew10's 30%-hot key (0.6e9 measured at skew1).
-    Building this taught an honest lesson the docstring keeps: AQE's
-    skew-split + whole-stage codegen make even 6e10 pair comparisons
-    RUNNABLE (~1.4s warm at skew10, SKEW_STRESS.json) — the naive
-    join is not a straggler, it is a quadratic CPU term.  The
-    decomposition removes that term: follow-ups pre-aggregate once
-    per (user, hour) and (user, minute) — combinable, skew-immune —
-    and each anchor's 1-day window tiles into ~23 full hours +
-    <=118 boundary minutes + exact events in its two edge minutes:
-    ~280 equi-joined rows per anchor, CONSTANT in key heat, so cost
-    stays linear as key density grows another 100x toward 100 TB
-    where the quadratic term dominates wall and spill.  Counts and
-    cent-sums are exact integers in every stratum, so the output is
-    bit-identical to the pair join and the oracle is UNCHANGED
-    (q03's SQL verbatim)."""
+    — same oracle SQL, radically different intermediate; registered
+    as the PINNED INSURANCE twin, not a faster default.
+
+    Round-11 correction of this family's round-10 story (measured,
+    fresh JVMs, both code versions; SCALE.md round-11 section): the
+    naive pair join is not just runnable, it is ~20x CHEAPER than
+    this decomposition at every scale we can measure — skew10's
+    6e10-pair hot key streams through SMJ-group codegen in 0.9 s,
+    while the decomposition's per-anchor fan-out (~141 rows/anchor,
+    286M rows at sf10) is a real shuffle that costs 17-30 s and
+    crosses the local[32] spill cliff (round 10's 0.98 s sf10 row
+    did not reproduce).  The decomposition's value is its SHAPE:
+    cost linear in anchors where the naive term grows quadratically
+    with key density — the measured crossover is ~1e12 pairs on one
+    key, and q03's adaptive dispatch (``PAIR_FLOOR``) routes exactly
+    those pathologies here.  Counts and cent-sums are exact integers
+    in every stratum, so the output is bit-identical to the pair
+    join and the oracle is UNCHANGED (q03's SQL verbatim)."""
     from ..operators.intervalagg import trailing_interval_agg
 
     tune(spark)

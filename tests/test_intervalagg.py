@@ -115,6 +115,92 @@ def test_non_hour_window_rejected(spark):
         )
 
 
+def test_adaptive_dispatch_matches_naive_both_regimes(spark, monkeypatch):
+    """The per-key dispatch (VERDICT r10 item 5) must be invisible to
+    correctness: with no hot key it IS the naive join; with a forced
+    hot key the union of naive(cold) + decomposed(hot) matches the
+    all-naive answer row for row."""
+    from alpaca_pyspark_spark.operators import intervalagg as ia
+
+    rng = random.Random(7)
+    anchors, events, eid = [], [], 0
+    for k in range(1, 5):
+        for a in range(3):
+            anchors.append(
+                (k, k * 1000 + a, T0 + timedelta(seconds=rng.randint(0, DAY)))
+            )
+        n = 300 if k == 1 else 20  # key 1 is the forced-hot key
+        for _ in range(n):
+            eid += 1
+            events.append(
+                (k, eid, T0 + timedelta(seconds=rng.randint(0, 2 * DAY)),
+                 rng.randint(-500, 500))
+            )
+    s, f = _frames(spark, anchors, events)
+    fe = f.select("user_id", F.col("f_ts").alias("__pets"))
+    want = _rows(_naive(s, f, DAY))
+    kw = dict(key="user_id", anchor_ts="s_ts", event_ts="f_ts",
+              window_seconds=DAY, sum_col="__cents")
+
+    # real floor: no key comes near 1e12 estimated pairs
+    assert ia._pair_hot_keys(s.select("user_id"), fe, "user_id", DAY) == []
+    cold = ia.trailing_interval_agg_adaptive(s, f, **kw).select(
+        "user_id", "signup_id", "n_follow", "sum_cents"
+    )
+    assert _rows(cold) == want
+
+    # key 1: 3 anchors x 300 events x (1d window / 2d span) ~ 450 pairs
+    monkeypatch.setattr(ia, "PAIR_FLOOR", 200)
+    assert ia._pair_hot_keys(s.select("user_id"), fe, "user_id", DAY) == [1]
+    hot = ia.trailing_interval_agg_adaptive(s, f, **kw).select(
+        "user_id", "signup_id", "n_follow", "sum_cents"
+    )
+    assert _rows(hot) == want
+
+
+def test_adaptive_rejects_bad_contract_upfront(spark):
+    """Precondition violations must fail at plan time every time, not
+    the first night a key runs hot: non-hour windows and non-UTC
+    session tz raise even when no key is hot."""
+    from alpaca_pyspark_spark.operators.intervalagg import (
+        trailing_interval_agg_adaptive,
+    )
+
+    s, f = _frames(spark, EDGE_ANCHORS[:1], EDGE_EVENTS[:1])
+    with pytest.raises(ValueError, match="whole number of hours"):
+        trailing_interval_agg_adaptive(
+            s, f, key="user_id", anchor_ts="s_ts", event_ts="f_ts",
+            window_seconds=5400, sum_col="__cents",
+        )
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        with pytest.raises(ValueError, match="UTC session"):
+            trailing_interval_agg_adaptive(
+                s, f, key="user_id", anchor_ts="s_ts", event_ts="f_ts",
+                window_seconds=DAY, sum_col="__cents",
+            )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_non_utc_session_tz_rejected(spark):
+    """The bucket tiling needs a linear ntz→epoch map; a DST-bearing
+    session tz would shift the hour/minute strata by the offset change
+    (ADVICE r10) — correctness, not performance, so it must raise."""
+    s, f = _frames(spark, EDGE_ANCHORS[:1], EDGE_EVENTS[:1])
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        with pytest.raises(ValueError, match="UTC session timeZone"):
+            trailing_interval_agg(
+                s, f, key="user_id", anchor_ts="s_ts", event_ts="f_ts",
+                window_seconds=DAY, sum_col="__cents",
+            )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+
+
 def test_null_payload_column_keeps_counts(spark):
     """A NULL anchor payload column (e.g. a NULL id) must keep its
     window counts: the join-back is null-safe per column — a plain

@@ -163,6 +163,49 @@ def test_interval_joins_keep_equality_hash_path(spark):
         assert "HashJoin" in plan or "SortMergeJoin" in plan, (qid, plan)
 
 
+def test_q03_adaptive_cold_path_is_pure_pair_join(spark):
+    """At sf0.01 no key crosses the dispatch floor, so q03's adaptive
+    plan must be EXACTLY the naive equi+range pair join — no Generate
+    (the decomposition's sequence/explode fan-out), no union of
+    branches, and no nested-loop fallback (VERDICT r10 item 5 pins
+    the cold-path shape)."""
+    df = QUERIES["q03_interval_join_agg"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "NestedLoop" not in plan, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+    assert "Generate" not in plan, plan  # no explode: naive branch only
+    assert "Union" not in plan, plan
+
+
+def test_interval_adaptive_hot_dispatch_splits_plan(spark, monkeypatch):
+    """With a forced-hot key the dispatched plan must carry BOTH
+    branches: the decomposition's Generate fan-out for the hot keys
+    and a Union with the cold pair join — still no nested loop."""
+    from alpaca_pyspark_spark.operators import intervalagg as ia
+    from alpaca_pyspark_spark.tables import load
+
+    monkeypatch.setattr(ia, "PAIR_FLOOR", 10)
+    e = load(spark, SF_DIR, "events")
+    s = e.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("event_id").alias("signup_id"),
+        F.col("ts").alias("s_ts"),
+    )
+    f = e.select(
+        "user_id",
+        F.col("ts").alias("f_ts"),
+        F.round(F.col("value") * 100).cast("bigint").alias("__cents"),
+    )
+    df = ia.trailing_interval_agg_adaptive(
+        s, f, key="user_id", anchor_ts="s_ts", event_ts="f_ts",
+        window_seconds=86400, sum_col="__cents",
+    )
+    plan = formatted_plan(df)
+    assert "Union" in plan, plan
+    assert "Generate" in plan, plan
+    assert "NestedLoop" not in plan, plan
+
+
 def test_q52_twap_single_shuffle(spark):
     df = QUERIES["q52_twap"](spark, SF_DIR)
     # the lead() window and the (user, day) agg share one exchange

@@ -155,6 +155,29 @@ def test_hot_key_dispatch(spark, monkeypatch):
     assert _summary_rows(got) == _summary_rows(want)
 
 
+def test_shuffle_partitions_tolerates_auto(spark):
+    """Platforms where spark.sql.shuffle.partitions reads back as the
+    literal 'auto' must not crash the dispatch probe at plan time
+    (ADVICE r10) — the parse falls back to default parallelism.  The
+    local session's validated setter refuses non-int values, so the
+    fallback is pinned through a stub conf."""
+
+    class _AutoConf:
+        def get(self, k, d=None):
+            return "auto"
+
+    class _Stub:
+        conf = _AutoConf()
+        sparkContext = spark.sparkContext
+
+    assert sz._shuffle_partitions(_Stub()) == (
+        spark.sparkContext.defaultParallelism or 32
+    )
+    assert sz._shuffle_partitions(spark) == int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+
+
 def test_presplit_equals_single_pass_non_utc_dst(spark):
     """The exposure refinement widens its slack to gap+3601s under a
     non-UTC session tz (DST can shrink epoch-space edge distances by

@@ -128,7 +128,15 @@ def main() -> None:
         help="per-chain-level tag baked into document nonces (e.g. 'B' "
              "for the sf1->sf10 pass) so chained replicas never collide",
     )
+    ap.add_argument(
+        "--tables", default="",
+        help="comma-separated subset of scaled tables to build (default "
+             "all) — second-decade replicas only need the tables their "
+             "measured families read (e.g. events,documents,embeddings), "
+             "and sf100 lineitem alone would be ~11 GB",
+    )
     args = ap.parse_args()
+    only = {t for t in args.tables.split(",") if t}
     spark = get_spark("make-sf1")
     spark.sparkContext.setLogLevel("ERROR")
     for name in STATIC:
@@ -138,6 +146,9 @@ def main() -> None:
         print(f"{name}: copied static")
     spans = domain_spans(spark, args.src)
     for name in SCALED:
+        if only and name not in only:
+            print(f"{name}: skipped (--tables)")
+            continue
         n = scale_table(
             spark, name, args.src, args.dest, spans, args.replicas,
             args.nonce_tag,

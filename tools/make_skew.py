@@ -41,7 +41,14 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--dest", default="/root/repo/.scratch/skew0.1")
+    ap.add_argument(
+        "--tables", default="",
+        help="comma-separated subset to copy (default all) — the "
+             "sessionize skew families only read events, and a skew100 "
+             "copy of every table would be ~16 GB of dead weight",
+    )
     args = ap.parse_args()
+    only = {t for t in args.tables.split(",") if t}
     spark = get_spark("make-skew")
     spark.sparkContext.setLogLevel("ERROR")
     hot = (
@@ -52,6 +59,9 @@ def main() -> None:
         .first()["user_id"]
     )
     for t in TABLE_NAMES:
+        if only and t not in only:
+            print(t, "skipped (--tables)")
+            continue
         df = load(spark, args.src, t)
         if t == "events":
             df = df.withColumn(
