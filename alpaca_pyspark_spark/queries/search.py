@@ -541,6 +541,77 @@ GROUP BY component
 """
 
 
+# --------------------------------------------------------------- q207
+_Q207_PLANES = 16
+
+
+def q207_plane_sign_parity_canary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PLANE-SIGN PARITY CANARY — the q204 pattern applied to the LSH
+    bucket kernel (ADVICE r10): q92_lsh/q206's oracles replay the
+    sign-bucket join in SQL, which rests on the empirical invariant
+    that Spark's sequential ``aggregate``/``zip_with`` dot fold and
+    DuckDB's ``list_dot_product`` agree on the SIGN of every
+    (vector, hyperplane) dot.  That is NOT bit-equality of the dots:
+    measured on this data family the raw dots diverge by up to
+    8.9e-16 (different accumulation order), while the smallest
+    |dot| margin is 3.5e-7 at sf0.1 — nine orders of magnitude of
+    headroom, pinned by tests/test_plane_parity.py.  A near-zero dot
+    in FUTURE data (or an engine kernel change) could flip one bucket
+    bit in one engine only, failing the q92_lsh/q206 hash gate with
+    poor localization; this canary emits the per-(vec_id, plane) sign
+    bit for ALL 16 static hyperplanes, so any divergence grades red
+    HERE, naming the exact vector and plane.  Canary red + family
+    green = margin erosion on specific rows; canary red + family red
+    = the dot kernel itself.
+
+    Scale shape: map-only over the vectors (16 fused fold
+    expressions, no shuffle, no collect); output is 16·|vectors|
+    rows — a canary you run on a sample at 100 TB, not a search."""
+    from ..operators.similarity import _dot_literal, _hyperplane
+
+    tune(spark)
+    emb = load_vectors(spark, sf_dir)
+    v = F.col("embedding").cast("array<double>")
+    bits = F.array(
+        *[
+            F.when(
+                _dot_literal(v, _hyperplane(p, 64)) >= 0,
+                F.lit(1).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            for p in range(_Q207_PLANES)
+        ]
+    )
+    return emb.select(
+        "vec_id", F.posexplode(bits).alias("plane", "sign_bit")
+    ).select(
+        "vec_id", F.col("plane").cast("bigint").alias("plane"), "sign_bit"
+    )
+
+
+def _q207_sql() -> str:
+    from ..operators.similarity import _hyperplane
+
+    arms = []
+    for p in range(_Q207_PLANES):
+        lit = ", ".join(repr(x) for x in _hyperplane(p, 64))
+        arms.append(
+            f"SELECT vec_id, CAST({p} AS BIGINT) AS plane,\n"
+            f"       CAST(CASE WHEN list_dot_product(v, [{lit}]) >= 0\n"
+            f"            THEN 1 ELSE 0 END AS BIGINT) AS sign_bit FROM E"
+        )
+    body = "\nUNION ALL\n".join(arms)
+    return (
+        "WITH embeddings AS (\n"
+        "  SELECT * FROM main.embeddings WHERE embedding IS NOT NULL\n"
+        "),\n"
+        "E AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings)\n"
+        + body
+    )
+
+
+_Q207_SQL = _q207_sql()
+
+
 # ---------------------------------------------------------------- q93
 def q93_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One iteration of BPE tokenizer training: count adjacent
@@ -1375,6 +1446,7 @@ QUERIES = {
     "q92_cluster_representatives": q92_cluster_representatives,
     "q92_cluster_reps_lsh": q92_cluster_reps_lsh,
     "q206_cluster_reps_lsh_dialed": q206_cluster_reps_lsh_dialed,
+    "q207_plane_sign_parity_canary": q207_plane_sign_parity_canary,
     "q93_bpe_merge_pairs": q93_bpe_merge_pairs,
     "q114_repeated_passages": q114_repeated_passages,
     "q120_domain_distinctive_tokens": q120_domain_distinctive_tokens,
@@ -1393,6 +1465,7 @@ ORACLE = {
     "q92_cluster_representatives": _Q92_SQL,
     "q92_cluster_reps_lsh": _Q92_LSH_SQL,
     "q206_cluster_reps_lsh_dialed": _Q206_SQL,
+    "q207_plane_sign_parity_canary": _Q207_SQL,
     "q93_bpe_merge_pairs": _Q93_SQL,
     "q114_repeated_passages": _Q114_SQL,
     "q120_domain_distinctive_tokens": _Q120_SQL,

