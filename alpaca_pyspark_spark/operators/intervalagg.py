@@ -3,29 +3,27 @@ INSURANCE form of the per-anchor time-window aggregate (q03's shape:
 for each anchor row, COUNT/SUM over the same key's events inside a
 fixed trailing/leading interval).
 
-Cost model, MEASURED at round 11 (fresh JVMs, both code versions —
-correcting round 10's framing and its non-reproducing q205 sf10
-timings, see SCALE.md round-11 section):
+Cost model, MEASURED at round 11 with HONEST FORCING (the noop sink,
+``plans.force_evaluate`` — ``count()``-forced timings let Catalyst
+prune the aggregate and DELETE the join, which is how round 10
+"measured" the naive join at 1.4 s and how this round's first pass
+mis-calibrated the dispatch floor to 1e12; SCALE.md round-11):
 
-* The naive equality + interval theta join does NOT materialize a
-  pair shuffle — it shuffles O(|events|) rows and streams the pair
-  comparisons inside each SMJ group through whole-stage codegen at
-  ~6e10 pairs per second of wall on local[32] (skew10's 30%-hot key,
-  6e10 pairs: 0.9 s warm).  Its cost is quadratic in per-key density
-  but with a ~2e-11 s/pair constant.
+* The naive equality + interval theta join never materializes a pair
+  shuffle, but its SMJ re-scans the buffered per-key group once per
+  anchor row on ONE task (~5e6 pairs/s; AQE's skew split cannot cut
+  inside a single key's sort group).  Real cost: skew1's hot key
+  (~6.2e8 pairs) 126 s; skew10's (~6.2e10 pairs) killed at >2700 s.
+  Quadratic in per-key density AND a straggler.
 * The decomposition replaces pairs with a ~141-280-row fan-out PER
-  ANCHOR joined against per-(key, hour/minute) pre-aggregates — cost
-  linear in anchors, but the fan-out is a real SHUFFLE: sf10's 2M
-  anchors → 286M fan-out rows → 17-30 s (it crosses the local[32]
-  spill cliff; sf1's 28M rows take 0.5 s).
+  ANCHOR joined against per-(key, hour/minute) pre-aggregates —
+  parallel, linear in anchors: 3.1 s at 62k hot anchors, 8.8 s at
+  620k (same measurement protocol, hot key only).
 
-Equating the models puts the crossover near 1e12 pairs on a single
-key — a key holding a substantial share of a multi-TB day.  Below it
-the naive join wins by ~20x; beyond it the naive term keeps growing
-quadratically while the decomposition stays linear.  That is what
-this operator is FOR: `trailing_interval_agg_adaptive` keeps every
-realistic key on the naive join and routes only estimated-pair
-pathologies here (PAIR_FLOOR).
+Break-even ≈ 1.5e7 pairs on one key (naive ≈ pairs/5e6 s vs
+decomposition ≈ 2.5 + 1e-5·anchors s) — `trailing_interval_agg_adaptive`
+routes keys past PAIR_FLOOR (2e7) here and keeps genuinely small keys
+on the naive join, whose fixed cost is lower.
 
 The decomposition is the classic segment-tree/odometer argument: a
 fixed-length window (s, s + L] tiles EXACTLY into
@@ -279,21 +277,25 @@ def naive_interval_agg(
 
 
 #: Pair-work dispatch floor: a key routes to the decomposition only
-#: when its estimated window-pair count exceeds this.  MEASURED
-#: break-even (skew10 replica, local[32], fresh JVMs, 3 reps each —
-#: round 11): the naive join streams pairs through whole-stage codegen
-#: at ~6e10 pairs/s-of-wall (0.9 s warm for skew10's 6e10-pair hot
-#: key), while the decomposition's ~141-row/anchor fan-out costs a
-#: SHUFFLE — ~17-30 s for sf10's 286M fan-out rows (it spills past
-#: memory, where the sf1 run's 28M rows take 0.5 s).  Equating the two
-#: cost models puts the crossover near 1e12 pairs per key; beyond it
-#: the naive term grows quadratically with key density while the
-#: decomposition stays linear.  NOTE this DEBUNKS round 10's framing
-#: (and its non-reproducing q205 sf10 timing): the naive pair join is
-#: the right plan for every realistic key, and the decomposition is
-#: INSURANCE against the 1e12-pair pathology (a key holding ~30% of a
-#: multi-TB day), not a default.
-PAIR_FLOOR = 1_000_000_000_000
+#: when its estimated window-pair count exceeds this.
+#:
+#: MEASURED with honest forcing (round 11, noop sink — see
+#: plans.force_evaluate: ``count()``-forced timings let Catalyst
+#: DELETE the join, which is how round 10 concluded "6e10 pairs run
+#: in 1.4 s"; they do not).  Real numbers, hot key only, best of 2
+#: fresh-JVM reps:
+#:
+#:   skew1  hot key (~6.2e8 pairs):  naive 126 s   decomposition 3.1 s
+#:   skew10 hot key (~6.2e10 pairs): naive >2700 s (killed)  decomp 8.8 s
+#:
+#: The naive SMJ re-scans its buffered per-key group once per anchor
+#: row — a SINGLE task at ~5e6 pairs/s (AQE's skew split cannot cut
+#: inside one key's sort group), so naive cost ≈ pairs/5e6 s of
+#: straggler wall; the decomposition is ~(2.5 + 1e-5·anchors) s and
+#: parallel.  Break-even ≈ 1.5e7 pairs; 2e7 adds slack so keys that
+#: would cost the naive plan ≤ ~4 s stay on it (the decomposition's
+#: probe + 3-stratum fixed overhead isn't worth less than that).
+PAIR_FLOOR = 20_000_000
 
 
 def _pair_hot_keys(
@@ -364,15 +366,16 @@ def trailing_interval_agg_adaptive(
 ) -> DataFrame:
     """PER-KEY adaptive interval aggregation (VERDICT r10 item 5),
     dispatched on estimated PAIR WORK, not row count: a key routes to
-    the hierarchical decomposition only when its naive pair count
-    would exceed ``PAIR_FLOOR`` (~1e12 — the measured break-even,
-    see the constant's docstring); every other key keeps the naive
-    equi+range pair join, which whole-stage codegen streams ~20x
-    cheaper than the decomposition's fan-out shuffle at every scale
-    we can measure (skew10's 6e10-pair hot key: naive 0.9 s vs
-    decomposition 15 s).  Round 10's suggestion to mirror sessionize's
-    ROW-count dispatch was measured and rejected: a 3M-row hot key is
-    still firmly naive territory.
+    the hierarchical decomposition when its naive pair count would
+    exceed ``PAIR_FLOOR`` (2e7 — the honestly-forced break-even, see
+    the constant's docstring: the naive SMJ re-scan is a single-task
+    straggler at ~5e6 pairs/s, 126 s on skew1's 6.2e8-pair hot key
+    where the decomposition takes 3.1 s); keys below it keep the
+    naive equi+range join, whose fixed cost beats the decomposition's
+    probe + 3-stratum overhead.  Pair count — not row count — is the
+    right dial because the same 3M rows are harmless when spread over
+    the key's time span and catastrophic when an anchor-dense window
+    multiplies them.
 
     Keys are disjoint across branches and both plans are bit-identical
     per key (tests/test_intervalagg.py pins decomposed == naive on

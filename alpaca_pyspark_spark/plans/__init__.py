@@ -52,3 +52,28 @@ def has_whole_stage_codegen(df: DataFrame) -> bool:
         df._jdf.queryExecution(), "codegen"
     )
     return "WholeStageCodegen subtree" in out
+
+
+def force_evaluate(df: DataFrame) -> int:
+    """Fully evaluate ``df`` for TIMING purposes and return its row
+    count.
+
+    ``df.count()`` is NOT a faithful forcing action: Catalyst prunes
+    every non-grouping expression under the count and then applies
+    join elimination, so a left-join + aggregate query "times" as a
+    distinct over the left keys with the join (and even its scans)
+    deleted — measured round 11, where the q03 pair join's skew100
+    count() took 3.8 s while the real evaluation exceeded 600 s
+    (SCALE.md round-11).  The noop sink evaluates every column of
+    every row with no driver serialization — the standard benchmark
+    sink; the row count rides along as an observed metric so callers
+    keep their sanity check without a second action.
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation()
+    df.observe(obs, F.count(F.lit(1)).alias("rows")).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    return int(obs.get["rows"])

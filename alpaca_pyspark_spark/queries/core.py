@@ -110,13 +110,14 @@ def q03_interval_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     event, follow-on activity of the same user within 1 day.
 
     Since round 11 this runs the PER-KEY skew-adaptive dispatch
-    (VERDICT r10 item 5, mirroring q14/q107's sessionize move): the
-    naive pair join when no key can straggle — strictly cheaper, one
-    equi+range join — and the q205 hierarchical decomposition for hot
-    keys only, where the pair join's O(anchors × window-events)
-    comparisons become a quadratic CPU term (~6e10 on skew10's
-    30%-hot key).  Both branches are bit-identical per key, so the
-    oracle SQL is UNCHANGED."""
+    (VERDICT r10 item 5, mirroring q14/q107's sessionize move), on
+    estimated pair work: the naive pair join for keys under
+    ``PAIR_FLOOR`` (its fixed cost is lowest) and the q205
+    hierarchical decomposition past it, where the pair join's SMJ
+    group re-scan becomes a single-task straggler (~5e6 pairs/s —
+    126 s on skew1's 6.2e8-pair hot key vs 3.1 s decomposed; see
+    ``operators/intervalagg.py``).  Both branches are bit-identical
+    per key, so the oracle SQL is UNCHANGED."""
     from ..operators.intervalagg import trailing_interval_agg_adaptive
 
     tune(spark)
@@ -174,21 +175,26 @@ def q205_interval_agg_decomposed(spark: SparkSession, sf_dir: str) -> DataFrame:
     — same oracle SQL, radically different intermediate; registered
     as the PINNED INSURANCE twin, not a faster default.
 
-    Round-11 correction of this family's round-10 story (measured,
-    fresh JVMs, both code versions; SCALE.md round-11 section): the
-    naive pair join is not just runnable, it is ~20x CHEAPER than
-    this decomposition at every scale we can measure — skew10's
-    6e10-pair hot key streams through SMJ-group codegen in 0.9 s,
-    while the decomposition's per-anchor fan-out (~141 rows/anchor,
-    286M rows at sf10) is a real shuffle that costs 17-30 s and
-    crosses the local[32] spill cliff (round 10's 0.98 s sf10 row
-    did not reproduce).  The decomposition's value is its SHAPE:
-    cost linear in anchors where the naive term grows quadratically
-    with key density — the measured crossover is ~1e12 pairs on one
-    key, and q03's adaptive dispatch (``PAIR_FLOOR``) routes exactly
-    those pathologies here.  Counts and cent-sums are exact integers
-    in every stratum, so the output is bit-identical to the pair
-    join and the oracle is UNCHANGED (q03's SQL verbatim)."""
+    Round-11 correction of this family's round-10 story, twice over
+    (SCALE.md round-11): every prior timing of the naive pair join —
+    including round 10's "6e10 pairs run in 1.4 s" honesty note and
+    this round's first recalibration — was ``count()``-forced, and
+    under a count Catalyst prunes the aggregate and DELETES the join
+    entirely (verified in the optimized plan).  Honestly forced (noop
+    sink, ``plans.force_evaluate``) the naive join's SMJ re-scan is a
+    single-task straggler at ~5e6 pairs/s: 126 s on skew1's 6.2e8-pair
+    hot key, killed past 45 min on skew10's 6.2e10, where this
+    decomposition takes 3.1 s / 8.8 s on the same hot keys.  Round
+    9's instinct (the pair join cannot ship against hot keys) was
+    right; what it missed is that COLD keys are naive territory —
+    the measured break-even is ~1.5e7 pairs on one key, encoded as
+    q03's dispatch floor (``PAIR_FLOOR``).  Registered q205 runs the
+    decomposition on EVERY key, so its full-corpus timing row carries
+    the fan-out shuffle's real cost (~141 rows/anchor); that is the
+    price of the skew-immunity its SKEW row shows, not a plan you'd
+    pick for a uniform corpus.  Counts and cent-sums are exact
+    integers in every stratum, so the output is bit-identical to the
+    pair join and the oracle is UNCHANGED (q03's SQL verbatim)."""
     from ..operators.intervalagg import trailing_interval_agg
 
     tune(spark)

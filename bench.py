@@ -34,6 +34,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 # explicit SPARK_DRIVER_MEM still wins.
 os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
 
+from alpaca_pyspark_spark.plans import force_evaluate  # noqa: E402
 from alpaca_pyspark_spark.queries import QUERIES  # noqa: E402
 from alpaca_pyspark_spark.session import release_scoped_caches  # noqa: E402
 from alpaca_pyspark_spark.session import get_spark  # noqa: E402
@@ -65,7 +66,7 @@ def main() -> None:
         # are keyed by logical plan and were dropped, so they rebuild).
         spark.catalog.clearCache()
         tw0 = time.perf_counter()
-        fn(spark, sf_dir).count()
+        force_evaluate(fn(spark, sf_dir))
         warm = time.perf_counter() - tw0
         # drain the operator cache ledger (scoped_persist) then clear
         # whatever else is cached so the timed run re-executes the
@@ -81,7 +82,7 @@ def main() -> None:
         gc.collect()
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
-        n = df.count()
+        n = force_evaluate(df)
         dt = time.perf_counter() - t0
         release_scoped_caches()  # query boundary: operator persists released
         del df
@@ -101,7 +102,7 @@ def main() -> None:
             gc.collect()
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
-            n = df.count()
+            n = force_evaluate(df)
             dt2 = time.perf_counter() - t0
             release_scoped_caches()
             del df

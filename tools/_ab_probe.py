@@ -30,6 +30,21 @@ def main() -> None:
     from alpaca_pyspark_spark.session import get_spark
     from alpaca_pyspark_spark.tables import TABLE_NAMES, load
 
+    # Self-contained noop-sink forcing (round-11 fix: count() lets
+    # Catalyst prune aggregates and eliminate left joins).  Defined
+    # INLINE rather than imported so both A/B sides — including old
+    # refs whose package predates plans.force_evaluate — force the
+    # exact same way and the pairing stays honest.
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    def force_evaluate(df):
+        obs = Observation()
+        df.observe(obs, F.count(F.lit(1)).alias("rows")).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        return int(obs.get["rows"])
+
     try:  # the scoped-cache ledger arrived in round 5; older refs lack it
         from alpaca_pyspark_spark.session import release_scoped_caches
     except ImportError:
@@ -46,12 +61,12 @@ def main() -> None:
     rows = None
     for _ in range(reps):
         spark.catalog.clearCache()
-        fn(spark, sf_dir).count()  # warm codegen/JIT, untimed
+        force_evaluate(fn(spark, sf_dir))  # warm codegen/JIT, untimed
         release_scoped_caches()
         spark.catalog.clearCache()
         gc.collect()
         t0 = time.perf_counter()
-        rows = fn(spark, sf_dir).count()
+        rows = force_evaluate(fn(spark, sf_dir))
         times.append(round(time.perf_counter() - t0, 4))
         release_scoped_caches()
     print(json.dumps({"qid": qid, "times": times, "rows": rows}))

@@ -35,6 +35,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from alpaca_pyspark_spark.queries import QUERIES
+from alpaca_pyspark_spark.plans import force_evaluate
 from alpaca_pyspark_spark.session import get_spark, release_scoped_caches
 
 FLAGSHIPS = [
@@ -103,7 +104,7 @@ from stress_extra import EXTRA  # noqa: E402  (shared harness entries)
 def run_once(spark, qid: str, sf_dir: str) -> tuple[float, int]:
     spark.catalog.clearCache()
     t0 = time.perf_counter()
-    n = (QUERIES.get(qid) or EXTRA[qid])(spark, sf_dir).count()
+    n = force_evaluate((QUERIES.get(qid) or EXTRA[qid])(spark, sf_dir))
     dt = time.perf_counter() - t0
     release_scoped_caches()
     return dt, n

@@ -41,6 +41,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from alpaca_pyspark_spark.queries import QUERIES
+from alpaca_pyspark_spark.plans import force_evaluate
 from alpaca_pyspark_spark.session import get_spark, release_scoped_caches
 
 QUERIES_UNDER_TEST = [
@@ -72,7 +73,7 @@ def run_once(spark, qid: str, sf_dir: str) -> tuple[float, int]:
     spark.catalog.clearCache()
     gc.collect()
     t0 = time.perf_counter()
-    n = QUERIES[qid](spark, sf_dir).count()
+    n = force_evaluate(QUERIES[qid](spark, sf_dir))
     dt = time.perf_counter() - t0
     release_scoped_caches()
     return dt, n
