@@ -142,28 +142,42 @@ GROUP BY user_id, island
 def q68_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Staged conversion funnel (view → click → purchase, strictly
     ordered in time per user): stage N's timestamp is the earliest
-    qualifying event AFTER stage N-1's.  Three chained min-windows
-    over the same user_id partitioning — one shuffle total, no
-    self-joins (the naive formulation is three correlated subqueries).
-    Returns one row of stage reach counts."""
+    qualifying event AFTER stage N-1's.
+
+    Three chained COMBINABLE aggregations with N-to-1 join-backs —
+    round 11 rework: the original three whole-partition min-windows
+    buffered the hot key's entire history on ONE task three times
+    (honest forcing measured 2.68x hot/uniform at sf10,
+    SKEW_STRESS.json — the count-forced rows had hidden it).  Plain
+    min-aggregates take map-side partials (skew-immune), each stage's
+    event stream is pre-filtered to its type (~3x smaller), and the
+    join-backs are N-to-1 equi joins AQE's skew split can cut —
+    nothing buffers a whole key anywhere.  Output identical: stage
+    counts count users whose stage-N min exists, and a user without
+    stage N-1 cannot have stage N in either formulation."""
     tune(spark)
     e = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id")
     ts, et = F.col("ts"), F.col("event_type")
-    t1 = F.min(F.when(et == "view", ts)).over(w)
-    step1 = e.withColumn("__t1", t1)
-    t2 = F.min(
-        F.when((et == "click") & (ts > F.col("__t1")), ts)
-    ).over(w)
-    step2 = step1.withColumn("__t2", t2)
-    t3 = F.min(
-        F.when((et == "purchase") & (ts > F.col("__t2")), ts)
-    ).over(w)
-    per_user = (
-        step2.withColumn("__t3", t3)
-        .select("user_id", "__t1", "__t2", "__t3")
-        .distinct()
+    t1 = (
+        e.filter(et == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("__t1"))
     )
+    t2 = (
+        e.filter(et == "click")
+        .join(t1, "user_id")
+        .filter(ts > F.col("__t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("__t2"))
+    )
+    t3 = (
+        e.filter(et == "purchase")
+        .join(t2, "user_id")
+        .filter(ts > F.col("__t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("__t3"))
+    )
+    per_user = t1.join(t2, "user_id", "left").join(t3, "user_id", "left")
     return per_user.agg(
         F.count("__t1").alias("n_view"),
         F.count("__t2").alias("n_click_after_view"),

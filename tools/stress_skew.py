@@ -83,16 +83,23 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--uniform", default="/root/repo/.scratch/sf1")
     ap.add_argument("--skew", default="/root/repo/.scratch/skew1")
+    ap.add_argument(
+        "--only", nargs="*", default=None,
+        help="re-measure only these ids and MERGE into the scale block",
+    )
     args = ap.parse_args()
     spark = get_spark("stress-skew")
     spark.sparkContext.setLogLevel("ERROR")
     path = Path("SKEW_STRESS.json")
     merged = json.loads(path.read_text()) if path.exists() else {}
     scale = Path(args.uniform).name
-    out = {"_meta": {"uniform_dir": args.uniform, "skew_dir": args.skew,
-                     "hot_share": "~30% of events on one user_id"}}
-    merged[scale] = out
-    for qid in QUERIES_UNDER_TEST:
+    if args.only is not None and scale in merged:
+        out = merged[scale]  # merge mode: refresh named rows in place
+    else:
+        out = {"_meta": {"uniform_dir": args.uniform, "skew_dir": args.skew,
+                         "hot_share": "~30% of events on one user_id"}}
+        merged[scale] = out
+    for qid in args.only if args.only is not None else QUERIES_UNDER_TEST:
         if qid not in QUERIES:
             continue  # roster entry not registered yet
         if qid in SKIP and SKIP[qid] in args.skew:
