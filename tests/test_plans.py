@@ -278,11 +278,17 @@ def test_q75_hopping_window_expand_one_shuffle(spark):
     assert count_shuffles(df) == 1, plan
 
 
-def test_q74_cohort_reuses_user_partitioning(spark):
+def test_q74_cohort_skew_safe_shape(spark):
+    """Round-11 rework: distinct (user, day) FIRST (map-side partials
+    collapse a hot key before anything per-user), then the cohort min
+    + join-back on the per-user-day table, then the matrix aggregate.
+    Three bounded exchanges — and critically NO whole-partition window
+    (the old shape's Window node buffered the hot key on one task,
+    measured 1.96x/1.60x hot-over-uniform before the fix)."""
     df = QUERIES["q74_cohort_retention"](spark, SF_DIR)
-    # cohort window + distinct share the user_id exchange; the final
-    # matrix aggregate is the only other shuffle
-    assert count_shuffles(df) == 2, formatted_plan(df)
+    plan = formatted_plan(df)
+    assert "Window" not in plan, plan
+    assert count_shuffles(df) <= 3, plan
 
 
 def test_q76_ewma_single_shuffle(spark):
