@@ -40,6 +40,13 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.window import WindowSpec
 
+#: dispatch floor for RANGE-frame windows — measured ~21 µs/row of
+#: single-task frame evaluation (65 s for a 3M-row key, 8.7 s for
+#: 300k), ~10x the per-row cost of the cheap windows sessionize's
+#: 1M-row default floor was calibrated on; the pre-split's fixed
+#: overhead (~1-2 s probe + duplication) breaks even near 100k rows
+RANGE_HOT_MIN_ROWS = 100_000
+
 
 def _plain(
     df: DataFrame,
@@ -104,7 +111,7 @@ def trailing_range_window_adaptive(
     kw = dict(
         key=key, order_us=order_us, window_us=window_us, agg_builder=agg_builder
     )
-    hk = hot_keys(df, key)
+    hk = hot_keys(df, key, min_rows=RANGE_HOT_MIN_ROWS)
     if not hk:
         return _plain(df, **kw)
     hot, cold = _split_by_keys(df, key, hk)
@@ -114,4 +121,158 @@ def trailing_range_window_adaptive(
         _plain(cold, **kw)
         .unionByName(_plain(hot_null, **kw))
         .unionByName(trailing_range_window_skew_safe(hot, **kw))
+    )
+
+
+# ---------------------------------------------------------------------
+# Skew-safe LOCF (last non-null IGNORE NULLS over an unbounded-
+# preceding frame) + first-non-null per-key scalar — q115's shape.
+# An unbounded frame cannot bucket-double (it is not length-bounded);
+# instead the carry is EXPLICIT: local LOCF per (key, time-bucket),
+# then one "last non-null value" row per (key, bucket) chains through
+# a tiny per-key window (|buckets| rows), and rows coalesce their
+# local LOCF with the previous bucket's carry.  NULL timestamps all
+# fall into the NULL bucket, which the carry chain orders FIRST —
+# exactly where the plain window's NULLS-FIRST sort puts those rows.
+# ---------------------------------------------------------------------
+
+#: sentinel for ordering NULL timestamps inside comparison structs —
+#: paired with a leading is-not-null flag, so its VALUE never decides
+#: an ordering between a null and a non-null timestamp
+_TS_SENTINEL = "1900-01-01 00:00:00"
+
+
+def _order_struct(ts: str, tiebreak: str, val: Column) -> Column:
+    """Comparison struct replicating (ts ASC NULLS FIRST, tiebreak):
+    a leading not-null flag (False < True puts NULL ts first), the
+    null-coalesced ts, the tiebreak, and the value payload last."""
+    return F.struct(
+        F.col(ts).isNotNull().alias("f"),
+        F.coalesce(F.col(ts), F.lit(_TS_SENTINEL).cast("timestamp_ntz")).alias(
+            "t"
+        ),
+        F.col(tiebreak).alias("k"),
+        val.alias("v"),
+    )
+
+
+def locf_first_skew_safe(
+    df: DataFrame,
+    *,
+    key: str,
+    ts: str,
+    tiebreak: str,
+    val: Column,
+    bucket_us: int,
+    last_alias: str = "__last",
+    first_alias: str = "__first",
+) -> DataFrame:
+    """Per-row last-non-null ``val`` over (ts, tiebreak) order and the
+    per-key first-non-null ``val`` — output-identical to the plain
+    IGNORE-NULLS window pair, with the hot key's sort spread over
+    |buckets| tasks.  Appends ``last_alias``/``first_alias``."""
+    e = df.withColumn("__v", val).withColumn(
+        "__b",
+        F.floor(
+            F.unix_micros(F.col(ts).cast("timestamp")) / F.lit(bucket_us)
+        ),
+    )
+    wb = (
+        Window.partitionBy(key, "__b")
+        .orderBy(F.col(ts).asc_nulls_first(), tiebreak)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    e = e.withColumn("__loc", F.last("__v", ignorenulls=True).over(wb))
+    # one row per (key, bucket): the bucket's last non-null value in
+    # order — combinable max over the order struct
+    summary = e.groupBy(key, "__b").agg(
+        F.max(F.when(F.col("__v").isNotNull(), _order_struct(ts, tiebreak, F.col("__v"))))
+        .alias("__s")
+    )
+    wc = Window.partitionBy(key).orderBy(F.col("__b").asc_nulls_first())
+    run = wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    carry = summary.select(
+        key,
+        "__b",
+        F.lag(
+            F.last(F.col("__s.v"), ignorenulls=True).over(run)
+        ).over(wc).alias("__carry"),
+    )
+    # per-key first non-null value — combinable min over the same struct
+    firsts = e.groupBy(key).agg(
+        F.min(F.when(F.col("__v").isNotNull(), _order_struct(ts, tiebreak, F.col("__v"))))
+        .getField("v")
+        .alias(first_alias)
+    )
+    # NULL-SAFE bucket join: the NULL-ts bucket's rows must still meet
+    # their carry row (plain equality on a NULL __b matches nothing);
+    # the key itself is non-null in the hot branch (isin-routed)
+    carry = carry.withColumnRenamed(key, "__ck").withColumnRenamed(
+        "__b", "__cb"
+    )
+    # carry is |hot keys x buckets| rows and firsts |hot keys| rows —
+    # broadcast both so the event stream never re-shuffles for the
+    # join-backs (the window's (key, bucket) exchange stays the only
+    # full-data shuffle)
+    return (
+        e.join(
+            F.broadcast(carry),
+            (F.col(key) == F.col("__ck"))
+            & F.col("__b").eqNullSafe(F.col("__cb")),
+        )
+        .join(F.broadcast(firsts), key)
+        .withColumn(last_alias, F.coalesce("__loc", "__carry"))
+        .drop("__v", "__b", "__loc", "__carry", "__ck", "__cb")
+    )
+
+
+def locf_first_adaptive(
+    df: DataFrame,
+    *,
+    key: str,
+    ts: str,
+    tiebreak: str,
+    val: Column,
+    bucket_us: int,
+    last_alias: str = "__last",
+    first_alias: str = "__first",
+) -> DataFrame:
+    """PER-KEY adaptive dispatch for the LOCF/first pair: hot keys run
+    the bucket-carry pre-split, everything else keeps the plain
+    two-window form (one exchange, strictly cheaper when no key can
+    straggle).  Output-identical per key; oracle SQL unchanged."""
+    from .sessionize import _split_by_keys, hot_keys
+
+    kw = dict(
+        key=key, ts=ts, tiebreak=tiebreak, val=val, bucket_us=bucket_us,
+        last_alias=last_alias, first_alias=first_alias,
+    )
+
+    def plain(d: DataFrame) -> DataFrame:
+        running = (
+            Window.partitionBy(key)
+            .orderBy(F.col(ts).asc_nulls_first(), tiebreak)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        full = (
+            Window.partitionBy(key)
+            .orderBy(F.col(ts).asc_nulls_first(), tiebreak)
+            .rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        return d.select(
+            *[F.col(c) for c in d.columns],
+            F.last(val, ignorenulls=True).over(running).alias(last_alias),
+            F.first(val, ignorenulls=True).over(full).alias(first_alias),
+        )
+
+    hk = hot_keys(df, key)
+    if not hk:
+        return plain(df)
+    hot, cold = _split_by_keys(df, key, hk)
+    return plain(cold).unionByName(
+        locf_first_skew_safe(hot, **kw).select(
+            *[F.col(c) for c in df.columns], last_alias, first_alias
+        )
     )

@@ -338,7 +338,7 @@ def _shuffle_partitions(spark) -> int:
         return spark.sparkContext.defaultParallelism or 32
 
 
-def hot_keys(events: DataFrame, key: str) -> list:
+def hot_keys(events: DataFrame, key: str, min_rows: int | None = None) -> list:
     """One cheap partial-aggregated probe (|keys| exchange rows) that
     names the keys whose single-task sort would straggle — the same
     runtime-statistics-over-static-plans trade AQE makes.  The result
@@ -354,7 +354,14 @@ def hot_keys(events: DataFrame, key: str) -> list:
     # total, then the over-floor keys) scan the raw events only once
     counts = scoped_persist(events.groupBy(key).count())
     total = counts.agg(F.sum("count")).first()[0] or 0
-    floor = max(HOT_MIN_ROWS, HOT_TASK_FACTOR * total / n)
+    # min_rows overrides the absolute floor for operators whose
+    # per-row single-task cost differs from the sessionize windows the
+    # default was calibrated on (e.g. RANGE frames, ~10x costlier per
+    # row — operators/rangewindow.py passes its own break-even)
+    floor = max(
+        HOT_MIN_ROWS if min_rows is None else min_rows,
+        HOT_TASK_FACTOR * total / n,
+    )
     # a NULL key cannot be routed through the isin() split (SQL NULL
     # never equals anything), so it stays on the single-pass side even
     # if hot — its rows form one window partition there, same as

@@ -857,33 +857,39 @@ def q115_ignore_nulls_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     (first_value IGNORE NULLS over the full frame).  The sparse
     column is built with the same conditional on both engines, so
     null positions are identical; one exchange on user_id serves both
-    frames."""
+    frames.
+
+    Round-11 skew fix: the PER-KEY adaptive LOCF bucket-carry
+    pre-split (``operators/rangewindow.py``) — the plain two-window
+    form buffered a hot key's full history in one task (3.01x
+    hot-over-uniform at sf10 under honest forcing); with the carry
+    explicit (one last-value row per (key, 24h-bucket) chained
+    through a |buckets|-row window) the hot key's sort spreads over
+    buckets.  Bit-identical per row; oracle unchanged."""
+    from ..operators.rangewindow import locf_first_adaptive
+
     tune(spark)
     e = load(spark, sf_dir, "events")
     pv = F.when(
         F.col("event_type") == "purchase",
         F.round(F.col("value") * 100).cast("bigint"),
     )
-    running = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = locf_first_adaptive(
+        e.select("user_id", "event_id", "ts", "event_type", "value"),
+        key="user_id",
+        ts="ts",
+        tiebreak="event_id",
+        val=pv,
+        bucket_us=24 * 3600 * 1_000_000,
+        last_alias="__lpv",
+        first_alias="__fpv",
     )
-    full = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
-    return e.select(
+    return out.select(
         "user_id",
         "event_id",
         "ts",
-        (F.last(pv, ignorenulls=True).over(running) / 100.0).alias(
-            "last_purchase_value"
-        ),
-        (F.first(pv, ignorenulls=True).over(full) / 100.0).alias(
-            "first_purchase_value"
-        ),
+        (F.col("__lpv") / 100.0).alias("last_purchase_value"),
+        (F.col("__fpv") / 100.0).alias("first_purchase_value"),
     )
 
 
