@@ -37,26 +37,27 @@ def entry(spark: SparkSession) -> DataFrame:
 #: loaded the core module and left later families driver-unchecked.
 #: The full registry is unchanged; only the ordering is curated.
 _SHOWCASE_ORDER = [
-    # ROUND 11: staged rotation per ROTATION.md — the final
-    # debt-draining prefix.  24 never-driver-graded families (the 20
-    # staged at ROTATION.md:63-73 + the four round-10 additions
-    # q204/q205/q206/q92_lsh) clear the never-graded count to ZERO,
-    # and the 26 sentinel slots seed the round-12+ re-validation
-    # cadence with the highest-risk families: every EXECUTED streaming
-    # query, every approximation dial, the live connector loop, and
-    # the two sessionize consumers (q14/q107) whose adaptive skew
-    # dispatch landed in round 10 AFTER their last driver grade —
-    # plus q03, whose interval-agg path gains the same adaptive
-    # dispatch this round (VERDICT r10 item 5).
+    # ROUND 12: the debt-zero re-validation cadence (ROTATION.md
+    # "Round-12+" section).  T0 = canaries + connector loop + core
+    # continuity + every query whose code path changed since its last
+    # grade (q41 gains the three-tier prefix-bucket dispatch this
+    # round; q14/q107 sit on the sessionize slack widened per ADVICE
+    # r11; q03/q115 share the touched intervalagg/rangewindow
+    # modules).  T1 = the high-risk executed-streaming block + the
+    # two production dials (VERDICT r11 item 1 names both).  T2 =
+    # the next 24 of the oldest-grade wheel (all last graded r1/r2).
     #
-    # Sentinels — core semantics on freshly-changed code paths:
-    "q01_scan_filter_project", "q02_bars_tumbling",
-    "q03_interval_join_agg",          # adaptive dispatch lands r11
-    "q06_asof_join",
-    "q14_stream_session",             # adaptive sessionizer (r10 change)
-    "q107_session_paths",             # adaptive sessionizer (r10 change)
-    "q203_connector_roundtrip",       # live connector flagship
-    # Sentinels — executed micro-batch streaming (highest-risk class):
+    # T0 — canaries first (q207 is the registry's only never-graded
+    # entry; its whole value is the driver's independent DuckDB build):
+    "q207_plane_sign_parity_canary", "q204_cosine_parity_canary",
+    "q203_connector_roundtrip",
+    "q01_scan_filter_project", "q02_bars_tumbling", "q06_asof_join",
+    "q03_interval_join_agg",          # intervalagg contract (r12 docs)
+    "q41_trailing_range_window",      # THREE-tier dispatch lands r12
+    "q115_ignore_nulls_windows",      # shares rangewindow.py (r12)
+    "q14_stream_session",             # sessionize slack change (r12)
+    "q107_session_paths",             # sessionize slack change (r12)
+    # T1 — executed micro-batch streaming (highest-risk class):
     "q130_streaming_sessions_executed", "q131_streaming_dedup_executed",
     "q145_streaming_outer_join_executed",
     "q146_streaming_hourly_windows_executed",
@@ -65,26 +66,23 @@ _SHOWCASE_ORDER = [
     "q191_streaming_curation", "q193_streaming_ingest_neardup",
     "q196_streaming_vector_search", "q199_streaming_budget_admission",
     "q197_corpus_build",
-    # Sentinels — approximation dials + incremental maintenance:
-    "q198_pq_adc_topk", "q200_ivf_index_maintenance", "q201_ivfpq_search",
-    "q202_streaming_pq_search", "q202_dialed_pq_search",
-    "q169_incremental_dedup",
-    # 24 first-timers — round-10 flagships first (q204 is the
-    # cosine bit-parity tripwire for ~30 vector oracles; its first
-    # driver grade is the round's most informative single row):
-    "q204_cosine_parity_canary", "q205_interval_agg_decomposed",
-    "q206_cluster_reps_lsh_dialed", "q92_cluster_reps_lsh",
-    # ...then ROTATION.md's staged 20:
-    "q83_revenue_share_threshold", "q104_merkle_block_diff",
-    "q167_rendezvous_rebalance", "q127_referential_integrity",
-    "q85_large_volume_orders", "q88_idle_rich_customers",
-    "q178_corpus_tokenize", "q137_collocation_lift",
-    "q157_frequent_tokens_sketch",    # rows-only by design (sketch)
-    "q93_bpe_merge_pairs", "q94_returned_revenue_customers",
-    "q95_late_shipment_priority", "q96_promo_revenue_share",
-    "q97_top_supplier", "q98_nation_pair_flows", "q99_profit_by_nation",
-    "q101_local_supplier_revenue", "q111_priority_late_orders",
-    "q112_discount_band_revenue", "q113_supplier_diversity",
+    # T1 — the two production approximation dials:
+    "q202_dialed_pq_search", "q206_cluster_reps_lsh_dialed",
+    # T2 — oldest-grade wheel (last graded r1/r2; the rest of the r2
+    # crowd — q12 dedup family, q13_ivf, q16/q17/q19/q33 — heads the
+    # r13 wheel):
+    "q39_decontaminate",
+    "q07_adjustment_split", "q07_adjustment_all",
+    "q08_setops_dedup", "q09_scalar_funcs",
+    "q11_exact_distinct", "q11_approx_distinct",
+    "q103_asof_tolerance", "q20_window_funcs",
+    "q21_grouping_sets", "q22_cube", "q23_star_join",
+    "q24_percentiles", "q24_percentiles_approx",
+    "q25_session_window", "q26_sql_interval_join",
+    "q27_pandas_udf_trend", "q28_setops_intersect",
+    "q29_json_map", "q30_bar_rollup", "q31_token_count",
+    "q44_recursive_calendar_gapfill", "q46_sketch_union_rollup",
+    "q47_correlated_subquery",
 ]
 
 

@@ -256,7 +256,14 @@ def naive_interval_agg(
     integer count/sum, NULL sum on an empty window.  Strictly cheaper
     than the decomposition when no key can straggle (no ~280-row
     anchor fan-out, one join instead of three strata), which is
-    exactly when the adaptive dispatch picks it."""
+    exactly when the adaptive dispatch picks it.
+
+    Contract (shared with :func:`trailing_interval_agg`, ADVICE r11):
+    anchor ROWS must be unique.  This groupBy merges duplicate anchor
+    rows into ONE output row, while the decomposition's null-safe
+    join-back emits one row PER duplicate carrying the merged group's
+    totals — so duplicate anchors would make the two branches (and
+    hence the adaptive dispatch) diverge on row count."""
     a = anchors.alias("__an")
     e = events.alias("__ev")
     j = a.join(
@@ -383,7 +390,16 @@ def trailing_interval_agg_adaptive(
     correctness — q03's oracle SQL is unchanged.  NULL keys stay on
     the naive side (``isin`` cannot route them; an equality join on a
     NULL key matches nothing, which is the correct empty window
-    either way)."""
+    either way).
+
+    Contract (ADVICE r11): anchor ROWS must be unique.  The two
+    branches agree on everything EXCEPT duplicate anchor rows — the
+    naive groupBy merges them into one output row, the decomposition's
+    join-back emits one per duplicate — so a duplicate-anchor caller
+    would see branch-dependent row counts only on the nights a key
+    runs hot.  q03 satisfies the contract via unique signup event_ids;
+    tests/test_intervalagg.py pins the divergence so the contract
+    stays documented-and-true rather than silent."""
     from .sessionize import _split_by_keys
 
     kw = dict(

@@ -201,17 +201,22 @@ def _local_islands(
     # gap of an edge.  Under the engine's pinned-UTC session tz
     # (session.py) the ntz→epoch mapping is exact-linear and a +1s
     # slack covers the second-floor of the epoch cast; under any OTHER
-    # tz a DST transition can shrink an epoch-space edge distance by
-    # up to 1h relative to ntz-space gap arithmetic, so the slack
-    # widens to gap+2h+1s — DST jumps are not bounded by 1h (e.g.
-    # Antarctica/Troll shifts 2h; ADVICE r10), and no zone in tzdata
-    # exceeds a 2h seasonal transition (conservative: slack only ever
-    # ADDS islands to the stitch — correctness never depends on the
-    # slack being tight).  NULL epochs (the NULL-ts island) coalesce
-    # to exposed — the stitch is where they meet the key's real
-    # sessions, matching the single-pass operator.
+    # tz an offset transition can shrink an epoch-space edge distance
+    # relative to ntz-space gap arithmetic, so the slack widens by the
+    # LARGEST jump tzdata can express.  Seasonal DST is bounded by 2h
+    # (Antarctica/Troll; ADVICE r10), but standard-offset changes are
+    # not: date-line moves skip ~a full day (Pacific/Apia 2011,
+    # Pacific/Kwajalein 1993, Kiritimati 1994; ADVICE r11).  Every
+    # tzdata offset lies in [-12:00, +14:00], so no single transition
+    # — seasonal or standard — can move the epoch mapping by more than
+    # 26h; the non-UTC slack is gap+26h+1s (conservative: slack only
+    # ever ADDS islands to the stitch — correctness never depends on
+    # the slack being tight, and the engine's own sessions always take
+    # the pinned-UTC +1s path).  NULL epochs (the NULL-ts island)
+    # coalesce to exposed — the stitch is where they meet the key's
+    # real sessions, matching the single-pass operator.
     tz = events.sparkSession.conf.get("spark.sql.session.timeZone", "")
-    slack = gsec + (1 if tz in ("UTC", "Etc/UTC", "GMT", "+00:00") else 7201)
+    slack = gsec + (1 if tz in ("UTC", "Etc/UTC", "GMT", "+00:00") else 93601)
     lo = F.col("__bkt") * F.lit(bsec)
     hi = (F.col("__bkt") + 1) * F.lit(bsec)
     s_ep = F.col("__start").cast("timestamp").cast("long")

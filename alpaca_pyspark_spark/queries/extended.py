@@ -525,33 +525,45 @@ def q41_trailing_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     a time span regardless of row density.  Ordered by epoch
     microseconds so the frame bound is exact and engine-identical.
 
-    Round-11 skew fix: runs the PER-KEY adaptive bucket-doubling
-    pre-split (``operators/rangewindow.py``) — the plain per-key
-    window buffered a 30%-hot key's 3M rows in one task (measured
-    35.3x hot-over-uniform at sf10, the engine's worst-ever skew
-    row); with the frame length equal to the bucket width, the hot
-    key's sort spreads over |buckets| tasks at a 2x row-duplication
-    cost, bit-identical output, oracle unchanged."""
-    from ..operators.rangewindow import trailing_range_window_adaptive
+    Round-11 skew fix: the PER-KEY adaptive bucket-doubling pre-split
+    (``operators/rangewindow.py``) — the plain per-key window buffered
+    a 30%-hot key's 3M rows in one task (measured 35.3x hot-over-
+    uniform at sf10, the engine's worst-ever skew row); with the frame
+    length equal to the bucket width, the hot key's sort spreads over
+    |buckets| tasks at a 2x row-duplication cost.
+
+    Round-12: upgraded to the THREE-tier ``trailing_count_sums_adaptive``
+    — the W-bucket grid caps a hot key's parallelism at span/W tasks
+    (30 forever under the fixture's 30-day span), so its skew ratio
+    ROSE across the fixed-span decade (2.55x sf1 -> 4.32x sf10, the
+    round-11 verdict's one `weak` row).  q41's aggregates are
+    combinable (count + exact integer cents), so EXTREME keys now
+    route into the prefix-bucket decomposition whose parallelism
+    follows the key's row count instead of the frame length.  All
+    tiers bit-identical; the single end division by 100 happens after
+    the integer window sums, exactly like the oracle."""
+    from ..operators.rangewindow import trailing_count_sums_adaptive
 
     tune(spark)
     e = load(spark, sf_dir, "events").withColumn(
         "us", F.unix_micros(F.col("ts").cast("timestamp"))
     )
     day_us = 24 * 3600 * 1_000_000
-    out = trailing_range_window_adaptive(
+    out = trailing_count_sums_adaptive(
         e.select("event_id", "user_id", "us", "value"),
         key="user_id",
         order_us="us",
         window_us=day_us,
-        agg_builder=lambda w: [
-            F.count(F.lit(1)).over(w).alias("n_24h"),
-            (F.sum(_cents(F.col("value"))).over(w) / 100.0).alias(
-                "value_24h"
-            ),
-        ],
+        row_id="event_id",
+        sums={"__cents_24h": _cents(F.col("value"))},
+        count_alias="n_24h",
     )
-    return out.select("event_id", "user_id", "n_24h", "value_24h")
+    return out.select(
+        "event_id",
+        "user_id",
+        "n_24h",
+        (F.col("__cents_24h") / 100.0).alias("value_24h"),
+    )
 
 
 _Q41_SQL = """

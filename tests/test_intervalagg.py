@@ -217,3 +217,36 @@ def test_null_payload_column_keeps_counts(spark):
     assert len(rows) == 1
     assert rows[0]["n_follow"] == 1 and rows[0]["sum_cents"] == 20
     assert _rows(dec.select("user_id", "signup_id", "n_follow", "sum_cents")) == _rows(_naive(s, f, DAY))
+
+
+def test_duplicate_anchor_rows_diverge_as_documented(spark):
+    """The anchor-uniqueness CONTRACT (ADVICE r11): on duplicate anchor
+    ROWS the two branches legitimately diverge — naive_interval_agg's
+    groupBy merges the duplicates into ONE output row, while the
+    decomposition's null-safe join-back emits one row PER duplicate,
+    each carrying the merged group's totals.  Pin that exact shape so
+    the documented contract stays true (a silent convergence OR a new
+    divergence mode would both invalidate the docstrings)."""
+    from alpaca_pyspark_spark.operators.intervalagg import naive_interval_agg
+
+    dup = datetime(2024, 1, 1, 2, 0, 0)
+    anchors = [(1, 100, dup), (1, 100, dup)]  # identical rows
+    events = [
+        (1, 2, datetime(2024, 1, 1, 2, 0, 0, 1), 20),
+        (1, 3, datetime(2024, 1, 1, 3, 0, 0), 5),
+    ]
+    s, f = _frames(spark, anchors, events)
+    kw = dict(
+        key="user_id", anchor_ts="s_ts", event_ts="f_ts",
+        window_seconds=DAY, sum_col="__cents",
+    )
+    naive = naive_interval_agg(s, f, **kw).collect()
+    dec = trailing_interval_agg(s, f, **kw).collect()
+    assert len(naive) == 1  # groupBy merged the duplicates
+    assert len(dec) == 2    # join-back emits one per duplicate
+    # both agree on the merged group's totals per emitted row — and
+    # those totals are DOUBLE-counted (each duplicate contributes its
+    # own window pass to the merged group), a second reason duplicate
+    # anchors are outside the contract
+    for r in [*naive, *dec]:
+        assert (r["n_follow"], r["sum_cents"]) == (4, 50)

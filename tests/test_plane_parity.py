@@ -99,3 +99,64 @@ def test_divergence_and_margin_headroom(parity):
     )
     # the actual invariant the LSH oracles need: margin >> divergence
     assert margin > 1000 * divergence
+
+
+def test_dial_plane_set_is_subset_of_q207_cover(spark):
+    """VERDICT r11 stretch: the q207 canary pins all 16 STATIC
+    hyperplanes, and q206's dial buckets with the low ``planes`` bits
+    of the same 16 — so the canary covers every plane any dial value
+    can select.  Pin that subset relation both ways: (a) the dial can
+    never exceed the canary's plane count, and (b) ``sign_bucket`` at
+    every reachable dial value equals the low-bit composition of the
+    canary's per-plane sign bits — so a future dial change (more or
+    rotated planes) cannot silently exit the canary's cover."""
+    from pyspark.sql import functions as F
+
+    from alpaca_pyspark_spark.operators.similarity import (
+        _dot_literal,
+        _hyperplane,
+        lsh_planes_dial,
+        sign_bucket,
+    )
+    from alpaca_pyspark_spark.queries.search import _Q92_LSH_PLANES
+
+    # (a) cap: every reachable dial value fits under the canary
+    dial_values = {
+        lsh_planes_dial(n) for n in (0, 1, 31, 32, 2**10, 2**15, 2**20, 2**63)
+    }
+    assert min(dial_values) == 3 and max(dial_values) == N_PLANES
+    assert all(3 <= v <= N_PLANES for v in dial_values)
+    assert _Q92_LSH_PLANES <= N_PLANES
+
+    # (b) structure: bucket bits ARE the canary's sign bits.  Vectors
+    # chosen deterministically with mixed signs and magnitudes.
+    rows = [
+        (i, [((i * 31 + j * 17) % 13 - 6) / 7.0 for j in range(DIM)])
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    canary_bits = F.array(
+        *[
+            F.when(
+                _dot_literal(F.col("v"), _hyperplane(p, DIM)) >= 0, F.lit(1)
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            for p in range(N_PLANES)
+        ]
+    )
+    checks = df.select(
+        canary_bits.alias("bits"),
+        *[
+            sign_bucket(F.col("v"), dim=DIM, num_planes=k).alias(f"b{k}")
+            for k in sorted(dial_values)
+        ],
+    ).collect()
+    for r in checks:
+        for k in sorted(dial_values):
+            composed = sum(b << p for p, b in enumerate(r["bits"][:k]))
+            assert r[f"b{k}"] == composed, (
+                f"sign_bucket(num_planes={k}) no longer composes the "
+                "q207 canary's plane signs — the dial has exited the "
+                "canary's cover"
+            )

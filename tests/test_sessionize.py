@@ -179,11 +179,13 @@ def test_shuffle_partitions_tolerates_auto(spark):
 
 
 def test_presplit_equals_single_pass_non_utc_dst(spark):
-    """The exposure refinement widens its slack to gap+3601s under a
-    non-UTC session tz (DST can shrink epoch-space edge distances by
-    up to 1h vs the ntz-space gap arithmetic islands use).  Pin
-    output parity across the 2024-11-03 US fall-back with events
-    placed at bucket edges around the transition."""
+    """The exposure refinement widens its slack to gap+93601s (26h+1s,
+    the largest offset jump tzdata can express — offsets span
+    [-12:00, +14:00]) under a non-UTC session tz, because any offset
+    transition shrinks epoch-space edge distances vs the ntz-space gap
+    arithmetic islands use.  Pin output parity across the 2024-11-03
+    US fall-back with events placed at bucket edges around the
+    transition."""
     rng = random.Random(3)
     rows = []
     base = datetime(2024, 11, 2, 22, 0, 0)
