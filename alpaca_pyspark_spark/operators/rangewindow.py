@@ -512,6 +512,13 @@ def trailing_count_sums_prefix_bucket(
         ],
     )
     joined = (
+        # Deliberately sort-merge, NOT shuffle-hash: a SHUFFLE_HASH
+        # hint was tried and REJECTED — at sf100's 29.9M-row hot key
+        # the per-partition hash relation exceeds the executor memory
+        # slice ("Can't acquire 268435456 bytes to build hash
+        # relation"), and at 100 TB a memory-bounded build side only
+        # gets worse.  SMJ spills; the sorts are the price of a join
+        # that cannot OOM.
         own_out.join(qry_out, F.col(row_id) == F.col("__qid"))
         .join(
             F.broadcast(ph),
