@@ -82,7 +82,11 @@ _SHOWCASE_ORDER = [
     "q27_pandas_udf_trend", "q28_setops_intersect",
     "q29_json_map", "q30_bar_rollup", "q31_token_count",
     "q44_recursive_calendar_gapfill", "q46_sketch_union_rollup",
-    "q47_correlated_subquery",
+    # registered this round (cadence rule (c)): the forced
+    # prefix-bucket decomposition twin — the driver's independent
+    # DuckDB build is the only external check of the new tier, so it
+    # takes the last slot (q47 heads the r13 wheel instead):
+    "q208_trailing_window_prefix_decomposed",
 ]
 
 

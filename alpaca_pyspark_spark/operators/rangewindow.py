@@ -369,7 +369,11 @@ def trailing_count_sums_prefix_bucket(
     expression integer-typed (exact addition is what makes the
     decomposition bit-identical under any execution order — a double
     sum would diverge by association order); ``bucket_widths`` maps
-    every distinct key value in ``df`` to its bucket width in µs."""
+    every distinct key value in ``df`` to its bucket width in µs, or
+    is a single int applied to ALL keys (the forced-decomposition
+    path q208 registers so the driver's oracle exercises this tier —
+    the gate fixtures are uniform, so the adaptive dispatch alone
+    would never route a gate row here)."""
     from ..session import scoped_persist
 
     if window_us < 1:
@@ -387,12 +391,16 @@ def trailing_count_sums_prefix_bucket(
                 f"bit-identical decomposition; {alias!r} is {dt} — "
                 "aggregate cents/counts and divide once at the end"
             )
-    # per-key bucket width as a literal map: the extreme-key list is
-    # pigeonhole-bounded, so the plan-side literal stays small
-    pairs = []
-    for k, g in bucket_widths.items():
-        pairs += [F.lit(k), F.lit(int(g))]
-    gw = F.element_at(F.create_map(*pairs), F.col(key))
+    # per-key bucket width as a literal map (the extreme-key list is
+    # pigeonhole-bounded, so the plan-side literal stays small), or
+    # one global literal when a single int is given
+    if isinstance(bucket_widths, int):
+        gw = F.lit(int(bucket_widths))
+    else:
+        pairs = []
+        for k, g in bucket_widths.items():
+            pairs += [F.lit(k), F.lit(int(g))]
+        gw = F.element_at(F.create_map(*pairs), F.col(key))
     # floor(long/long) via double division is exact here: order_us is
     # epoch µs < 2^53 (exactly representable), and the quotient's ULP
     # (~0.38/G) is strictly below the 1/G step a 1 µs move causes, so

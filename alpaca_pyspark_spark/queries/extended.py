@@ -577,6 +577,62 @@ WINDOW w AS (PARTITION BY user_id ORDER BY us
 """
 
 
+# --------------------------------------------------------------- q208
+def q208_trailing_window_prefix_decomposed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The prefix-bucket trailing-window decomposition FORCED on every
+    key (q205's pattern applied to the round-12 range-window tier):
+    the gate fixtures are uniform, so q41's adaptive dispatch never
+    routes a gate row into ``trailing_count_sums_prefix_bucket`` —
+    this twin runs the decomposition on ALL keys with a global 5h
+    bucket width (deliberately NOT dividing the 24h frame, so the
+    general gq != g-1 path with nonempty P-terms is what the driver's
+    independent DuckDB build checks).  All-integer output (count +
+    exact cents), so the compare is bit-exact with no float folding.
+    NULL keys / NULL timestamps are excluded by contract on both
+    sides (the adaptive dispatch routes those to the plain tier;
+    forcing the decomposition makes the contract explicit instead).
+
+    Scale shape: identical to the extreme tier's production path —
+    2x row emission through one per-(key, bucket) running window,
+    a slim row-id sort-merge join-back, and two broadcast P-joins
+    against the dense per-key bucket-prefix spine (|keys| x span/G
+    rows)."""
+    from ..operators.rangewindow import trailing_count_sums_prefix_bucket
+
+    tune(spark)
+    e = load(spark, sf_dir, "events").withColumn(
+        "us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    e = e.filter(F.col("user_id").isNotNull() & F.col("us").isNotNull())
+    day_us = 24 * 3600 * 1_000_000
+    five_h_us = 5 * 3600 * 1_000_000
+    out = trailing_count_sums_prefix_bucket(
+        e.select("event_id", "user_id", "us", "value"),
+        key="user_id",
+        order_us="us",
+        window_us=day_us,
+        row_id="event_id",
+        sums={"cents_24h": _cents(F.col("value"))},
+        count_alias="n_24h",
+        bucket_widths=five_h_us,
+    )
+    return out.select("event_id", "user_id", "n_24h", "cents_24h")
+
+
+_Q208_SQL = """
+SELECT event_id, user_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_24h,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+         AS cents_24h
+FROM (SELECT event_id, user_id, epoch_us(ts) AS us, value FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+WINDOW w AS (PARTITION BY user_id ORDER BY us
+             RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW)
+"""
+
+
 # ---------------------------------------------------------------- q44
 def q44_recursive_calendar_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse->dense time-series gap filling: a recursive CTE (Spark 4
@@ -780,6 +836,7 @@ QUERIES = {
     "q30_bar_rollup": q30_bar_rollup,
     "q31_token_count": q31_token_count,
     "q41_trailing_range_window": q41_trailing_range_window,
+    "q208_trailing_window_prefix_decomposed": q208_trailing_window_prefix_decomposed,
     "q44_recursive_calendar_gapfill": q44_recursive_calendar_gapfill,
     "q45_variant_extract": q45_variant_extract,
     "q46_sketch_union_rollup": q46_sketch_union_rollup,
@@ -801,6 +858,7 @@ ORACLE = {
     "q30_bar_rollup": _Q30_SQL,
     "q31_token_count": _Q31_SQL,
     "q41_trailing_range_window": _Q41_SQL,
+    "q208_trailing_window_prefix_decomposed": _Q208_SQL,
     "q44_recursive_calendar_gapfill": _Q44_SQL,
     "q45_variant_extract": _Q45_SQL,
     "q47_correlated_subquery": _Q47_SQL,

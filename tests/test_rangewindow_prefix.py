@@ -137,6 +137,25 @@ def test_prefix_bucket_all_null_frame_sum_is_null(spark):
     )
 
 
+def test_prefix_bucket_global_int_width_equals_map(spark):
+    """q208's path: ``bucket_widths`` as ONE int applied to all keys
+    must equal the per-key map spelling of the same width (and hence
+    the plain window, via the parity pinned above)."""
+    rows = _rand_rows(4, keys=3, per_key=120)
+    df = _mk(spark, rows)
+    kw = dict(
+        key="user_id", order_us="us", window_us=W, row_id="rid",
+        sums={"sum_w": F.col("value")}, count_alias="n_w",
+    )
+    got_int = rw.trailing_count_sums_prefix_bucket(
+        df, bucket_widths=333_333, **kw
+    )
+    got_map = rw.trailing_count_sums_prefix_bucket(
+        df, bucket_widths={k: 333_333 for k in (1, 2, 3)}, **kw
+    )
+    assert _rows(got_int) == _rows(got_map) == _rows(_plain_ref(df))
+
+
 def test_prefix_bucket_rejects_non_integer_sum(spark):
     """Exact addition is the decomposition's correctness basis — a
     double-typed sum must be rejected loudly, not silently diverge by
