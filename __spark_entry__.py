@@ -69,19 +69,23 @@ _SHOWCASE_ORDER = [
     # T1 — the two production approximation dials:
     "q202_dialed_pq_search", "q206_cluster_reps_lsh_dialed",
     # T2 — oldest-grade wheel (last graded r1/r2; the rest of the r2
-    # crowd — q12 dedup family, q13_ivf, q16/q17/q19/q33 — heads the
-    # r13 wheel):
+    # crowd — q47, the q12 dedup family's rows-only forms, q13_ivf,
+    # q19/q33 — heads the r13 wheel):
+    # (the wheel's rows-only approximate twins — q11_approx, q24_approx,
+    # q46 sketch — yield their slots to the next ORACLE-PAIRED wheel
+    # entries, keeping every graded slot hash-gated; they re-enter when
+    # the wheel next reaches them, allowlisted like q157):
     "q39_decontaminate",
     "q07_adjustment_split", "q07_adjustment_all",
     "q08_setops_dedup", "q09_scalar_funcs",
-    "q11_exact_distinct", "q11_approx_distinct",
+    "q11_exact_distinct", "q16_lang_id",
     "q103_asof_tolerance", "q20_window_funcs",
     "q21_grouping_sets", "q22_cube", "q23_star_join",
-    "q24_percentiles", "q24_percentiles_approx",
+    "q24_percentiles", "q17_fingerprint",
     "q25_session_window", "q26_sql_interval_join",
     "q27_pandas_udf_trend", "q28_setops_intersect",
     "q29_json_map", "q30_bar_rollup", "q31_token_count",
-    "q44_recursive_calendar_gapfill", "q46_sketch_union_rollup",
+    "q44_recursive_calendar_gapfill", "q12_embedding_dedup",
     # registered this round (cadence rule (c)): the forced
     # prefix-bucket decomposition twin — the driver's independent
     # DuckDB build is the only external check of the new tier, so it
