@@ -594,11 +594,17 @@ def q208_trailing_window_prefix_decomposed(
     sides (the adaptive dispatch routes those to the plain tier;
     forcing the decomposition makes the contract explicit instead).
 
-    Scale shape: identical to the extreme tier's production path —
-    2x row emission through one per-(key, bucket) running window,
-    a slim row-id sort-merge join-back, and two broadcast P-joins
-    against the dense per-key bucket-prefix spine (|keys| x span/G
-    rows)."""
+    Scale shape: per-stage identical to the extreme tier's production
+    path — 2x row emission through one per-(key, bucket) running
+    window, a slim row-id sort-merge join-back, and two broadcast
+    P-joins against the dense per-key bucket-prefix spine.  One
+    honest caveat: FORCING all keys makes the broadcast spine
+    |all keys| x span/G rows — fine at gate scale (~216k rows at
+    sf0.1), corpus-cardinality-bounded in general, so this exact
+    shape is the VERIFICATION twin, not the deployment plan.  In
+    production the adaptive dispatch routes only extreme keys here,
+    and the spine is bounded by the pigeonhole-bounded extreme-key
+    list x <=PREFIX_MAX_BUCKETS."""
     from ..operators.rangewindow import trailing_count_sums_prefix_bucket
 
     tune(spark)
