@@ -4501,49 +4501,35 @@ def q183_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the filter decision is engine-exact; the reported fractions are
     single divisions of identical integers.
 
-    Scale shape: three explode+agg passes over the doc's own n-grams,
-    every aggregate keyed by doc_id (or (doc_id, gram) then doc_id) —
-    all map-side-combinable, exchanges carry per-doc (or per-doc-gram)
-    partials, and the three doc-sized aggregate tables join on the
-    already-partitioned doc_id key.  No corpus-global state at all, so
-    the operator is embarrassingly data-parallel at 100 TB."""
+    Scale shape (r12 OPT, guide §2.4): every signal — including the
+    top-2-gram count, via the row-local sorted-run fold the streaming
+    twin q190 already hash-validated against the same rule — is a
+    function of the doc's own token array, so the whole query is ONE
+    map-only projection: zero exchanges, zero joins, embarrassingly
+    data-parallel at any scale.  (The previous shape exploded g2 into
+    a corpus-bigram-volume groupBy((doc_id, g)) → groupBy(doc_id)
+    pass and joined three doc-sized tables back on doc_id — 8
+    Exchange nodes; A/B at sf0.1 the isolated top2 stage alone fell
+    2.59s → 1.06s row-local.)"""
     tune(spark)
     docs = load_texts(spark, sf_dir)
     t = tokens(F.col("text"))
-    base = docs.select(
+    stats = docs.select(
         "doc_id",
         F.size(t).cast("bigint").alias("n_tokens"),
         F.size(F.array_distinct(t)).cast("bigint").alias("n_distinct"),
         word_shingles(t, 2).alias("g2"),
         word_shingles(t, 3).alias("g3"),
-    ).transform(scoped_persist)
-    top2 = (
-        base.select("doc_id", F.explode("g2").alias("g"))
-        .groupBy("doc_id", "g")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("top2"))
-    )
-    tri = base.select(
+    ).select(
         "doc_id",
+        "n_tokens",
+        (F.col("n_distinct").cast("double")
+         / F.col("n_tokens").cast("double")).alias("distinct_frac"),
+        _rowlocal_top2(F.col("g2")).cast("bigint").alias("top2"),
+        F.size("g2").cast("bigint").alias("n2"),
+        (F.size("g3").cast("bigint")
+         - F.size(F.array_distinct("g3")).cast("bigint")).alias("dup3"),
         F.size("g3").cast("bigint").alias("n3"),
-        F.size(F.array_distinct("g3")).cast("bigint").alias("d3"),
-    )
-    stats = (
-        base.select("doc_id", "n_tokens", "n_distinct",
-                    F.size("g2").cast("bigint").alias("n2"))
-        .join(top2, "doc_id", "left")
-        .join(tri, "doc_id")
-        .select(
-            "doc_id",
-            "n_tokens",
-            (F.col("n_distinct").cast("double")
-             / F.col("n_tokens").cast("double")).alias("distinct_frac"),
-            F.coalesce(F.col("top2"), F.lit(0)).cast("bigint").alias("top2"),
-            "n2",
-            (F.col("n3") - F.col("d3")).alias("dup3"),
-            "n3",
-        )
     )
     return stats.select(
         "doc_id",
@@ -4630,46 +4616,65 @@ def q184_stopword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     DISTINCT stop tokens present).  Ties at the df cutoff break by
     token text so the set is deterministic on both engines.
 
-    Scale shape: stop-set discovery is one explode + (token, doc)
-    dedup + df-agg on the TOKEN-TYPE table, top-20 by (df desc, token)
-    — vocabulary-sized everywhere after the first agg.  Scoring joins
-    the 20-row stop set BROADCAST against the exploded corpus and
-    re-aggregates per doc (partial aggs collapse to ~1 row per doc
-    before the exchange).  Two corpus passes, no corpus-scale join
-    state."""
+    Scale shape (r12 OPT, guide §2.4): stop-set discovery folds the
+    per-doc DISTINCT into the row (``explode(array_distinct(t))``),
+    so the corpus-wide (doc, token) DISTINCT exchange disappears and
+    the one remaining exchange is the map-side-combined token-type
+    df-agg.  Scoring is then ROW-LOCAL — the 20-token set attaches as
+    a 1-row broadcast and each doc counts its own occurrences/types
+    with array folds — so the previous shape's broadcast-join over
+    the exploded corpus (whose join keys are by construction the
+    corpus's HOTTEST tokens), its per-doc re-aggregation, and the
+    final doc_id join are all gone: one corpus pass + one projection."""
     tune(spark)
     docs = load(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
-    )
+    t = tokens(F.col("text"))
     stop = (
-        tok.distinct()
+        docs.select(F.explode(F.array_distinct(t)).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("df"))
         .orderBy(F.col("df").desc(), "token")
         .limit(20)
     )
-    per_doc = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
-    hits = (
-        tok.join(F.broadcast(stop.select("token")), "token")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("stop_occ"),
-            F.countDistinct("token").alias("stop_types"),
-        )
+    # constant-key attach: the key must be DERIVED from a non-null
+    # column (pmod(x, 1) == 0), not lit(1) — Catalyst constant-folds
+    # literal keys out of the join condition and falls back to
+    # BroadcastNestedLoopJoin; a derived key keeps the 1-row attach a
+    # real BroadcastHashJoin.
+    stop_arr = stop.agg(F.collect_list("token").alias("__stops")).withColumn(
+        "__k", F.pmod(F.size("__stops"), F.lit(1))
     )
     return (
-        per_doc.join(hits, "doc_id", "left")
+        docs.select(
+            "doc_id", t.alias("__t"), F.array_distinct(t).alias("__td")
+        )
+        # the explode-based shape emitted no row for token-less docs
+        # (NULL/empty text); keep that contract explicitly
+        .filter(F.size("__t") >= 1)
+        .withColumn("__k", F.pmod(F.size("__t"), F.lit(1)))
+        .join(F.broadcast(stop_arr), "__k")
+        .select(
+            "doc_id",
+            F.size("__t").cast("bigint").alias("n_tokens"),
+            F.size(
+                F.filter(
+                    "__t", lambda x: F.array_contains(F.col("__stops"), x)
+                )
+            ).cast("bigint").alias("stop_occ"),
+            F.size(F.array_intersect("__td", "__stops"))
+            .cast("bigint")
+            .alias("stop_types"),
+        )
         .select(
             "doc_id",
             "n_tokens",
-            F.coalesce(F.col("stop_occ"), F.lit(0)).cast("bigint").alias("stop_occ"),
-            F.coalesce(F.col("stop_types"), F.lit(0)).cast("bigint").alias("stop_types"),
+            "stop_occ",
+            "stop_types",
             (
-                F.coalesce(F.col("stop_occ"), F.lit(0)).cast("double")
+                F.col("stop_occ").cast("double")
                 / F.col("n_tokens").cast("double")
             ).alias("stop_frac"),
-            (F.coalesce(F.col("stop_types"), F.lit(0)) >= 2).cast("bigint").alias("keep"),
+            (F.col("stop_types") >= 2).cast("bigint").alias("keep"),
         )
     )
 
@@ -4753,6 +4758,37 @@ FROM per
 
 
 # ---------------------------------------------------------------- q187
+def _dsir_raw_lm(trans: DataFrame) -> DataFrame:
+    """Survivor ("raw") bigram LM — (w1, w2, pair_r, first_r,
+    n_bigram_types) — shared by q187 and the q189/q191/q197 pipeline.
+
+    r12 OPT (guide §2.5): ``n_bigram_types`` used to be stamped via
+    ``Window.partitionBy()`` — an Exchange SinglePartition that
+    gathers the ENTIRE bigram-type table onto one task before the
+    count (a straggler/OOM shape; at 100 TB the bigram vocabulary is
+    GBs).  The count is one scalar: recompute the pair agg for it (a
+    second map-side-combined exchange over the scope-persisted
+    ``trans`` — A/B'd against persisting the pair table, which LOST:
+    the persist write of the bigram-type table costs more than the
+    re-agg, 4.04s vs 3.40s median at sf0.1, tools/ab_r12_dsir.py)
+    and attach it with a 1-row constant-key BroadcastHashJoin."""
+    pair_tbl = trans.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_r"))
+    # pmod(non-null, 1) == 0 keeps the 1-row attach a real
+    # BroadcastHashJoin (lit(1) keys constant-fold out of the join
+    # condition and degrade to BroadcastNestedLoopJoin)
+    nbt = pair_tbl.agg(
+        F.count(F.lit(1)).alias("n_bigram_types")
+    ).withColumn("__k", F.pmod(F.col("n_bigram_types"), F.lit(1)))
+    return (
+        pair_tbl.withColumn(
+            "first_r", F.sum("pair_r").over(Window.partitionBy("w1"))
+        )
+        .withColumn("__k", F.pmod(F.col("pair_r"), F.lit(1)))
+        .join(F.broadcast(nbt), "__k")
+        .drop("__k")
+    )
+
+
 def _q187_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q187's SCORING stage (everything up to the per-doc weight table,
     ~1 row/doc) — exposed separately so plan tests can assert the
@@ -4777,12 +4813,7 @@ def _q187_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
         .transform(scoped_persist)
     )
-    raw_lm = (
-        trans.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("pair_r"))
-        .withColumn("first_r", F.sum("pair_r").over(Window.partitionBy("w1")))
-        .withColumn("n_bigram_types", F.count(F.lit(1)).over(Window.partitionBy()))
-    )
+    raw_lm = _dsir_raw_lm(trans)
     tgt_lm = (
         trans.filter(F.col("lang") == "en")
         .groupBy("w1", "w2")
@@ -5413,53 +5444,57 @@ def _q189_pipeline(spark: SparkSession, sf_dir: str):
         F.size(t).cast("bigint").alias("n_tokens"),
         word_shingles(t, 2).alias("g2"),
         word_shingles(t, 3).alias("g3"),
+        F.array_distinct(t).alias("td"),
     ).transform(scoped_persist)
-    # -- stage 1a: Gopher repetition rule (q183) ----------------------
-    top2 = (
-        base.select("doc_id", F.explode("g2").alias("g"))
-        .groupBy("doc_id", "g")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("top2"))
-    )
-    rep = (
-        base.select(
-            "doc_id",
-            F.size("g2").cast("bigint").alias("n2"),
-            F.size("g3").cast("bigint").alias("n3"),
-            (F.size("g3") - F.size(F.array_distinct("g3")))
-            .cast("bigint")
-            .alias("dup3"),
-        )
-        .join(top2, "doc_id", "left")
-        .select(
-            "doc_id",
-            (
-                (F.lit(5) * F.coalesce(F.col("top2"), F.lit(0)) <= F.col("n2"))
-                & (F.lit(10) * F.col("dup3") <= F.lit(3) * F.col("n3"))
-            ).alias("rep_keep"),
-        )
-    )
-    # -- stage 1b: corpus-derived stop-word rule (q184) ---------------
-    tok = base.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    # -- stage 1a+1b: row-local quality flags (r12 OPT) ----------------
+    # Both filter signals are computed ROW-LOCALLY, the shape the
+    # streaming twins q190/q191 already hash-validated against the
+    # same oracle semantics (guide §2.4 — remove shuffles outright):
+    #   * top-2-gram count: the sorted-run fold (_rowlocal_top2)
+    #     replaces explode(g2) → groupBy(doc_id, g) → groupBy(doc_id)
+    #     — two corpus-bigram-volume exchanges + a doc_id join gone
+    #     (A/B at sf0.1: 2.59s → 1.06s on the isolated stage).
+    #   * stop gate: per-doc DISTINCT tokens fold into the row
+    #     (array_distinct), so stop-set discovery aggregates the
+    #     pre-deduped explode (no corpus-wide DISTINCT exchange), and
+    #     the ≥2-distinct-stop-tokens test is an array_intersect
+    #     against the 20-token set attached as a 1-row broadcast
+    #     (constant-key BroadcastHashJoin — no corpus join, no
+    #     per-doc re-aggregation).
+    # flags is therefore ONE projection of base + a 1-row broadcast:
+    # zero doc-keyed joins survive in stage 1.
     stop = (
-        tok.distinct()
+        base.select(F.explode("td").alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("df"))
         .orderBy(F.col("df").desc(), "token")
         .limit(20)
     )
-    stopk = (
-        tok.join(F.broadcast(stop.select("token")), "token")
-        .groupBy("doc_id")
-        .agg(F.countDistinct("token").alias("stop_types"))
+    # pmod-derived constant key: see q184 — lit(1) keys constant-fold
+    # into a BroadcastNestedLoopJoin, a derived key stays a hash join
+    stop_arr = stop.agg(F.collect_list("token").alias("__stops")).withColumn(
+        "__k", F.pmod(F.size("__stops"), F.lit(1))
     )
     flags = (
-        base.select("doc_id", "lang", "text", "n_tokens")
-        .join(rep, "doc_id")
-        .join(stopk, "doc_id", "left")
-        .withColumn("stop_keep", F.coalesce(F.col("stop_types"), F.lit(0)) >= 2)
-        .drop("stop_types")
+        base.withColumn("__k", F.pmod(F.col("doc_id"), F.lit(1)))
+        .join(F.broadcast(stop_arr), "__k")
+        .select(
+            "doc_id",
+            "lang",
+            "text",
+            "n_tokens",
+            (
+                (F.lit(5) * _rowlocal_top2(F.col("g2")) <= F.size("g2"))
+                & (
+                    F.lit(10)
+                    * (F.size("g3") - F.size(F.array_distinct("g3")))
+                    <= F.lit(3) * F.size("g3")
+                )
+            ).alias("rep_keep"),
+            (F.size(F.array_intersect("td", "__stops")) >= 2).alias(
+                "stop_keep"
+            ),
+        )
         .transform(scoped_persist)
     )
     surv1 = flags.filter(F.col("rep_keep") & F.col("stop_keep"))
@@ -5493,12 +5528,7 @@ def _q189_pipeline(spark: SparkSession, sf_dir: str):
         )
         .transform(scoped_persist)
     )
-    raw_lm = (
-        trans.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("pair_r"))
-        .withColumn("first_r", F.sum("pair_r").over(Window.partitionBy("w1")))
-        .withColumn("n_bigram_types", F.count(F.lit(1)).over(Window.partitionBy()))
-    )
+    raw_lm = _dsir_raw_lm(trans)  # r12 OPT: no single-partition window
     tgt_lm = (
         trans.filter(F.col("lang") == "en")
         .groupBy("w1", "w2")
