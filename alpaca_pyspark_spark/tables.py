@@ -29,12 +29,34 @@ TABLE_NAMES = (
 ALWAYS_BROADCAST = {"region", "nation"}
 
 
+#: (sf_dir, table) -> footer-inferred StructType.  SCHEMA memo only —
+#: never data, never results: every action still scans the parquet
+#: files.  Rationale (r12 OPT, guide §1.2 per-task work): plain
+#: ``spark.read.parquet(path)`` re-infers the schema on EVERY call
+#: (~90 ms of driver-side footer read + listing through py4j,
+#: measured at sf0.1), and the bench's 223 queries call load() 1-5×
+#: each; passing the memoized schema drops DataFrame construction to
+#: ~20 ms.  A catalog-backed deployment holds exactly this metadata
+#: in the metastore — the memo is the pathless-read equivalent.
+_SCHEMA_CACHE: dict[tuple[str, str], "object"] = {}
+
+
+def _parquet(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = f"{sf_dir}/{name}.parquet"
+    key = (sf_dir, name)
+    sch = _SCHEMA_CACHE.get(key)
+    if sch is None:
+        sch = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[key] = sch
+    return spark.read.schema(sch).parquet(path)
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
         return _load_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _parquet(spark, sf_dir, name)
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -44,12 +66,16 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     both: nanos are read as raw int64 (legacy conf) and floored to
     microseconds — the same truncation DuckDB applies, so the oracle
     agrees exactly; micros are just normalized to TIMESTAMP_NTZ.
+
+    The nanosAsLong conf is set BEFORE the first (memoized) schema
+    inference so the nanos layout infers as LongType rather than
+    erroring, and kept set for the scans themselves.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = _parquet(spark, sf_dir, "events")
     if isinstance(df.schema["ts"].dataType, LongType):
         ts = F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz")
     else:
