@@ -85,12 +85,16 @@ _SHOWCASE_ORDER = [
     "q25_session_window", "q26_sql_interval_join",
     "q27_pandas_udf_trend", "q28_setops_intersect",
     "q29_json_map", "q30_bar_rollup", "q31_token_count",
-    "q44_recursive_calendar_gapfill", "q12_embedding_dedup",
-    # registered this round (cadence rule (c)): the forced
-    # prefix-bucket decomposition twin — the driver's independent
-    # DuckDB build is the only external check of the new tier, so it
-    # takes the last slot (q47 heads the r13 wheel instead):
+    "q44_recursive_calendar_gapfill",
+    # registered this round (cadence rule (c)): the two forced
+    # decomposition twins — the driver's independent DuckDB build is
+    # the only external check of the new tiers, so they take the last
+    # slots (q12_embedding_dedup and q47 head the r13 wheel instead):
+    # q208 = the prefix-bucket trailing-window tier (q41's extreme
+    # tier); q209 = the sqrt-range rank-selection tier (q102/q106's
+    # grouped-quantile decomposition, registered with q106's oracle).
     "q208_trailing_window_prefix_decomposed",
+    "q209_weighted_median_decomposed",
 ]
 
 

@@ -420,6 +420,30 @@ ORDER BY revenue DESC, partkey
 
 
 # --------------------------------------------------------------- q102
+#: Dispatch floor for the grouped-quantile decomposition (q102/q106).
+#: Below this many fact rows the one-window formulation wins: the
+#: decomposition trades ~15 small sequential stages for unbounded
+#: per-group parallelism, and at sf0.1's 600k rows those stages cost
+#: 7x the window plan (AB_r12_quantiles.json).  Above it, a single
+#: return-flag group (~rows/3 — the key has a fixed 3-value domain)
+#: outgrows one window task: percentile/running-sum windows buffer the
+#: whole group in ONE task (join-only AQE cannot split it), so ~20M
+#: rows/group is where the straggler—and its memory—dominates any
+#: stage-count overhead.  The row count is footer metadata, memoized
+#: (tables.table_rows) — no per-query probe job, and the same number
+#: a catalog/metastore serves for free at scale.
+QUANTILE_DECOMPOSE_MIN_TABLE_ROWS = 60_000_000
+
+
+def _decompose_quantiles(sf_dir: str) -> bool:
+    from ..tables import table_rows
+
+    try:
+        return table_rows(sf_dir, "lineitem") >= QUANTILE_DECOMPOSE_MIN_TABLE_ROWS
+    except Exception:  # metadata unavailable — take the always-correct tier
+        return False
+
+
 def q102_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust outlier profiling: flag prices more than 1.5 MADs
     (median absolute deviation) from their return-flag group's median.
@@ -428,14 +452,37 @@ def q102_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolated midpoints are exact halves/quarters in binary and
     the two engines agree bit-for-bit (probe-verified); the only
     inexact op is the final 4.4478*mad product, computed identically
-    on identical doubles.  Plan: median and MAD are two sequential
-    windows over the SAME group partitioning -- one exchange of the
-    fact table total, then the summary aggregate.  At 100 TB swap the
-    exact window percentile for approx_percentile partials per block
-    + merged (the rollup pattern of q46) -- exactness here is what
-    makes the oracle gate possible."""
+    on identical doubles.
+
+    Plan (round 12, guide §2.5): the one-window formulation — two
+    sequential ``percentile().over(partitionBy(l_returnflag))``
+    windows — buffers the whole fact table in THREE tasks (one per
+    return flag), the unsplittable-straggler shape AQE cannot help
+    (skew handling is join-only).  Past the dispatch floor the query
+    decomposes through ``operators.quantiles``: ONE fully parallel
+    ``groupBy(flag, cents)`` pass builds a value-counts table
+    (near-unique prices, so it is ~fact-table-sized, but the exchange
+    spreads over hash(flag, cents) instead of hash(flag)); both
+    medians come from sqrt-range bucket rank-selection on it (every
+    window partition ≤ ~sqrt(value range) ≈ 3–45k rows regardless of
+    group size); the deviation counts and the final outlier counts
+    derive from the SAME persisted counts table — the fact table is
+    scanned once.  Bit-identical to the window formulation (integer
+    cumulatives select the same middle values; Spark's Percentile
+    interpolation arithmetic is replayed exactly —
+    tests/test_quantiles.py pins parity on ties, NULLs, odd/even
+    counts and single rows).  Below the floor the window tier runs —
+    at bench scale the decomposition's ~15 extra sequential stages
+    cost 7x more than they save (AB_r12_quantiles.json), the same
+    trade every other skew dispatch in the engine makes."""
     tune(spark)
     li = load(spark, sf_dir, "lineitem")
+    if _decompose_quantiles(sf_dir):
+        return _q102_decomposed(li)
+    return _q102_window(li)
+
+
+def _q102_window(li: DataFrame) -> DataFrame:
     cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
     w = Window.partitionBy("l_returnflag")
     d = (
@@ -451,6 +498,74 @@ def q102_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("__dev") > F.lit(1.5) * F.col("__mad")).alias(
                 "n_outliers"
             ),
+            (F.max("__med") / 100.0).alias("median_price"),
+            (F.max("__mad") / 100.0).alias("mad_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def _q102_decomposed(li: DataFrame) -> DataFrame:
+    from ..operators.quantiles import grouped_median_cont
+    from ..session import scoped_persist
+
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    flag = F.col("l_returnflag")
+    counts = scoped_persist(
+        li.select("l_returnflag", cents.alias("__c"))
+        .groupBy("l_returnflag", "__c")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    # med has TWO consumers (the deviation derivation and the final
+    # broadcast) — persist the 3-row result so the rank-selection
+    # pipeline executes once, not once per broadcast subtree
+    med = scoped_persist(
+        grouped_median_cont(
+            counts, key="l_returnflag", value="__c", cnt="__cnt", out="__med"
+        )
+    )
+    devc = scoped_persist(
+        counts.filter(F.col("__c").isNotNull())
+        .join(
+            F.broadcast(med.select(flag.alias("__mk"), "__med")),
+            flag.eqNullSafe(F.col("__mk")),
+        )
+        # dev doubles are exact halves: carry them as 2*dev BIGINTs so
+        # the MAD rank-selection stays in exact integer arithmetic
+        .select(
+            "l_returnflag",
+            F.abs(
+                F.lit(2) * F.col("__c") - (F.col("__med") * 2).cast("bigint")
+            ).alias("__d2"),
+            "__cnt",
+        )
+        .groupBy("l_returnflag", "__d2")
+        .agg(F.sum("__cnt").alias("__dcnt"))
+    )
+    mad2 = grouped_median_cont(
+        devc, key="l_returnflag", value="__d2", cnt="__dcnt", out="__m2"
+    )
+    mm = F.broadcast(
+        med.join(
+            F.broadcast(
+                mad2.select(
+                    flag.alias("__ak"), (F.col("__m2") * 0.5).alias("__mad")
+                )
+            ),
+            flag.eqNullSafe(F.col("__ak")),
+        ).select(flag.alias("__gk"), "__med", "__mad")
+    )
+    dev = F.abs(F.col("__c") - F.col("__med"))
+    return (
+        counts.join(mm, flag.eqNullSafe(F.col("__gk")), "left")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum("__cnt").alias("n_items"),
+            F.sum(
+                F.when(dev > F.lit(1.5) * F.col("__mad"), F.col("__cnt")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_outliers"),
             (F.max("__med") / 100.0).alias("median_price"),
             (F.max("__mad") / 100.0).alias("mad_price"),
         )
@@ -575,19 +690,42 @@ def q106_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantity-weighted median price per return flag — the smallest
     price whose running weight reaches half the group total.
 
-    Classic one-window formulation: order by (price, unique
-    tiebreak), running sum of integer weights, then the first row
-    with ``2*cum >= total`` per group.  All integers until the final
-    /100 — both engines execute the identical selection, so the
-    oracle matches bit-for-bit.  One exchange on the group key; the
-    running sum is a linear pass (same scaling argument as q41)."""
+    The selection (oracle SQL unchanged): order by (price, unique
+    tiebreak), running sum of integer weights, the first row with
+    ``2*cum >= total`` per group.  All integers until the final /100
+    — both engines execute the identical selection, so the oracle
+    matches bit-for-bit.
+
+    Plan (round 12, guide §2.5): the one-window running sum ships the
+    whole fact table to one task per return flag (a parallelism-3
+    straggler at scale, join-only AQE can't split it).  The answer
+    only depends on VALUE-GROUP running weights — the within-value
+    tiebreak never changes which value crosses, so ``min(c) over hit
+    rows == min c with 2*W(c) >= tot`` where W is cumulative weight by
+    value.  Past the dispatch floor: one parallel ``groupBy(flag,
+    cents)`` weight-sum pass, then sqrt-range bucket rank-selection
+    (``operators.quantiles.grouped_weighted_median``; every window
+    partition ≤ ~sqrt(value range) rows).  Bit-identical — integer
+    cumulatives, same crossing (tests/test_quantiles.py pins parity
+    incl. ties, zero weights, degenerate groups; q209 forces this
+    tier against the SAME DuckDB oracle).  Weights are non-negative
+    by the column's physical meaning (round(l_quantity)); monotone
+    running totals are what make the crossing unique.  Below the
+    floor the window tier runs (stage-count trade, see q102)."""
     tune(spark)
-    # weighted median ignores rows missing the value OR the weight
-    # (aggregate NULL contract; the running sum and the sort are
-    # engine-portable only over non-NULL integers — oracle same WHERE)
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_extendedprice").isNotNull() & F.col("l_quantity").isNotNull()
     )
+    if _decompose_quantiles(sf_dir):
+        return _q106_decomposed(li)
+    return _q106_window(li)
+
+
+def _q106_window(li: DataFrame) -> DataFrame:
+    # weighted median ignores rows missing the value OR the weight
+    # (aggregate NULL contract; the running sum and the sort are
+    # engine-portable only over non-NULL integers — oracle same WHERE;
+    # the filter is applied by the caller)
     cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
     wgt = F.round(F.col("l_quantity")).cast("bigint")
     base = li.select(
@@ -616,6 +754,50 @@ def q106_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+def _q106_decomposed(li: DataFrame) -> DataFrame:
+    from ..operators.quantiles import grouped_weighted_median
+    from ..session import scoped_persist
+
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    wgt = F.round(F.col("l_quantity")).cast("bigint")
+    counts = scoped_persist(
+        li.select("l_returnflag", cents.alias("__c"), wgt.alias("__w"))
+        .groupBy("l_returnflag", "__c")
+        .agg(F.sum("__w").alias("__wm"))
+    )
+    wm = grouped_weighted_median(
+        counts, key="l_returnflag", value="__c", wsum="__wm"
+    )
+    return wm.select(
+        "l_returnflag",
+        (F.col("__wv") / 100.0).alias("weighted_median_price"),
+        F.col("__tot").alias("total_weight"),
+    ).orderBy("l_returnflag")
+
+
+# --------------------------------------------------------------- q209
+def q209_weighted_median_decomposed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q106's weighted median FORCED through the sqrt-range
+    rank-selection decomposition (``operators/quantiles.py``), against
+    the IDENTICAL DuckDB oracle — the q208 pattern: the gate fixtures
+    sit below the quantile dispatch floor (60M rows), so the adaptive
+    dispatch alone would never route a gate row into the decomposed
+    tier, and only the driver's independent oracle build can pin it.
+    Exercises the full rank-selection machinery end to end: per-key
+    value bounds, sqrt bucketing, the spine prefix crossing, the
+    within-bucket selection, null-safe key joins, and the zero-weight
+    degenerate path.  (q102's decomposed tier reuses exactly this
+    machinery via grouped_median_cont; its interpolation and
+    2*dev-integer arithmetic are pinned by tests/test_quantiles.py.)"""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull() & F.col("l_quantity").isNotNull()
+    )
+    return _q106_decomposed(li)
 
 
 _Q106_SQL = """
@@ -903,6 +1085,7 @@ QUERIES = {
     "q106_weighted_median": q106_weighted_median,
     "q121_cusum_changepoint": q121_cusum_changepoint,
     "q125_triangle_count": q125_triangle_count,
+    "q209_weighted_median_decomposed": q209_weighted_median_decomposed,
 }
 
 ORACLE = {
@@ -919,4 +1102,6 @@ ORACLE = {
     "q106_weighted_median": _Q106_SQL,
     "q121_cusum_changepoint": _Q121_SQL,
     "q125_triangle_count": _Q125_SQL,
+    # q209 must land on rows BIT-IDENTICAL to q106 — same oracle SQL
+    "q209_weighted_median_decomposed": _Q106_SQL,
 }
