@@ -420,19 +420,23 @@ ORDER BY revenue DESC, partkey
 
 
 # --------------------------------------------------------------- q102
-#: Dispatch floor for the grouped-quantile decomposition (q102/q106).
-#: Below this many fact rows the one-window formulation wins: the
-#: decomposition trades ~15 small sequential stages for unbounded
-#: per-group parallelism, and at sf0.1's 600k rows those stages cost
-#: 7x the window plan (AB_r12_quantiles.json).  Above it, a single
-#: return-flag group (~rows/3 — the key has a fixed 3-value domain)
-#: outgrows one window task: percentile/running-sum windows buffer the
-#: whole group in ONE task (join-only AQE cannot split it), so ~20M
-#: rows/group is where the straggler—and its memory—dominates any
-#: stage-count overhead.  The row count is footer metadata, memoized
-#: (tables.table_rows) — no per-query probe job, and the same number
-#: a catalog/metastore serves for free at scale.
-QUANTILE_DECOMPOSE_MIN_TABLE_ROWS = 60_000_000
+#: Dispatch floor for the grouped-quantile decomposition (q102/q106),
+#: crossover-interpolated from a measured W/D curve on synthetic
+#: lineitem-shaped data (tools/ab_r12_qfloor.py → AB_r12_qfloor.json,
+#: noop-sink forced, arms alternated in one JVM, tier outputs
+#: equality-checked at every size): the window tier wins 7x at sf0.1's
+#: 600k rows (AB_r12_quantiles.json) and 0.70x at 2M, ties at ~2.8M
+#: (log-linear), and LOSES 2.4x at 6M, 4.9x at 20M, 7.1x at 60M for
+#: q102 (q106 crosses below 2M) — percentile/running-sum windows
+#: buffer the whole group in ONE task per return flag (join-only AQE
+#: cannot split it), and past ~1M rows/group that straggler dominates
+#: the decomposition's ~15 small sequential stages.  Both tiers are
+#: bit-identical (tests/test_quantiles.py; parity re-checked at
+#: 2M/6M/20M/60M in the A/B), so a mis-sided floor near the tie point
+#: costs seconds, never correctness.  The row count is footer
+#: metadata, memoized (tables.table_rows) — no per-query probe job,
+#: and the same number a catalog/metastore serves for free at scale.
+QUANTILE_DECOMPOSE_MIN_TABLE_ROWS = 3_000_000
 
 
 def _decompose_quantiles(sf_dir: str) -> bool:
@@ -784,7 +788,7 @@ def q209_weighted_median_decomposed(
     """q106's weighted median FORCED through the sqrt-range
     rank-selection decomposition (``operators/quantiles.py``), against
     the IDENTICAL DuckDB oracle — the q208 pattern: the gate fixtures
-    sit below the quantile dispatch floor (60M rows), so the adaptive
+    sit below the quantile dispatch floor (3M rows), so the adaptive
     dispatch alone would never route a gate row into the decomposed
     tier, and only the driver's independent oracle build can pin it.
     Exercises the full rank-selection machinery end to end: per-key
