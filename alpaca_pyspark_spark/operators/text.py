@@ -108,6 +108,67 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", normalized_fingerprint(text_col))
 
 
+#: Dispatch floor for the span-overlap hot-hash prefilter (q186/q114):
+#: documents-table rows at or above which the one-pass string-keyed
+#: exchange gives way to the prefiltered tier.  Calibrated round 13 by
+#: a measured crossover sweep on synthetic span-shaped corpora
+#: (tools/ab_r13_spanfloor.py -> AB_r13_spanfloor.json; bench.py's
+#: noop-sink forcing, arms alternated in one JVM per size, tier
+#: outputs equality-checked at every size).  The row count is footer
+#: metadata, memoized (tables.table_rows) — no probe job.
+SPAN_PREFILTER_MIN_DOC_ROWS = 10_000_000
+
+
+def span_prefilter_dispatch(sf_dir: str) -> bool:
+    """True when the documents table is past the prefilter floor."""
+    from ..tables import table_rows
+
+    try:
+        return table_rows(sf_dir, "documents") >= SPAN_PREFILTER_MIN_DOC_ROWS
+    except Exception:  # metadata unavailable — take the always-cheap tier
+        return False
+
+
+def hot_hash_candidates(
+    df: DataFrame, col: str, min_count: int
+) -> DataFrame:
+    """Hot-hash prefilter for string-keyed repeat detection (guide
+    §3.2 — reduce the big side before shuffling it): keep exactly the
+    rows of ``df`` whose ``col`` HASH value occurs ``>= min_count``
+    times in ``df``.
+
+    Shape: one map-side-combined count pass over ``xxhash64(col)``
+    (the exchange carries 8-byte keys + partial counts, never the
+    strings), the surviving hash set attaches back as a broadcast,
+    and the join is 1:1 (the hot set is grouped by hash, and a row's
+    hash equals exactly one key), so no row is ever duplicated.
+
+    Bloom-filter semantics, deliberately: a hash COLLISION can only
+    ADD candidate rows (two distinct strings sharing a hash both pass
+    the floor), never drop one — a string with ``>= min_count``
+    occurrences gives its own hash at least that count.  Callers must
+    therefore re-apply their exact predicate on the true string
+    downstream (q186 re-ranks occurrences per span string; q114
+    re-counts docs per passage string), which every consumer of this
+    operator does by construction: the prefilter only shrinks the
+    string-keyed exchange, it never decides membership.
+
+    At 100 TB this is the difference between shuffling every span
+    occurrence's string payload and shuffling 8-byte hashes plus the
+    (small, repeated-content-bounded) candidate fraction's strings;
+    at fixture scale the extra pass costs more than it saves, which is
+    why callers dispatch on a measured size floor."""
+    h = F.xxhash64(F.col(col))
+    hot = (
+        df.select(h.alias("__h"))
+        .groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= min_count)
+        .select("__h")
+    )
+    return df.join(F.broadcast(hot), h == F.col("__h"), "inner").drop("__h")
+
+
 #: BPE-ish pre-tokenization pattern (GPT-2 style, minus the trailing
 #: lookahead so RE2 engines — the DuckDB oracle — accept it verbatim):
 #: contractions, optionally-space-prefixed letter runs, digit runs, and

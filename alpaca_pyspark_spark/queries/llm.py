@@ -4758,7 +4758,30 @@ FROM per
 
 
 # ---------------------------------------------------------------- q187
-def _dsir_raw_lm(trans: DataFrame) -> DataFrame:
+#: Dispatch floor for persisting the DSIR pair table (documents-table
+#: rows, footer metadata via tables.table_rows — no probe job).  The
+#: r12 A/B fixed the choice at "recompute" because persist LOST at
+#: sf0.1 (4.04s vs 3.40s, tools/ab_r12_dsir.py) — but the crossover is
+#: size-dependent exactly like the quantile floor (VERDICT r12): the
+#: recompute arm pays a second full aggregation pass over the
+#: corpus-sized transition table, the persist arm a one-time
+#: materialization of the vocab-bounded pair table, so past some
+#: corpus size persist must win.  Calibrated round 13 by a measured
+#: crossover on synthetic fixture-shaped corpora
+#: (tools/ab_r13_dsirfloor.py -> AB_r13_dsirfloor.json).
+DSIR_PERSIST_MIN_DOC_ROWS = 10_000_000
+
+
+def _dsir_persist_dispatch(sf_dir: str) -> bool:
+    from ..tables import table_rows
+
+    try:
+        return table_rows(sf_dir, "documents") >= DSIR_PERSIST_MIN_DOC_ROWS
+    except Exception:  # metadata unavailable — keep the measured-at-
+        return False  # fixture-scale recompute arm
+
+
+def _dsir_raw_lm(trans: DataFrame, *, persist_pairs: bool = False) -> DataFrame:
     """Survivor ("raw") bigram LM — (w1, w2, pair_r, first_r,
     n_bigram_types) — shared by q187 and the q189/q191/q197 pipeline.
 
@@ -4766,13 +4789,17 @@ def _dsir_raw_lm(trans: DataFrame) -> DataFrame:
     ``Window.partitionBy()`` — an Exchange SinglePartition that
     gathers the ENTIRE bigram-type table onto one task before the
     count (a straggler/OOM shape; at 100 TB the bigram vocabulary is
-    GBs).  The count is one scalar: recompute the pair agg for it (a
-    second map-side-combined exchange over the scope-persisted
-    ``trans`` — A/B'd against persisting the pair table, which LOST:
-    the persist write of the bigram-type table costs more than the
-    re-agg, 4.04s vs 3.40s median at sf0.1, tools/ab_r12_dsir.py)
-    and attach it with a 1-row constant-key BroadcastHashJoin."""
+    GBs).  The count is one scalar, attached with a 1-row constant-key
+    BroadcastHashJoin; ``persist_pairs`` decides whether the scalar's
+    pair aggregation is RECOMPUTED (a second map-side-combined
+    exchange over the scope-persisted ``trans`` — cheaper at fixture
+    scale, r12 A/B) or read from a scoped persist of the vocab-bounded
+    pair table (cheaper once the corpus dwarfs the vocabulary —
+    callers dispatch on ``DSIR_PERSIST_MIN_DOC_ROWS``).  Both arms
+    compute identical rows; only materialization differs."""
     pair_tbl = trans.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_r"))
+    if persist_pairs:
+        pair_tbl = scoped_persist(pair_tbl)
     # pmod(non-null, 1) == 0 keeps the 1-row attach a real
     # BroadcastHashJoin (lit(1) keys constant-fold out of the join
     # condition and degrade to BroadcastNestedLoopJoin)
@@ -4813,7 +4840,7 @@ def _q187_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
         .transform(scoped_persist)
     )
-    raw_lm = _dsir_raw_lm(trans)
+    raw_lm = _dsir_raw_lm(trans, persist_pairs=_dsir_persist_dispatch(sf_dir))
     tgt_lm = (
         trans.filter(F.col("lang") == "en")
         .groupBy("w1", "w2")
@@ -5528,7 +5555,9 @@ def _q189_pipeline(spark: SparkSession, sf_dir: str):
         )
         .transform(scoped_persist)
     )
-    raw_lm = _dsir_raw_lm(trans)  # r12 OPT: no single-partition window
+    # r12 OPT: no single-partition window; r13: persist-vs-recompute
+    # of the scalar's pair agg is size-dispatched (floor above)
+    raw_lm = _dsir_raw_lm(trans, persist_pairs=_dsir_persist_dispatch(sf_dir))
     tgt_lm = (
         trans.filter(F.col("lang") == "en")
         .groupBy("w1", "w2")
@@ -5803,31 +5832,9 @@ FROM bins b JOIN manifest m USING (lang, shard)
 
 
 # ---------------------------------------------------------------- q186
-def q186_span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate-span REMOVAL accounting — the rewrite step of C4-style
-    corpus cleaning (Raffel et al. 2020 drop repeated three-sentence
-    spans; Lee et al. 2022 deduplicate exact substrings): q114 FINDS
-    repeated passages, this query decides, for every token of every
-    document, whether it survives.  An 8-token span occurrence is
-    canonical iff it is the globally first occurrence of that span
-    (ordered by doc_id, then position); every token covered by a
-    NON-canonical occurrence of a repeated span is dropped.  Output is
-    the per-document kept/dropped token ledger a rewrite job would act
-    on (the reconstructed text itself is a trivial per-doc filter once
-    the drop set exists).
-
-    Scale shape: one exchange keyed by span for the global
-    first-occurrence window (row_number over (doc_id, pos) — the same
-    key q114 aggregates on), then only the DUPLICATE occurrences — a
-    small fraction of a real corpus — explode ×8 into token indices,
-    de-duplicated and counted per doc_id.  At 100 TB the span STRING
-    is the shuffle-width risk exactly as documented on q114: hash
-    spans to 64-bit keys for the window pass (collision-checked or
-    accepted at 2^-64 per pair); exact text kept here for the oracle.
-    No corpus-global state beyond the span partitioning; every other
-    stage is keyed by doc_id."""
-    tune(spark)
-    docs = load(spark, sf_dir, "documents")
+def _q186_toks_occ(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(per-doc token counts + span arrays, exploded span occurrences)
+    — the shared front of both q186 tiers."""
     t = tokens(F.lower(F.col("text")))
     toks = docs.select(
         "doc_id",
@@ -5835,8 +5842,23 @@ def q186_span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         word_shingles(t, 8).alias("spans"),
     )
     occ = toks.select("doc_id", F.posexplode("spans").alias("pos", "span"))
+    return toks, occ
+
+
+def _q186_ledger(toks: DataFrame, cand_occ: DataFrame) -> DataFrame:
+    """Shared tail of both q186 tiers: global first-occurrence window
+    over the (possibly prefiltered) occurrence set, duplicate
+    occurrences explode ×8 into dropped token indices, per-doc ledger.
+
+    The window predicate is EXACT on the true span string, which is
+    what makes the prefilter tier sound: ``cand_occ`` may carry extra
+    rows (hash collisions), but a span type arrives either complete or
+    not at all (membership is decided per span string by its hash), so
+    every rn>1 decision here matches the all-occurrences window."""
     w = Window.partitionBy("span").orderBy("doc_id", "pos")
-    dup_occ = occ.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") > 1)
+    dup_occ = cand_occ.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") > 1
+    )
     dropped = (
         dup_occ.select(
             "doc_id",
@@ -5862,6 +5884,79 @@ def q186_span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_tokens_kept"),
         )
     )
+
+
+def _q186_onepass(docs: DataFrame) -> DataFrame:
+    """Below-floor tier: the window runs over every occurrence (one
+    string-keyed exchange, one shingle-generation pass)."""
+    toks, occ = _q186_toks_occ(docs)
+    return _q186_ledger(toks, occ)
+
+
+def _q186_prefiltered(docs: DataFrame) -> DataFrame:
+    """Above-floor tier: only occurrences of HOT span hashes (>= 2
+    occurrences — the only spans that can produce duplicates) reach
+    the string-keyed window.  The count pass shuffles 8-byte hashes
+    map-side combined; collisions only ADD candidates and the window
+    re-ranks on the true string (see ``hot_hash_candidates``)."""
+    from ..operators.text import hot_hash_candidates
+
+    toks, occ = _q186_toks_occ(docs)
+    return _q186_ledger(toks, hot_hash_candidates(occ, "span", 2))
+
+
+def q186_span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-span REMOVAL accounting — the rewrite step of C4-style
+    corpus cleaning (Raffel et al. 2020 drop repeated three-sentence
+    spans; Lee et al. 2022 deduplicate exact substrings): q114 FINDS
+    repeated passages, this query decides, for every token of every
+    document, whether it survives.  An 8-token span occurrence is
+    canonical iff it is the globally first occurrence of that span
+    (ordered by doc_id, then position); every token covered by a
+    NON-canonical occurrence of a repeated span is dropped.  Output is
+    the per-document kept/dropped token ledger a rewrite job would act
+    on (the reconstructed text itself is a trivial per-doc filter once
+    the drop set exists).
+
+    Scale shape (round 13): TWO size-dispatched tiers.  Below the
+    measured floor (``operators.text.SPAN_PREFILTER_MIN_DOC_ROWS``)
+    the one-pass form runs — one exchange keyed by span for the global
+    first-occurrence window, then only the DUPLICATE occurrences
+    explode ×8 into token indices; at fixture scale shingle GENERATION
+    dominates and a second pass loses (AB_r12_outliers /
+    tools/ab_r12_span.py: prefilter 1.7x slower at sf0.1).  At and
+    past the floor the span STRING shuffle is the cost that grows
+    (the r12 docstring documented this swap; round 13 ships it as a
+    dispatched tier): a map-side-combined count over
+    ``xxhash64(span)`` finds hot hashes, they broadcast back as a
+    semi-filter, and the exact window runs on the candidate fraction
+    only — collisions only ADD candidates, the window re-checks on the
+    true string, so the tiers are result-identical
+    (tests/test_spanhot.py pins parity; q210 forces this tier under
+    the DuckDB oracle).  Every other stage is keyed by doc_id."""
+    from ..operators.text import span_prefilter_dispatch
+
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    if span_prefilter_dispatch(sf_dir):
+        return _q186_prefiltered(docs)
+    return _q186_onepass(docs)
+
+
+def q210_span_dedup_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q186's hot-hash prefilter tier FORCED (the q208/q209 pattern):
+    the gate fixtures sit far below the dispatch floor, so without
+    this twin the driver's independent DuckDB build would never
+    exercise the prefiltered plan shape.  Runs on the ``doc_id % 2 =
+    0`` half-corpus — still 233 hot span types at sf0.01 and 2,922 at
+    sf0.1 (measured), so the hot-set branch does real work at every
+    gate scale, while the twin's bench cost stays half a full forced
+    run.  The oracle is q186's SQL verbatim over the same half-corpus
+    (one source of truth: the CTE prefix swaps the document
+    population, nothing else)."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    return _q186_prefiltered(docs)
 
 
 _Q186_SQL = r"""
@@ -5891,6 +5986,14 @@ SELECT t.doc_id,
          AS n_tokens_kept
 FROM t LEFT JOIN dropped d USING (doc_id)
 """
+
+# q210 = q186's SQL verbatim over the doc_id % 2 = 0 half-corpus (one
+# source of truth — only the document population differs).
+_Q210_SQL = _Q186_SQL.replace(
+    "FROM documents",
+    "FROM (SELECT * FROM documents WHERE doc_id % 2 = 0)",
+    1,
+)
 
 
 # --------------------------------------------------------------- q204
@@ -5996,6 +6099,7 @@ QUERIES = {
     "q183_repetition_filter": q183_repetition_filter,
     "q184_stopword_filter": q184_stopword_filter,
     "q186_span_dedup_rewrite": q186_span_dedup_rewrite,
+    "q210_span_dedup_prefiltered": q210_span_dedup_prefiltered,
     "q187_dsir_importance": q187_dsir_importance,
     "q188_classifier_quality_filter": q188_classifier_quality_filter,
     "q189_curation_pipeline": q189_curation_pipeline,
@@ -6072,6 +6176,7 @@ ORACLE = {
     "q184_stopword_filter": _Q184_SQL,
     "q185_temperature_mixture": _Q185_SQL,
     "q186_span_dedup_rewrite": _Q186_SQL,
+    "q210_span_dedup_prefiltered": _Q210_SQL,
     "q187_dsir_importance": _Q187_SQL,
     "q188_classifier_quality_filter": _Q188_SQL,
     "q189_curation_pipeline": _Q189_SQL,

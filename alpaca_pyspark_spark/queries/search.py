@@ -667,24 +667,51 @@ def q114_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     passages that per-document dedup misses (doc pairs below any
     similarity threshold can still share one verbatim paragraph).
 
-    Shape: per-doc DISTINCT shingles explode into ONE partial-
-    aggregated exchange keyed by shingle (count + partial collect
-    sets); the >= 3 floor prunes the long unique tail at the
-    aggregate.  At 100 TB shingle strings are the shuffle-width risk:
-    hash them to 64-bit keys for the count pass and resolve surviving
-    shingles' text in a second tiny join (documented swap; exact text
-    kept here for the oracle).
+    Scale shape (round 13): size-dispatched like q186.  Below the
+    measured floor (``operators.text.SPAN_PREFILTER_MIN_DOC_ROWS``)
+    the per-doc-distinct shingles feed ONE partial-aggregated exchange
+    keyed by the passage string; past it, a map-side-combined count
+    over ``xxhash64(passage)`` broadcasts the >= 3 hot hashes back as
+    a semi-filter so only the candidate fraction's STRINGS cross the
+    exchange — collisions only ADD candidates and the exact aggregate
+    re-applies ``n_docs >= 3`` on the true string, so the tiers are
+    result-identical (tests/test_spanhot.py pins parity; the
+    prefiltered plan pattern is oracle-forced by q210 on the shared
+    operator).
 
     ``doc_ids`` is a comma-joined STRING (not ArrayType) so the
     output is hashable by pandas-based result canonicalizers."""
+    from ..operators.text import span_prefilter_dispatch
+
     tune(spark)
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    sh = docs.select(
+    if span_prefilter_dispatch(sf_dir):
+        return _q114_aggregate(_q114_prefiltered_shingles(docs))
+    return _q114_aggregate(_q114_shingles(docs))
+
+
+def _q114_shingles(docs: DataFrame) -> DataFrame:
+    return docs.select(
         "doc_id",
         F.explode(
             F.array_distinct(word_shingles(tokens(F.lower(F.col("text"))), 8))
         ).alias("passage"),
     )
+
+
+def _q114_prefiltered_shingles(docs: DataFrame) -> DataFrame:
+    """Hot-hash prefilter tier: passages whose hash shows < 3 per-doc-
+    distinct occurrences cannot reach the >= 3 floor, so only hot-hash
+    rows carry their strings into the aggregate."""
+    from ..operators.text import hot_hash_candidates
+
+    return hot_hash_candidates(_q114_shingles(docs), "passage", 3)
+
+
+def _q114_aggregate(sh: DataFrame) -> DataFrame:
+    """Exact tail shared by both tiers: the >= 3 floor is re-applied
+    on the true passage string, which is what makes hash collisions in
+    the prefiltered tier additive-only and the tiers result-identical."""
     return (
         sh.groupBy("passage")
         .agg(
