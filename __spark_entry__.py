@@ -37,64 +37,58 @@ def entry(spark: SparkSession) -> DataFrame:
 #: loaded the core module and left later families driver-unchecked.
 #: The full registry is unchanged; only the ordering is curated.
 _SHOWCASE_ORDER = [
-    # ROUND 12: the debt-zero re-validation cadence (ROTATION.md
-    # "Round-12+" section).  T0 = canaries + connector loop + core
-    # continuity + every query whose code path changed since its last
-    # grade (q41 gains the three-tier prefix-bucket dispatch this
-    # round; q14/q107 sit on the sessionize slack widened per ADVICE
-    # r11; q03/q115 share the touched intervalagg/rangewindow
-    # modules).  T1 = the high-risk executed-streaming block + the
-    # two production dials (VERDICT r11 item 1 names both).  T2 =
-    # the next 24 of the oldest-grade wheel (all last graded r1/r2).
+    # ROUND 13: the debt-zero re-validation cadence, second cycle
+    # (ROTATION.md "Round-12+" section; applied block at the bottom of
+    # that file).  T0 = canaries + connector loop + core continuity +
+    # every query whose code path changed since its last driver grade
+    # (rule a): the r12 curation/stop-word rewrites that were NOT in
+    # the r12 sample (q183/q184/q187/q189), the r12 quantile dispatch
+    # consumers (q102/q106), and this round's span-prefilter +
+    # DSIR-floor + rangewindow-constant work (q186/q114, q191/q197
+    # inherit the dsir dispatch; q41/q208 sit on the re-swept
+    # rangewindow constants).  Rule (c): the round-13-registered
+    # forced twin q210.  T1 alternates back to the approximation-dial
+    # + incremental half (streaming ran in r12).  T2 = the next 21 of
+    # the oldest-grade wheel — honoring the r12 promise that the five
+    # rows-only twins it swapped out (q11_approx, q24_approx, q46,
+    # q12_text, q12_simhash) take their grading turns now.
     #
-    # T0 — canaries first (q207 is the registry's only never-graded
-    # entry; its whole value is the driver's independent DuckDB build):
+    # T0 — canaries first:
     "q207_plane_sign_parity_canary", "q204_cosine_parity_canary",
     "q203_connector_roundtrip",
     "q01_scan_filter_project", "q02_bars_tumbling", "q06_asof_join",
-    "q03_interval_join_agg",          # intervalagg contract (r12 docs)
-    "q41_trailing_range_window",      # THREE-tier dispatch lands r12
-    "q115_ignore_nulls_windows",      # shares rangewindow.py (r12)
-    "q14_stream_session",             # sessionize slack change (r12)
-    "q107_session_paths",             # sessionize slack change (r12)
-    # T1 — executed micro-batch streaming (highest-risk class):
-    "q130_streaming_sessions_executed", "q131_streaming_dedup_executed",
-    "q145_streaming_outer_join_executed",
-    "q146_streaming_hourly_windows_executed",
-    "q181_streaming_bars_executed", "q149_stream_static_enrich_executed",
-    "q153_stateful_sessions_executed", "q190_streaming_quality_filter",
-    "q191_streaming_curation", "q193_streaming_ingest_neardup",
-    "q196_streaming_vector_search", "q199_streaming_budget_admission",
-    "q197_corpus_build",
-    # T1 — the two production approximation dials:
-    "q202_dialed_pq_search", "q206_cluster_reps_lsh_dialed",
-    # T2 — oldest-grade wheel (last graded r1/r2; the rest of the r2
-    # crowd — q47, the q12 dedup family's rows-only forms, q13_ivf,
-    # q19/q33 — heads the r13 wheel):
-    # (the wheel's rows-only approximate twins — q11_approx, q24_approx,
-    # q46 sketch — yield their slots to the next ORACLE-PAIRED wheel
-    # entries, keeping every graded slot hash-gated; they re-enter when
-    # the wheel next reaches them, allowlisted like q157):
-    "q39_decontaminate",
-    "q07_adjustment_split", "q07_adjustment_all",
-    "q08_setops_dedup", "q09_scalar_funcs",
-    "q11_exact_distinct", "q16_lang_id",
-    "q103_asof_tolerance", "q20_window_funcs",
-    "q21_grouping_sets", "q22_cube", "q23_star_join",
-    "q24_percentiles", "q17_fingerprint",
-    "q25_session_window", "q26_sql_interval_join",
-    "q27_pandas_udf_trend", "q28_setops_intersect",
-    "q29_json_map", "q30_bar_rollup", "q31_token_count",
-    "q44_recursive_calendar_gapfill",
-    # registered this round (cadence rule (c)): the two forced
-    # decomposition twins — the driver's independent DuckDB build is
-    # the only external check of the new tiers, so they take the last
-    # slots (q12_embedding_dedup and q47 head the r13 wheel instead):
-    # q208 = the prefix-bucket trailing-window tier (q41's extreme
-    # tier); q209 = the sqrt-range rank-selection tier (q102/q106's
-    # grouped-quantile decomposition, registered with q106's oracle).
+    # T0 rule-(a) promotions (changed since last grade) + rule-(c) q210:
+    "q183_repetition_filter", "q184_stopword_filter",
+    "q187_dsir_importance", "q189_curation_pipeline",
+    "q191_streaming_curation", "q197_corpus_build",
+    "q186_span_dedup_rewrite", "q114_repeated_passages",
+    "q210_span_dedup_prefiltered",
+    "q102_mad_outliers", "q106_weighted_median",
+    "q41_trailing_range_window",
     "q208_trailing_window_prefix_decomposed",
-    "q209_weighted_median_decomposed",
+    # T1 — the approximation-dial + incremental half (streaming block
+    # graded r12, resumes r14):
+    "q13_embedding_sim_ann", "q13_embedding_sim_ivf",
+    "q13_embedding_sim_ivf_det", "q169_incremental_dedup",
+    "q198_pq_adc_topk", "q200_ivf_index_maintenance",
+    "q201_ivfpq_search", "q202_streaming_pq_search",
+    "q202_dialed_pq_search", "q206_cluster_reps_lsh_dialed",
+    # T2 — the oldest-grade wheel, exactly as ROTATION.md staged it at
+    # r12 close (q13_ivf/q13_ivf_det/q102 appear above, so the wheel
+    # continues past them; the five rows-only re-entries are graded
+    # rows-only by design, allowlisted like q157):
+    "q47_correlated_subquery", "q12_embedding_dedup",
+    "q11_approx_distinct", "q24_percentiles_approx",
+    "q46_sketch_union_rollup", "q12_text_dedup", "q12_simhash_dedup",
+    "q19_ngram_jaccard", "q33_near_dup_components",
+    "q12_simhash_dedup_portable", "q12_embedding_dedup_lsh",
+    "q13_embedding_sim", "q32_corpus_curation",
+    "q78_fuzzy_name_pairs", "q79_transition_matrix",
+    "q92_cluster_representatives",
+    # wheel continuation: lowest-numbered entries whose last grade is
+    # oldest (r3/r4 era, none sampled in r11/r12):
+    "q04_sort_limit_topk", "q05_groupby_rollup", "q07_adjustment",
+    "q10_semi_anti", "q12_exact_dedup",
 ]
 
 

@@ -8,10 +8,21 @@ Sets ``queries.llm.DSIR_PERSIST_MIN_DOC_ROWS`` from the crossover.
 
     python tools/ab_r13_dsirfloor.py 20 60 200   # THOUSANDS of docs
 
-Protocol: the spanfloor corpus generator (deterministic xxhash64,
-~470 tokens/doc, parquet-staged so both arms re-scan files), bench.py
-forcing, warm per arm then arms alternated R/P/R/P in one JVM per
-size, medians of REPS, outputs equality-checked per size.
+Protocol: bench.py forcing, warm per arm then arms alternated R/P/R/P
+in one JVM per size, medians of REPS, outputs equality-checked per
+size; corpora parquet-staged so both arms re-scan files.
+
+Corpus shape matters here, deliberately: the floor exists for the
+regime where the bigram VOCABULARY saturates (Heaps' law — pair types
+grow sublinearly while transitions grow linearly), because that is
+when the persisted pair table is small relative to the transition
+re-aggregation it saves.  The generator therefore draws every token
+from a FIXED 1,000-token vocabulary (deterministic xxhash64), so pair
+types cap at ~1M while transitions scale with the corpus — the
+saturated regime.  On fixture-shaped near-unique-bigram corpora
+(pair types ~= transitions) recompute wins at every size by
+construction (the r12 A/B's regime); the floor targets the saturating
+regime a real 100 TB corpus is in.
 """
 
 from __future__ import annotations
@@ -42,9 +53,31 @@ from alpaca_pyspark_spark.session import (  # noqa: E402
     release_scoped_caches,
     scoped_persist,
 )
-from tools.ab_r13_spanfloor import write_synth  # noqa: E402
 
 REPS = 3
+VOCAB = 1000
+TOKS_PER_DOC = 470
+
+
+def write_synth(spark, n_docs: int, path: str) -> None:
+    """Vocabulary-saturating corpus: TOKS_PER_DOC tokens per doc, every
+    token uniform over a VOCAB-word closed vocabulary."""
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(TOKS_PER_DOC - 1)),
+                lambda i: F.concat(
+                    F.lit("w"),
+                    F.pmod(
+                        F.xxhash64(F.col("id"), i), F.lit(VOCAB)
+                    ).cast("string"),
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    docs.write.mode("overwrite").parquet(path)
 
 
 def scored(docs, persist_pairs: bool):
@@ -121,7 +154,8 @@ def main() -> None:
     out = {
         "protocol": "noop-sink forced, warm per arm then R/P alternated "
         f"in one JVM per size, {REPS} reps, medians, parity-checked; "
-        "spanfloor synthetic corpus (parquet-staged)",
+        f"vocabulary-saturating synthetic corpus (closed {VOCAB}-word "
+        f"vocab, {TOKS_PER_DOC} tokens/doc, parquet-staged)",
         "sizes": {},
     }
     for k in sizes_k:
